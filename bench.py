@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pages_per_sec": ...}
+
+The flagship spatial pipeline runs over a deterministic synthetic
+pages table sized to the scale factor (cached under .cache/bench so
+repeat runs measure the engine, not the generator).  Relational /
+datagen queries run over the driver's parquet tables.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+SPARK_GRAFT_MASTER (e.g. local[8] for the scaling-efficiency runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mobilitydb_spark import fixtures, pipeline, queries, tiles
+    from mobilitydb_spark.session import get_spark
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    n_pages = PAGES_BY_SF.get(sf_name, 200_000)
+    spark = get_spark("mobilitydb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the pages table once (generator cost excluded)
+    pages_path = os.path.join(REPO, ".cache", "bench", f"pages_{n_pages}.parquet")
+    if not os.path.exists(pages_path):
+        fixtures.pages(spark, n_pages, partitions=64) \
+            .write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    admin = fixtures.polygons_pd("admin", 64)
+    grid = fixtures.polygons_pd("grid", 4096)
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: flagship spatial join + tile assignment (pages/sec basis)
+    run("flagship_pip_tiles",
+        lambda: pipeline.flagship(pages, admin, zoom=12).count())
+    run("pip_grid_4096",
+        lambda: pipeline.pip_join_broadcast(
+            pipeline.with_cell(pipeline.extract_points(pages)), grid,
+            index_res=7).count())
+    run("tile_pyramid_z12_z0",
+        lambda: tiles.build_pyramid(
+            pipeline.extract_points(pages), max_zoom=12, min_zoom=0).count())
+
+    # registry queries over driver tables
+    reg = queries.registry()
+    for name in ["tpch_q1", "top_customers", "events_hourly",
+                 "geo_cells_tiles", "dedup_exact", "doc_stats",
+                 "knn_cosine_brute"]:
+        fn, _ = reg[name]
+        run(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    flagship_sec = timings["flagship_pip_tiles"]
+    out = {
+        "metric": "spatial-join+tile-assignment headline suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / flagship_sec, 1),
+        "master": spark.sparkContext.master,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Flagship pipeline: pages → geotag points → PIP join → tiles.
+
+The end-to-end slice from SURVEY §7: for each web page, extract
+``geo:lat,lon`` geotags from ``text`` (JVM-side regexp — no Python in
+the extraction hot path), encode each point into the hierarchical
+cell grid, spatially join against a polygon layer (broadcast
+PolygonIndex path for small layers), and assign web-mercator tiles.
+
+Semantics parity: the join predicate is the reference's
+``intersects(geom, tgeompoint)`` filter+refine pattern
+(`point/src/sql/66_tpoint_spatialrels.in.sql:32-48`): phase 1 is the
+cell/bucket prefilter (replacing the ``&&`` GiST probe), phase 2 the
+exact point-in-polygon kernel (replacing GEOS ``intersects``).
+
+Resumability (north rule): ``run_partitioned`` processes the pages
+table in deterministic url-hash buckets and records one lineage row
+per completed bucket (bucket id, rows in/out, wall time) in a
+lineage/metrics table; re-running skips completed buckets — the
+Iceberg-style per-partition checkpoint, implemented over parquet in
+the sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, geo, tiles
+
+GEOTAG_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+DEFAULT_RES = 12  # ~10 km cells at the equator — candidate-filter grain
+
+
+def extract_points(pages: DataFrame) -> DataFrame:
+    """pages → one row per geotag (url, warc_ts, lang, tag_idx, lon, lat).
+
+    Stays entirely in whole-stage codegen: regexp_extract_all +
+    posexplode + casts.  Column pruning pushes (url, warc_ts, lang,
+    text) into the scan; ``html`` is never read.
+    """
+    tags = pages.select(
+        "url", "warc_ts", "lang",
+        F.posexplode(F.regexp_extract_all("text", F.lit(GEOTAG_RE), 0))
+         .alias("tag_idx", "tag"))
+    return tags.select(
+        "url", "warc_ts", "lang", "tag_idx",
+        F.regexp_extract("tag", GEOTAG_RE, 2).cast("double").alias("lon"),
+        F.regexp_extract("tag", GEOTAG_RE, 1).cast("double").alias("lat"))
+
+
+def with_cell(points: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    return points.withColumn("cell", cells.cell_col(F.col("lon"), F.col("lat"), res))
+
+
+def pip_join_broadcast(points: DataFrame, polygons_pdf: pd.DataFrame,
+                       index_res: int = 7) -> DataFrame:
+    """Spatial join against a small polygon layer (broadcast path).
+
+    The polygon layer is turned into a PolygonIndex once on the driver
+    and shipped inside the UDF closure (Spark broadcasts closures per
+    task; for very large dims use the shuffle path in joins.py).  No
+    shuffle at all — a map-only join, the plan you want when the dim
+    side fits in executor memory (north rule broadcast phase).
+    """
+    polys = list(zip(polygons_pdf["poly_id"].tolist(),
+                     polygons_pdf["geom_wkb"].tolist()))
+    from pyspark.sql.types import LongType, StructField, StructType
+    names = [f.name for f in points.schema.fields]
+    out_schema = StructType(list(points.schema.fields)
+                            + [StructField("poly_id", LongType())])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = geo.PolygonIndex(polys, res=index_res)  # built once per task
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pt, pid = idx.contains_points(pdf["lon"].to_numpy(),
+                                          pdf["lat"].to_numpy())
+            out = pdf.iloc[pt].reset_index(drop=True)
+            out["poly_id"] = pid
+            yield out[names + ["poly_id"]]
+
+    return points.mapInPandas(refine, out_schema)
+
+
+def flagship(pages: DataFrame, polygons_pdf: pd.DataFrame,
+             zoom: int = tiles.MAX_ZOOM, res: int = DEFAULT_RES) -> DataFrame:
+    """(url, warc_ts, lang, lon, lat, cell, poly_id, zoom, tile_x, tile_y)."""
+    pts = with_cell(extract_points(pages), res)
+    joined = pip_join_broadcast(pts, polygons_pdf)
+    return tiles.assign_tiles(joined, zoom=zoom)
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned run with lineage/metrics
+# ---------------------------------------------------------------------------
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    p = _lineage_path(out_dir)
+    try:
+        rows = spark.read.json(p).where(F.col("status") == "done") \
+            .select("bucket").collect()
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_partitioned(spark: SparkSession, pages: DataFrame,
+                    polygons_pdf: pd.DataFrame, out_dir: str,
+                    n_buckets: int = 16, zoom: int = tiles.MAX_ZOOM) -> dict:
+    """Resumable flagship run: url-hash buckets + per-bucket lineage rows.
+
+    Each bucket writes to its own output partition directory and then
+    appends a lineage row; a re-run consults the lineage table and
+    skips finished buckets (checkpoint semantics per the north rule).
+    """
+    done = completed_buckets(spark, out_dir)
+    lineage_dir = _lineage_path(out_dir)
+    os.makedirs(lineage_dir, exist_ok=True)
+    stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
+             "rows_out": 0}
+    bucketed = pages.withColumn(
+        "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
+        result = flagship(part, polygons_pdf, zoom=zoom)
+        path = os.path.join(out_dir, f"bucket={b}")
+        result.write.mode("overwrite").parquet(path)
+        n_out = spark.read.parquet(path).count()
+        stats["rows_out"] += n_out
+        row = {"bucket": b, "status": "done", "rows_out": n_out,
+               "wall_sec": round(time.time() - t0, 3),
+               "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        with open(os.path.join(lineage_dir, f"bucket-{b}.json"), "w") as f:
+            f.write(json.dumps(row) + "\n")
+    return stats

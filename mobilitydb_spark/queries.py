@@ -1,0 +1,317 @@
+"""Driver-contract query registry: Spark impl + DuckDB oracle pairs.
+
+Every entry exercises an engine operator (SURVEY §2 / datagen ops)
+over the driver's parquet tables and carries an equivalent DuckDB
+SQL oracle.  Determinism rules used throughout so the driver's
+value-hash compare is exact:
+
+- money math in integer cents (float sums are order-dependent;
+  int64 sums are not)
+- shared SQL snippet builders (`cells.cell_sql`, `tiles.tile_sql`,
+  `_LON/_LAT`) — the *same text* runs in Spark SQL and DuckDB
+- element-wise double casts before dot products so both engines
+  multiply/accumulate in float64 in array order
+- timestamps compared as epoch seconds (BIGINT)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, tiles
+
+# --------------------------------------------------------------------------
+# deterministic derived geo-points over `documents` (shared Spark/DuckDB SQL)
+# --------------------------------------------------------------------------
+_LON = ("(-10.0 + CAST((doc_id * 2654435761) % 45000000 AS DOUBLE) "
+        "/ 1000000.0)")
+_LAT = ("(32.0 + CAST((doc_id * 40503 + 7919) % 40000000 AS DOUBLE) "
+        "/ 1000000.0)")
+
+# Europe-box grid rectangles (same constants as fixtures.polygons 'grid')
+_GRID_SIDE = 8
+_GRID_DX = 45.0 / _GRID_SIDE
+_GRID_DY = 40.0 / _GRID_SIDE
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# relational baseline (TPC-H-ish) — exercises agg + join plans
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary in exact integer-cent arithmetic."""
+    li = _load(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS sum_disc_c4,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
+               COUNT(*) AS count_order
+        FROM {li}
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """, li=li)
+
+
+_ORACLE_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS sum_disc_c4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT)
+               AS sum_charge_c6,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + top-k: revenue per customer (broadcast dims)."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+             .groupBy("c_custkey", "c_name")
+             .agg(F.sum(F.round(li.l_extendedprice * 100).cast("bigint")
+                        * (100 - F.round(li.l_discount * 100).cast("bigint")))
+                  .alias("revenue_c4"),
+                  F.countDistinct(orders.o_orderkey).alias("n_orders")))
+    return (rev.orderBy(F.desc("revenue_c4"), "c_custkey").limit(20)
+               .select("c_custkey", "c_name", "revenue_c4", "n_orders"))
+
+
+_ORACLE_TOP_CUST = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_c4,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_c4 DESC, c_custkey LIMIT 20
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time bucketing + per-bucket aggregation over the events table."""
+    ev = _load(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM {ev} GROUP BY 1, 2 ORDER BY 1, 2
+    """, ev=ev)
+
+
+_ORACLE_EVENTS_HOURLY = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# cell/tile encoding — the engine's spatial index math vs the oracle
+# --------------------------------------------------------------------------
+
+def q_geo_cells_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived doc points → grid cell (res 12) + XYZ tile (zoom 12).
+
+    The Spark side uses the engine's Column builders
+    (`cells.cell_col`, `tiles.tile_*_col`); the oracle recomputes via
+    the shared SQL snippets — checks the index math end-to-end.
+    """
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"))
+    enc = pts.select(
+        "doc_id",
+        cells.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"),
+        tiles.tile_x_col(F.col("lon"), 12).alias("tile_x"),
+        tiles.tile_y_col(F.col("lat"), 12).alias("tile_y"))
+    return (enc.groupBy("cell", "tile_x", "tile_y")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("doc_id").alias("min_doc"))
+               .orderBy("cell", "tile_x", "tile_y"))
+
+
+def _oracle_cells_tiles() -> str:
+    cell = cells.cell_sql(_LON, _LAT, 12)
+    tx, ty = tiles.tile_sql(_LON, _LAT, 12)
+    return f"""
+        SELECT {cell} AS cell, {tx} AS tile_x, {ty} AS tile_y,
+               COUNT(*) AS n, MIN(doc_id) AS min_doc
+        FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+def q_pip_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join via the real PIP kernel (PolygonIndex).
+
+    The polygons are the deterministic Europe-box grid rectangles from
+    ``fixtures.polygons_pd('grid', 64)``; the oracle reproduces the
+    join with closed-interval BETWEEN tests on the rectangle bounds —
+    an independent check of the ray-casting kernel + bucket index.
+    """
+    from . import fixtures, pipeline
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"))
+    polys = fixtures.polygons_pd("grid", _GRID_SIDE * _GRID_SIDE)
+    joined = pipeline.pip_join_broadcast(pts, polys, index_res=5)
+    return (joined.select("doc_id", "poly_id")
+                  .orderBy("doc_id", "poly_id"))
+
+
+def _oracle_pip_grid() -> str:
+    return f"""
+        WITH pts AS (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat
+                     FROM documents),
+        grid AS (SELECT 100000 + i AS poly_id,
+                        -10.0 + (i % {_GRID_SIDE}) * {_GRID_DX} AS x0,
+                        32.0 + (i // {_GRID_SIDE}) * {_GRID_DY} AS y0
+                 FROM (SELECT UNNEST(RANGE(0, {_GRID_SIDE * _GRID_SIDE})) AS i))
+        SELECT doc_id, poly_id
+        FROM pts JOIN grid
+          ON lon BETWEEN x0 AND x0 + {_GRID_DX}
+         AND lat BETWEEN y0 AND y0 + {_GRID_DY}
+        ORDER BY doc_id, poly_id
+    """
+
+
+# --------------------------------------------------------------------------
+# datagen / text-pipeline operators
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical representative (min doc_id) per text hash."""
+    docs = _load(spark, sf_dir, "documents")
+    return (docs.groupBy("text")
+                .agg(F.min("doc_id").alias("keep_doc"),
+                     F.count(F.lit(1)).alias("n_dups"))
+                .select("keep_doc", "n_dups")
+                .orderBy("keep_doc"))
+
+
+_ORACLE_DEDUP = """
+    SELECT MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
+    FROM documents GROUP BY text ORDER BY keep_doc
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-language quality stats (datagen text analysis)."""
+    docs = _load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+         .alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"))
+    return (tok.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("sum_tokens"),
+                    F.sum("n_distinct").alias("sum_distinct"),
+                    F.sum("n_chars").alias("sum_chars"))
+               .orderBy("lang"))
+
+
+_ORACLE_DOC_STATS = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+               AS sum_distinct,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_knn_cosine_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 cosine neighbours for query vectors (vec_id < 10).
+
+    Baseline ANN path: broadcast the query side, JVM-side float64 dot
+    product via zip_with/aggregate (no UDF), per-query top-k window.
+    Embeddings are ~unit-norm so the dot IS the cosine score.
+    """
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y:
+                   x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("qid") != F.col("cid"))
+              .select("qid", "cid", F.round(dot, 6).alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rank") <= 5)
+                  .select("qid", "cid", "score", "rank")
+                  .orderBy("qid", "rank"))
+
+
+_ORACLE_KNN = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+          FROM embeddings),
+    scored AS (
+        SELECT qid, cid, ROUND(list_dot_product(qe, ce), 6) AS score
+        FROM q CROSS JOIN c WHERE qid != cid),
+    ranked AS (
+        SELECT qid, cid, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid ASC) AS BIGINT) AS rank
+        FROM scored)
+    SELECT qid, cid, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    return {
+        "tpch_q1": (q_tpch_q1, _ORACLE_Q1),
+        "top_customers": (q_top_customers, _ORACLE_TOP_CUST),
+        "events_hourly": (q_events_hourly, _ORACLE_EVENTS_HOURLY),
+        "geo_cells_tiles": (q_geo_cells_tiles, _oracle_cells_tiles()),
+        "pip_grid_join": (q_pip_grid_join, _oracle_pip_grid()),
+        "dedup_exact": (q_dedup_exact, _ORACLE_DEDUP),
+        "doc_stats": (q_doc_stats, _ORACLE_DOC_STATS),
+        "knn_cosine_brute": (q_knn_cosine_brute, _ORACLE_KNN),
+    }

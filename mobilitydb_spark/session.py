@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and
+spark-submit entrypoints share one configuration story:
+
+- AQE on (runtime coalescing + skew-join splitting — the dynamic
+  complement to our explicit hot-cell salting)
+- Arrow execution for every pandas UDF (all kernels are Arrow-batched)
+- shuffle partitions sized for the local[32] sandbox; a real cluster
+  overrides via spark-submit --conf (documented in README)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "mobilitydb-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local mode: match core count; on a cluster this is overridden
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         .config("spark.ui.enabled", "false"))
+    return b.getOrCreate()

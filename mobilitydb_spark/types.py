@@ -1,0 +1,512 @@
+"""Temporal value model: periods + temporal values (tpoint/tfloat/…).
+
+Re-expression of MobilityDB's type system (SURVEY §1) for Spark:
+
+- ``Period`` — closed/open timestamp interval, never empty
+  (`include/timetypes.h:27-33`)
+- ``PeriodSet`` — sorted disjoint periods (`timetypes.h:43-48`)
+- ``Temporal`` — the 4-duration hierarchy Instant / InstantSet /
+  Sequence / SequenceSet (`include/temporal.h:42-47`); values are
+  numpy arrays shaped (n_instants, dim) with dim=1 for tfloat/tint
+  and dim=2 for tpoint, timestamps int64 microseconds UTC.
+
+Invariants preserved from the reference (`src/temporalseq.c`):
+- sequences normalized: redundant collinear (linear) / repeated
+  (stepwise) instants merged (`temporalseq.c:385`
+  ``temporalinstarr_normalize``)
+- sequence sets hold disjoint, sorted sequences (`:470`)
+- instantaneous sequences are ``[v@t]`` inclusive on both ends
+- value at t inside a linear segment = linear interpolation
+  (`temporalseq.c:3111-3160`)
+
+The literal grammar (``Point(1 1)@2000-01-01``, ``{…}``, ``[…)``,
+``SRID=…;`` / ``Interp=Stepwise;`` prefixes) follows
+`src/temporal_parser.c:412-598` and `point/src/tpoint_parser.c`; it
+exists for golden-file fixtures and tests — table data uses the
+struct encoding directly.
+
+Spark-side encoding (one struct column, see ``TPOINT_SPARK_SCHEMA``)
+uses a uniform sequence-list layout for all four durations; the
+``duration`` tag keeps reference-faithful output forms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+EPSILON = 1.0e-6  # include/temporal.h:30
+
+INSTANT, INSTANTSET, SEQUENCE, SEQUENCESET = 1, 2, 3, 4
+_DUR_NAMES = {INSTANT: "Instant", INSTANTSET: "InstantSet",
+              SEQUENCE: "Sequence", SEQUENCESET: "SequenceSet"}
+
+US = np.int64(1)  # timestamps are int64 microseconds since epoch (UTC)
+
+TPOINT_SPARK_SCHEMA = (
+    "struct<duration:tinyint,srid:int,linear:boolean,"
+    "seqs:array<struct<lower_inc:boolean,upper_inc:boolean,"
+    "insts:array<struct<t:timestamp,x:double,y:double>>>>>")
+
+TFLOAT_SPARK_SCHEMA = (
+    "struct<duration:tinyint,srid:int,linear:boolean,"
+    "seqs:array<struct<lower_inc:boolean,upper_inc:boolean,"
+    "insts:array<struct<t:timestamp,v:double>>>>>")
+
+
+# ---------------------------------------------------------------------------
+# timestamps
+# ---------------------------------------------------------------------------
+
+def parse_ts(s: str) -> np.int64:
+    """ISO timestamp → int64 µs UTC (harness pins UTC, test.sh:32)."""
+    s = s.strip()
+    m = re.match(r"^(.*?)([+-]\d{2})(:?\d{2})?$", s)
+    off_us = 0
+    if m and not re.match(r".*\d{4}-\d{2}$", m.group(1)):
+        base, hh, mm = m.group(1), m.group(2), m.group(3)
+        if len(base) > 10:  # has a time part → trailing ±HH is an offset
+            s = base
+            off_us = int(hh) * 3600_000_000
+            if mm:
+                off_us += int(np.sign(int(hh)) or 1) * int(mm.lstrip(":")) * 60_000_000
+    dt = np.datetime64(s.strip().replace(" ", "T"), "us")
+    return np.int64(dt.astype(np.int64) - off_us)
+
+
+def fmt_ts(us: int) -> str:
+    dt = np.datetime64(int(us), "us")
+    s = str(dt)
+    if s.endswith(".000000"):
+        s = s[:-7]
+    s = s.replace("T", " ")
+    if len(s) == 10:
+        s += " 00:00:00"
+    return s + "+00"
+
+
+# ---------------------------------------------------------------------------
+# Period / PeriodSet
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Period:
+    """timetypes.h:27-33 — {lower, upper, lower_inc, upper_inc}."""
+    lower: int
+    upper: int
+    lower_inc: bool = True
+    upper_inc: bool = True
+
+    def __post_init__(self):
+        if self.upper < self.lower:
+            raise ValueError("period upper < lower")
+        if self.upper == self.lower and not (self.lower_inc and self.upper_inc):
+            raise ValueError("instantaneous period must be inclusive")
+
+    def contains_ts(self, t: int) -> bool:
+        if t < self.lower or t > self.upper:
+            return False
+        if t == self.lower and not self.lower_inc:
+            return False
+        if t == self.upper and not self.upper_inc:
+            return False
+        return True
+
+    def overlaps(self, other: "Period") -> bool:
+        if self.upper < other.lower or other.upper < self.lower:
+            return False
+        if self.upper == other.lower:
+            return self.upper_inc and other.lower_inc
+        if other.upper == self.lower:
+            return other.upper_inc and self.lower_inc
+        return True
+
+    def intersection(self, other: "Period") -> "Period | None":
+        if not self.overlaps(other):
+            return None
+        if self.lower > other.lower:
+            lo, lo_inc = self.lower, self.lower_inc
+        elif self.lower < other.lower:
+            lo, lo_inc = other.lower, other.lower_inc
+        else:
+            lo, lo_inc = self.lower, self.lower_inc and other.lower_inc
+        if self.upper < other.upper:
+            hi, hi_inc = self.upper, self.upper_inc
+        elif self.upper > other.upper:
+            hi, hi_inc = other.upper, other.upper_inc
+        else:
+            hi, hi_inc = self.upper, self.upper_inc and other.upper_inc
+        return Period(lo, hi, lo_inc, hi_inc)
+
+    def __str__(self):
+        lb = "[" if self.lower_inc else "("
+        ub = "]" if self.upper_inc else ")"
+        return f"{lb}{fmt_ts(self.lower)}, {fmt_ts(self.upper)}{ub}"
+
+
+def normalize_periods(periods: list[Period]) -> list[Period]:
+    """Sort + merge overlapping/adjacent → canonical disjoint list
+    (PeriodSet invariant, `src/timeops.c` union kernels)."""
+    if not periods:
+        return []
+    ps = sorted(periods, key=lambda p: (p.lower, not p.lower_inc))
+    out = [ps[0]]
+    for p in ps[1:]:
+        last = out[-1]
+        touches = (p.lower < last.upper
+                   or (p.lower == last.upper and (p.lower_inc or last.upper_inc)))
+        if touches:
+            if (p.upper, p.upper_inc) > (last.upper, last.upper_inc):
+                out[-1] = Period(last.lower, max(last.upper, p.upper),
+                                 last.lower_inc,
+                                 p.upper_inc if p.upper >= last.upper
+                                 else last.upper_inc)
+        else:
+            out.append(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal sequences
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Seq:
+    """One (possibly instantaneous) sequence: times ascending, values
+    shaped (n, dim)."""
+    times: np.ndarray           # int64 µs, ascending, distinct
+    values: np.ndarray          # float64 (n, dim)
+    lower_inc: bool = True
+    upper_inc: bool = True
+
+    def __post_init__(self):
+        self.times = np.asarray(self.times, dtype=np.int64)
+        self.values = np.atleast_2d(np.asarray(self.values, dtype=np.float64))
+        if self.values.shape[0] != len(self.times):
+            self.values = self.values.T
+        n = len(self.times)
+        if n == 0:
+            raise ValueError("empty sequence")
+        if n > 1 and not (np.diff(self.times) > 0).all():
+            raise ValueError("timestamps must be strictly increasing")
+        if n == 1:
+            self.lower_inc = self.upper_inc = True
+
+    @property
+    def period(self) -> Period:
+        return Period(int(self.times[0]), int(self.times[-1]),
+                      self.lower_inc, self.upper_inc)
+
+    @property
+    def dim(self) -> int:
+        return self.values.shape[1]
+
+
+def _collinear(v0, v1, v2, t0, t1, t2) -> bool:
+    """Is v1 the linear interpolation of (v0, v2) at t1? (cf.
+    ``float_collinear``/``geompoint_collinear`` `temporalseq.c:268-340`)."""
+    if t2 == t0:
+        return False
+    ratio = (t1 - t0) / (t2 - t0)
+    interp = v0 + (v2 - v0) * ratio
+    return bool(np.all(np.abs(interp - v1) <= EPSILON))
+
+
+def normalize_instants(times: np.ndarray, values: np.ndarray,
+                       linear: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Drop redundant instants (`temporalseq.c:385`
+    ``temporalinstarr_normalize``): for linear interp, middle instants
+    collinear with neighbours; for stepwise, repeats of the previous
+    value (except the last instant, which always stays)."""
+    n = len(times)
+    if n <= 2:
+        return times, values
+    keep = np.ones(n, dtype=bool)
+    j = 0  # last kept index
+    for i in range(1, n - 1):
+        if linear:
+            if _collinear(values[j], values[i], values[i + 1],
+                          times[j], times[i], times[i + 1]):
+                keep[i] = False
+            else:
+                j = i
+        else:
+            if np.all(np.abs(values[i] - values[j]) <= EPSILON):
+                keep[i] = False
+            else:
+                j = i
+    return times[keep], values[keep]
+
+
+@dataclass
+class Temporal:
+    """A temporal value of any duration, uniform sequence-list layout."""
+    duration: int
+    seqs: list[Seq] = field(default_factory=list)
+    linear: bool = True
+    srid: int = 0
+
+    # -- constructors -------------------------------------------------
+    @staticmethod
+    def instant(t: int, value, srid: int = 0, linear: bool = True) -> "Temporal":
+        return Temporal(INSTANT, [Seq(np.array([t]), np.array([value]))],
+                        linear, srid)
+
+    @staticmethod
+    def instant_set(times, values, srid: int = 0, linear: bool = True) -> "Temporal":
+        times = np.asarray(times, dtype=np.int64)
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        if values.shape[0] != len(times):
+            values = values.T
+        order = np.argsort(times, kind="stable")
+        times, values = times[order], values[order]
+        if len(np.unique(times)) != len(times):
+            raise ValueError("duplicate timestamps in instant set")
+        seqs = [Seq(times[i:i + 1], values[i:i + 1]) for i in range(len(times))]
+        return Temporal(INSTANTSET, seqs, linear, srid)
+
+    @staticmethod
+    def sequence(times, values, lower_inc=True, upper_inc=True,
+                 srid: int = 0, linear: bool = True,
+                 normalize: bool = True) -> "Temporal":
+        times = np.asarray(times, dtype=np.int64)
+        values = np.atleast_2d(np.asarray(values, dtype=np.float64))
+        if values.shape[0] != len(times):
+            values = values.T
+        if normalize:
+            times, values = normalize_instants(times, values, linear)
+        return Temporal(SEQUENCE, [Seq(times, values, lower_inc, upper_inc)],
+                        linear, srid)
+
+    @staticmethod
+    def sequence_set(seqs: list[Seq], srid: int = 0, linear: bool = True,
+                     normalize: bool = True) -> "Temporal":
+        seqs = sorted(seqs, key=lambda s: (s.times[0], not s.lower_inc))
+        for a, b in zip(seqs, seqs[1:]):
+            if a.period.overlaps(b.period):
+                raise ValueError("overlapping sequences in sequence set")
+        if normalize:
+            seqs = [Seq(*normalize_instants(s.times, s.values, linear),
+                        s.lower_inc, s.upper_inc) for s in seqs]
+        return Temporal(SEQUENCESET, seqs, linear, srid)
+
+    # -- accessors (SURVEY §2.7; src/temporal.c:1264-2098) -------------
+    @property
+    def times(self) -> np.ndarray:
+        return np.concatenate([s.times for s in self.seqs])
+
+    @property
+    def values(self) -> np.ndarray:
+        return np.vstack([s.values for s in self.seqs])
+
+    @property
+    def dim(self) -> int:
+        return self.seqs[0].dim
+
+    def num_instants(self) -> int:
+        return sum(len(s.times) for s in self.seqs)
+
+    def num_sequences(self) -> int:
+        return len(self.seqs)
+
+    def start_value(self):
+        return self.seqs[0].values[0]
+
+    def end_value(self):
+        return self.seqs[-1].values[-1]
+
+    def min_value(self):
+        return self.values.min(axis=0)
+
+    def max_value(self):
+        return self.values.max(axis=0)
+
+    def start_timestamp(self) -> int:
+        return int(self.seqs[0].times[0])
+
+    def end_timestamp(self) -> int:
+        return int(self.seqs[-1].times[-1])
+
+    def period(self) -> Period:
+        return Period(self.start_timestamp(), self.end_timestamp(),
+                      self.seqs[0].lower_inc, self.seqs[-1].upper_inc)
+
+    def get_time(self) -> list[Period]:
+        """Time domain as a normalized period list (getTime,
+        `src/temporal.c:1502`)."""
+        return normalize_periods([s.period for s in self.seqs])
+
+    def timespan(self) -> int:
+        return self.end_timestamp() - self.start_timestamp()
+
+    def duration_us(self) -> int:
+        """Total defined duration (sum over sequences)."""
+        return int(sum(int(s.times[-1]) - int(s.times[0]) for s in self.seqs))
+
+    def shift(self, delta_us: int) -> "Temporal":
+        return Temporal(self.duration,
+                        [Seq(s.times + np.int64(delta_us), s.values.copy(),
+                             s.lower_inc, s.upper_inc) for s in self.seqs],
+                        self.linear, self.srid)
+
+    # -- interpolation (temporalseq.c:3111-3160) -----------------------
+    def value_at(self, t: int):
+        """Exact value at timestamp t, or None outside the domain."""
+        for s in self.seqs:
+            if not s.period.contains_ts(t):
+                continue
+            i = int(np.searchsorted(s.times, t, side="right")) - 1
+            if i >= 0 and s.times[i] == t:
+                return s.values[i].copy()
+            if not self.linear:
+                return s.values[i].copy()
+            t0, t1 = s.times[i], s.times[i + 1]
+            ratio = (t - t0) / (t1 - t0)
+            return s.values[i] + (s.values[i + 1] - s.values[i]) * ratio
+        return None
+
+    # -- output --------------------------------------------------------
+    def _fmt_value(self, v: np.ndarray) -> str:
+        def num(x):
+            if x == int(x):
+                return str(int(x))
+            return repr(float(x))
+        if self.dim == 2:
+            return f"POINT({num(v[0])} {num(v[1])})"
+        return num(v[0])
+
+    def __str__(self):
+        def inst_str(s: Seq, i: int) -> str:
+            return f"{self._fmt_value(s.values[i])}@{fmt_ts(s.times[i])}"
+
+        def seq_str(s: Seq) -> str:
+            body = ", ".join(inst_str(s, i) for i in range(len(s.times)))
+            lb = "[" if s.lower_inc else "("
+            ub = "]" if s.upper_inc else ")"
+            return f"{lb}{body}{ub}"
+
+        prefix = ""
+        if self.srid:
+            prefix += f"SRID={self.srid};"
+        if not self.linear and self.duration in (SEQUENCE, SEQUENCESET):
+            prefix += "Interp=Stepwise;"
+        if self.duration == INSTANT:
+            return prefix + inst_str(self.seqs[0], 0)
+        if self.duration == INSTANTSET:
+            return prefix + "{" + ", ".join(
+                inst_str(s, 0) for s in self.seqs) + "}"
+        if self.duration == SEQUENCE:
+            return prefix + seq_str(self.seqs[0])
+        return prefix + "{" + ", ".join(seq_str(s) for s in self.seqs) + "}"
+
+    def duration_name(self) -> str:
+        return _DUR_NAMES[self.duration]
+
+
+# ---------------------------------------------------------------------------
+# literal parser (fixture/golden-file use; temporal_parser.c:412-598)
+# ---------------------------------------------------------------------------
+
+_POINT_RE = re.compile(r"^\s*point\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$",
+                       re.IGNORECASE)
+
+
+def _parse_inst(tok: str, want_point: bool):
+    val, _, ts = tok.rpartition("@")
+    if not val:
+        raise ValueError(f"bad instant literal {tok!r}")
+    t = parse_ts(ts)
+    m = _POINT_RE.match(val)
+    if m:
+        return t, np.array([float(m.group(1)), float(m.group(2))])
+    if want_point:
+        raise ValueError(f"expected point value in {tok!r}")
+    v = {"true": 1.0, "t": 1.0, "false": 0.0, "f": 0.0}.get(
+        val.strip().lower())
+    if v is None:
+        v = float(val)
+    return t, np.array([v])
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas not inside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [t.strip() for t in out if t.strip()]
+
+
+def parse_temporal(text: str, point: bool | None = None) -> Temporal:
+    """Parse a temporal literal (tpoint or tfloat/tbool grammar)."""
+    s = text.strip()
+    srid = 0
+    linear = True
+    changed = True
+    while changed:
+        changed = False
+        m = re.match(r"^SRID\s*=\s*(\d+)\s*;\s*", s, re.IGNORECASE)
+        if m:
+            srid = int(m.group(1))
+            s = s[m.end():]
+            changed = True
+        m = re.match(r"^Interp\s*=\s*Stepwise\s*;\s*", s, re.IGNORECASE)
+        if m:
+            linear = False
+            s = s[m.end():]
+            changed = True
+    want_point = bool(point) or "point" in s.lower()
+
+    def parse_seq(body: str) -> Seq:
+        lower_inc = body[0] == "["
+        upper_inc = body[-1] == "]"
+        toks = _split_top(body[1:-1])
+        pairs = [_parse_inst(t, want_point) for t in toks]
+        times = np.array([p[0] for p in pairs], dtype=np.int64)
+        vals = np.vstack([p[1] for p in pairs])
+        times, vals = normalize_instants(times, vals, linear)
+        return Seq(times, vals, lower_inc, upper_inc)
+
+    if s.startswith("{"):
+        inner = s[1:-1].strip()
+        if inner.startswith("[") or inner.startswith("("):
+            # sequence set: split on "," between ]/) and [/(
+            parts = re.split(r"(?<=[\])])\s*,\s*(?=[\[(])", inner)
+            seqs = [parse_seq(p.strip()) for p in parts]
+            return Temporal.sequence_set(seqs, srid, linear, normalize=False)
+        toks = _split_top(inner)
+        pairs = [_parse_inst(t, want_point) for t in toks]
+        times = np.array([p[0] for p in pairs], dtype=np.int64)
+        vals = np.vstack([p[1] for p in pairs])
+        return Temporal.instant_set(times, vals, srid, linear)
+    if s.startswith("[") or s.startswith("("):
+        seq = parse_seq(s)
+        return Temporal(SEQUENCE, [seq], linear, srid)
+    t, v = _parse_inst(s, want_point)
+    return Temporal.instant(int(t), v, srid, linear)
+
+
+def parse_period(text: str) -> Period:
+    s = text.strip()
+    lower_inc = s[0] == "["
+    upper_inc = s[-1] == "]"
+    lo, hi = [p.strip() for p in s[1:-1].split(",")]
+    return Period(int(parse_ts(lo)), int(parse_ts(hi)), lower_inc, upper_inc)
+
+
+def parse_periodset(text: str) -> list[Period]:
+    s = text.strip()
+    assert s[0] == "{" and s[-1] == "}"
+    parts = re.split(r"(?<=[\])])\s*,\s*(?=[\[(])", s[1:-1].strip())
+    return normalize_periods([parse_period(p) for p in parts])

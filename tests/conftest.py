@@ -1,0 +1,11 @@
+import pytest
+
+from mobilitydb_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("mobilitydb-spark-tests", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
