@@ -1,0 +1,474 @@
+"""Spatial functions on temporal points — SURVEY §2.8/§2.9.
+
+Re-implements `point/src/tpoint_spatialfuncs.c` semantics on the
+numpy value model:
+
+- ``trajectory`` (`:513-885`), ``length``/``cumulative_length``
+  (`:887-1070`), ``speed`` (`:1073-1181`, stepwise dist/second),
+  ``azimuth`` (`:1520-1595`, stepwise atan2(dx, dy) radians),
+  ``twcentroid`` (`:1184-1445`, time-weighted trapezoid integral)
+- ``at_geometry``/``minus_geometry`` (`:1597-2100`): exact
+  entry/exit timestamps of a linear tpoint against a polygon —
+  segment×edge crossing parameters + midpoint PIP classification
+- ``nearest_approach_instant``/``distance``/``shortest_line``
+  (`:2107-2760`): per-edge closed-form minimizers
+- ``tintersects``/``tdwithin`` (`point/src/tpoint_tempspatialrels.c`,
+  quadratic solver at `:952-1098`) → stepwise tbool
+
+Everything is float64 numpy, deterministic, no GEOS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geo
+from .lifting import synchronize, tdistance, turn_distance
+from .restrict import at_periodset, complement_periods
+from .types import (INSTANT, INSTANTSET, SEQUENCE, SEQUENCESET, EPSILON,
+                    Period, Seq, Temporal, normalize_periods)
+
+
+# ---------------------------------------------------------------------------
+# trajectory + measures
+# ---------------------------------------------------------------------------
+
+def trajectory(tv: Temporal) -> geo.Geometry:
+    """Union of positions: Point / MultiPoint / LineString pieces
+    (`tpoint_spatialfuncs.c:513-885`).  Returns a Geometry whose kind
+    is Point (single), LineString (one linear seq) or MultiPoint
+    (discrete / stepwise)."""
+    if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
+        pts = np.unique(tv.values, axis=0)
+        if len(pts) == 1:
+            return geo.Geometry("Point", [pts])
+        return geo.Geometry("MultiPoint", [pts[i:i + 1] for i in range(len(pts))])
+    lines = []
+    for s in tv.seqs:
+        coords = s.values
+        keep = np.ones(len(coords), dtype=bool)
+        keep[1:] = (np.abs(np.diff(coords, axis=0)) > 0).any(axis=1)
+        coords = coords[keep]
+        lines.append(coords)
+    if len(lines) == 1:
+        if len(lines[0]) == 1:
+            return geo.Geometry("Point", [lines[0]])
+        return geo.Geometry("LineString", [lines[0]])
+    return geo.Geometry("MultiLineString", lines)
+
+
+def length(tv: Temporal) -> float:
+    """Planar length traversed; 0 for discrete/stepwise
+    (`tpoint_spatialfuncs.c:887-937`)."""
+    if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
+        return 0.0
+    total = 0.0
+    for s in tv.seqs:
+        d = np.diff(s.values, axis=0)
+        total += float(np.sqrt((d * d).sum(axis=1)).sum())
+    return total
+
+
+def cumulative_length(tv: Temporal) -> Temporal:
+    """tfloat of running length (`:942-1070`); linear interp."""
+    seqs = []
+    run = 0.0
+    for s in tv.seqs:
+        if len(s.times) == 1 or not tv.linear:
+            cum = np.full(len(s.times), run)
+        else:
+            d = np.sqrt((np.diff(s.values, axis=0) ** 2).sum(axis=1))
+            cum = run + np.concatenate([[0.0], np.cumsum(d)])
+            run = float(cum[-1])
+        seqs.append(Seq(s.times.copy(), cum[:, None], s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration, seqs, True, tv.srid)
+
+
+def speed(tv: Temporal) -> Temporal | None:
+    """Stepwise tfloat of per-segment speed in units/second
+    (`:1073-1181`); undefined for discrete durations."""
+    if tv.duration in (INSTANT, INSTANTSET):
+        return None
+    seqs = []
+    for s in tv.seqs:
+        if len(s.times) == 1:
+            seqs.append(Seq(s.times.copy(), np.zeros((1, 1)),
+                            s.lower_inc, s.upper_inc))
+            continue
+        d = np.sqrt((np.diff(s.values, axis=0) ** 2).sum(axis=1))
+        dt = np.diff(s.times) / 1e6
+        sp = d / dt
+        vals = np.concatenate([sp, sp[-1:]])[:, None]
+        from .types import normalize_instants
+        ts2, v2 = normalize_instants(s.times, vals, linear=False)
+        # keep the final instant value equal to the last segment speed
+        seqs.append(Seq(ts2, v2, s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration if len(seqs) > 1 else tv.duration,
+                    seqs, False, tv.srid)
+
+
+def azimuth(tv: Temporal) -> Temporal | None:
+    """Stepwise tfloat of segment bearings, radians clockwise from
+    north = atan2(dx, dy) (`:1520-1595`); zero-length segments are
+    undefined → result splits into a SequenceSet."""
+    if tv.duration in (INSTANT, INSTANTSET):
+        return None
+    out = []
+    for s in tv.seqs:
+        n = len(s.times)
+        if n == 1:
+            continue
+        d = np.diff(s.values, axis=0)
+        az = np.arctan2(d[:, 0], d[:, 1])
+        az = np.where(az < 0, az + 2 * np.pi, az)
+        moving = (np.abs(d) > 0).any(axis=1)
+        # contiguous runs of moving segments become one step sequence
+        i = 0
+        while i < n - 1:
+            if not moving[i]:
+                i += 1
+                continue
+            j = i
+            while j < n - 1 and moving[j]:
+                j += 1
+            ts = s.times[i:j + 1]
+            vals = np.concatenate([az[i:j], az[j - 1:j]])[:, None]
+            lo_inc = s.lower_inc if i == 0 else True
+            hi_inc = s.upper_inc if j == n - 1 else False
+            out.append(Seq(ts, vals, lo_inc, hi_inc))
+            i = j
+    if not out:
+        return None
+    return Temporal(SEQUENCESET, out, False, tv.srid)
+
+
+def twcentroid(tv: Temporal) -> np.ndarray:
+    """Time-weighted centroid point (`:1184-1445`): trapezoid integral
+    of each coordinate / total duration; plain average for discrete."""
+    if tv.duration in (INSTANT, INSTANTSET) or tv.duration_us() == 0:
+        return tv.values.mean(axis=0)
+    num = np.zeros(tv.dim)
+    den = 0.0
+    for s in tv.seqs:
+        if len(s.times) == 1:
+            continue
+        dt = (np.diff(s.times) / 1e6).astype(np.float64)
+        if tv.linear:
+            mid = (s.values[:-1] + s.values[1:]) / 2.0
+        else:
+            mid = s.values[:-1]
+        num += (mid * dt[:, None]).sum(axis=0)
+        den += float(dt.sum())
+    return num / den
+
+
+def twavg(tv: Temporal) -> float:
+    """Time-weighted average of a tnumber (`src/temporal.c:3236-3256`)."""
+    assert tv.dim == 1
+    return float(twcentroid(tv)[0])
+
+
+# ---------------------------------------------------------------------------
+# at/minus geometry (the PIP refine kernel)
+# ---------------------------------------------------------------------------
+
+def _segment_polygon_entries(p0: np.ndarray, p1: np.ndarray,
+                             g: geo.Geometry) -> list[float]:
+    """Crossing parameters r ∈ (0,1) where segment p0→p1 crosses any
+    polygon boundary edge (parametric line-line intersection)."""
+    rs: list[float] = []
+    d = p1 - p0
+    for ring, _ in g.rings():
+        if len(ring) < 2:
+            continue
+        e0 = ring[:-1]
+        e1 = ring[1:]
+        ed = e1 - e0
+        denom = d[0] * ed[:, 1] - d[1] * ed[:, 0]
+        ok = denom != 0.0
+        w = e0 - p0
+        r = np.where(ok, (w[:, 0] * ed[:, 1] - w[:, 1] * ed[:, 0])
+                     / np.where(ok, denom, 1.0), -1.0)
+        srel = np.where(ok, (w[:, 0] * d[1] - w[:, 1] * d[0])
+                        / np.where(ok, denom, 1.0), -1.0)
+        hit = ok & (r > 0.0) & (r < 1.0) & (srel >= 0.0) & (srel <= 1.0)
+        rs.extend(r[hit].tolist())
+    return sorted(set(rs))
+
+
+def at_geometry_periods(tv: Temporal, g: geo.Geometry) -> list[Period]:
+    """Time periods during which the tpoint is inside/on the geometry
+    (core of ``tpointseq_at_geometry1``,
+    `tpoint_spatialfuncs.c:1627-1740`)."""
+    if g.is_empty:
+        return []
+    periods: list[Period] = []
+    discrete = tv.duration in (INSTANT, INSTANTSET) or not tv.linear
+    for s in tv.seqs:
+        n = len(s.times)
+        if discrete or n == 1:
+            inside = geo.points_in_polygon(s.values[:, 0], s.values[:, 1], g)
+            if not tv.linear and n > 1:
+                # stepwise: constant position on [t_i, t_{i+1})
+                for i in range(n - 1):
+                    if inside[i]:
+                        periods.append(Period(int(s.times[i]),
+                                              int(s.times[i + 1]), True, False))
+                if inside[-1] and s.upper_inc:
+                    t = int(s.times[-1])
+                    periods.append(Period(t, t))
+            else:
+                for i in np.nonzero(inside)[0]:
+                    t = int(s.times[i])
+                    periods.append(Period(t, t))
+            continue
+        for i in range(n - 1):
+            p0, p1 = s.values[i], s.values[i + 1]
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            rs = [0.0] + _segment_polygon_entries(p0, p1, g) + [1.0]
+            for a, b in zip(rs[:-1], rs[1:]):
+                mid = p0 + (p1 - p0) * ((a + b) / 2.0)
+                if geo.points_in_polygon(mid[0:1], mid[1:2], g)[0]:
+                    ta = int(round(t0 + (t1 - t0) * a))
+                    tb = int(round(t0 + (t1 - t0) * b))
+                    if ta < tb or (ta == tb):
+                        periods.append(Period(ta, tb))
+    return normalize_periods(periods)
+
+
+def at_geometry(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    ps = at_geometry_periods(tv, g)
+    if not ps:
+        return None
+    return at_periodset(tv, ps, force_set=True)
+
+
+def minus_geometry(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    ps = at_geometry_periods(tv, g)
+    if not ps:
+        return tv
+    return at_periodset(tv, complement_periods(ps), force_set=True)
+
+
+def tintersects(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    """tintersects(tpoint, geometry) → stepwise tbool
+    (`tpoint_tempspatialrels.c:1456+`): true on at_geometry periods,
+    false elsewhere in the domain."""
+    if g.is_empty:
+        return None
+    true_ps = at_geometry_periods(tv, g)
+    return _tbool_from_periods(tv, true_ps)
+
+
+def _tbool_from_periods(tv: Temporal, true_ps: list[Period]) -> Temporal:
+    dom = tv.get_time()
+    pieces: list[tuple[Period, float]] = []
+    for p in true_ps:
+        pieces.append((p, 1.0))
+    # false = domain minus true periods
+    comp = complement_periods(true_ps) if true_ps else \
+        [Period(-2**62, 2**62)]
+    for c in comp:
+        for d in dom:
+            inter = c.intersection(d)
+            if inter is not None:
+                pieces.append((inter, 0.0))
+    pieces.sort(key=lambda pv: (pv[0].lower, not pv[0].lower_inc))
+    seqs = []
+    for p, v in pieces:
+        if p.lower == p.upper:
+            seqs.append(Seq(np.array([p.lower], dtype=np.int64),
+                            np.array([[v]])))
+        else:
+            seqs.append(Seq(np.array([p.lower, p.upper], dtype=np.int64),
+                            np.array([[v], [v]]), p.lower_inc, p.upper_inc))
+    dur = SEQUENCESET if tv.duration in (SEQUENCE, SEQUENCESET) \
+        else (INSTANT if tv.duration == INSTANT else INSTANTSET)
+    return Temporal(dur, seqs, False, tv.srid, True)
+
+
+def tdwithin(a: Temporal, b: Temporal | np.ndarray, dist: float) -> Temporal | None:
+    """tdwithin(tpoint, tpoint|point, d) → stepwise tbool: solves
+    ‖Δp(t)‖ = d per synchronized segment (quadratic, 0/1/2 roots —
+    `tpoint_tempspatialrels.c:952-1098`)."""
+    from .lifting import const_temporal
+    if not isinstance(b, Temporal):
+        b = const_temporal(np.asarray(b, dtype=np.float64), a)
+    pieces = synchronize(a, b)
+    if not pieces:
+        return None
+    true_ps: list[Period] = []
+    dom: list[Period] = []
+    for ts, va, vb, lo_inc, hi_inc in pieces:
+        if len(ts) == 1:
+            dom.append(Period(int(ts[0]), int(ts[0])))
+            if float(np.sqrt(((va[0] - vb[0]) ** 2).sum())) <= dist + EPSILON:
+                true_ps.append(Period(int(ts[0]), int(ts[0])))
+            continue
+        dom.append(Period(int(ts[0]), int(ts[-1]), lo_inc, hi_inc))
+        for i in range(len(ts) - 1):
+            t0, t1 = int(ts[i]), int(ts[i + 1])
+            d0 = vb[i] - va[i]
+            d1 = vb[i + 1] - va[i + 1]
+            dd = d1 - d0
+            # |d0 + r·dd|² ≤ dist²  →  a r² + b r + c ≤ 0
+            qa = float(np.dot(dd, dd))
+            qb = 2.0 * float(np.dot(d0, dd))
+            qc = float(np.dot(d0, d0)) - dist * dist
+            if qa == 0.0:
+                within = [(0.0, 1.0)] if qc <= 0.0 else []
+            else:
+                disc = qb * qb - 4 * qa * qc
+                if disc < 0:
+                    within = []
+                else:
+                    r1 = (-qb - np.sqrt(disc)) / (2 * qa)
+                    r2 = (-qb + np.sqrt(disc)) / (2 * qa)
+                    lo, hi = max(0.0, min(r1, r2)), min(1.0, max(r1, r2))
+                    within = [(lo, hi)] if lo <= hi else []
+            for lo, hi in within:
+                ta = int(round(t0 + (t1 - t0) * lo))
+                tb = int(round(t0 + (t1 - t0) * hi))
+                true_ps.append(Period(ta, tb))
+    shape = Temporal(a.duration, [Seq(ts, va, li, hi) for ts, va, _, li, hi
+                                  in pieces], a.linear, a.srid)
+    out = _tbool_from_periods(shape, normalize_periods(true_ps))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# nearest approach
+# ---------------------------------------------------------------------------
+
+def _seg_geom_min(p0, p1, g: geo.Geometry) -> tuple[float, float]:
+    """(min distance, r*) of moving point p(r)=p0+r·(p1-p0) to geometry."""
+    best_d, best_r = np.inf, 0.0
+    if g.kind in ("Point", "MultiPoint"):
+        pts = np.vstack(g.parts) if g.parts else np.empty((0, 2))
+        for q in pts:
+            d, r = _seg_point_min(p0, p1, q)
+            if d < best_d:
+                best_d, best_r = d, r
+        return best_d, best_r
+    # polygon/linestring: per-edge closed form + inside test
+    for ring, _ in g.rings() or [(r, False) for r in g.parts]:
+        if len(ring) < 2:
+            continue
+        for k in range(len(ring) - 1):
+            d, r = _seg_seg_min(p0, p1, ring[k], ring[k + 1])
+            if d < best_d:
+                best_d, best_r = d, r
+    if g.kind in ("Polygon", "MultiPolygon"):
+        for r in (0.0, 0.5, 1.0) + tuple(_segment_polygon_entries(p0, p1, g)):
+            pt = p0 + (p1 - p0) * r
+            if geo.points_in_polygon(pt[0:1], pt[1:2], g)[0]:
+                return 0.0, float(r)
+    return best_d, best_r
+
+
+def _seg_point_min(p0, p1, q) -> tuple[float, float]:
+    d = p1 - p0
+    L2 = float(np.dot(d, d))
+    r = 0.0 if L2 == 0 else float(np.clip(np.dot(q - p0, d) / L2, 0.0, 1.0))
+    pt = p0 + d * r
+    return float(np.sqrt(((pt - q) ** 2).sum())), r
+
+
+def _seg_seg_min(p0, p1, q0, q1) -> tuple[float, float]:
+    """Min distance between segments; returns (dist, r on p)."""
+    # candidates: endpoints projected on the other segment
+    cands = []
+    d, r = _seg_point_min(p0, p1, q0)
+    cands.append((d, r))
+    d, r = _seg_point_min(p0, p1, q1)
+    cands.append((d, r))
+    # project p endpoints onto q
+    dq = q1 - q0
+    L2 = float(np.dot(dq, dq))
+    for pp, rp in ((p0, 0.0), (p1, 1.0)):
+        s = 0.0 if L2 == 0 else float(np.clip(np.dot(pp - q0, dq) / L2, 0.0, 1.0))
+        qq = q0 + dq * s
+        cands.append((float(np.sqrt(((pp - qq) ** 2).sum())), rp))
+    # crossing → 0
+    if geo.segments_cross(np.array([p0[0]]), np.array([p0[1]]),
+                          np.array([p1[0]]), np.array([p1[1]]),
+                          np.array([q0[0]]), np.array([q0[1]]),
+                          np.array([q1[0]]), np.array([q1[1]]))[0]:
+        # crossing parameter on p
+        dp = p1 - p0
+        denom = dp[0] * dq[1] - dp[1] * dq[0]
+        if denom != 0.0:
+            w = q0 - p0
+            r = (w[0] * dq[1] - w[1] * dq[0]) / denom
+            return 0.0, float(np.clip(r, 0.0, 1.0))
+    return min(cands, key=lambda c: c[0])
+
+
+def nearest_approach_instant(tv: Temporal, other) -> tuple[int, float]:
+    """(timestamp, distance) of closest approach — NAI + NAD
+    (`tpoint_spatialfuncs.c:2107-2506`).  ``other`` is a Geometry or a
+    Temporal point.  Ties resolve to the earliest instant."""
+    if isinstance(other, Temporal):
+        d = tdistance(tv, other)
+        if d is None:
+            raise ValueError("temporal values do not overlap in time")
+        best_t, best_d = None, np.inf
+        for s in d.seqs:
+            i = int(np.argmin(s.values[:, 0]))
+            if s.values[i, 0] < best_d - 0.0:
+                best_d = float(s.values[i, 0])
+                best_t = int(s.times[i])
+        return best_t, best_d
+    g = other
+    best_t, best_d = None, np.inf
+    for s in tv.seqs:
+        n = len(s.times)
+        if n == 1 or not tv.linear or tv.duration in (INSTANT, INSTANTSET):
+            for i in range(n):
+                dd = _point_geom_dist(s.values[i], g)
+                if dd < best_d:
+                    best_d, best_t = dd, int(s.times[i])
+            continue
+        for i in range(n - 1):
+            dd, r = _seg_geom_min(s.values[i], s.values[i + 1], g)
+            if dd < best_d:
+                best_d = dd
+                best_t = int(round(int(s.times[i])
+                                   + (int(s.times[i + 1]) - int(s.times[i])) * r))
+    return best_t, best_d
+
+
+def _point_geom_dist(p, g: geo.Geometry) -> float:
+    if g.kind in ("Point", "MultiPoint"):
+        pts = np.vstack(g.parts) if g.parts else np.empty((0, 2))
+        return float(np.sqrt(((pts - p) ** 2).sum(axis=1)).min())
+    return float(geo.point_polygon_dist(p[0:1], p[1:2], g)[0])
+
+
+def nearest_approach_distance(tv: Temporal, other) -> float:
+    return nearest_approach_instant(tv, other)[1]
+
+
+def shortest_line(tv: Temporal, other) -> np.ndarray:
+    """Segment realizing NAD (`:2515-2760`): (2,2) coords array."""
+    t, _d = nearest_approach_instant(tv, other)
+    p = tv.value_at(t)
+    if isinstance(other, Temporal):
+        q = other.value_at(t)
+    else:
+        g = other
+        if g.kind in ("Point", "MultiPoint"):
+            pts = np.vstack(g.parts)
+            q = pts[np.argmin(((pts - p) ** 2).sum(axis=1))]
+        else:
+            best = (np.inf, None)
+            for ring, _ in g.rings():
+                d, r = geo.point_segment_dist(p[0], p[1],
+                                              ring[:-1, 0], ring[:-1, 1],
+                                              ring[1:, 0], ring[1:, 1])
+                k = int(np.argmin(d))
+                if d[k] < best[0]:
+                    qq = ring[k] + (ring[k + 1] - ring[k]) * r[k]
+                    best = (float(d[k]), qq)
+            q = best[1]
+    return np.vstack([p, q])

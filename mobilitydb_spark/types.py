@@ -242,11 +242,17 @@ def normalize_instants(times: np.ndarray, values: np.ndarray,
 
 @dataclass
 class Temporal:
-    """A temporal value of any duration, uniform sequence-list layout."""
+    """A temporal value of any duration, uniform sequence-list layout.
+
+    ``step_default`` marks base types whose interpolation default is
+    stepwise (tint/tbool/ttext) — they never print the
+    ``Interp=Stepwise;`` prefix, unlike stepwise tfloat/tpoint.
+    """
     duration: int
     seqs: list[Seq] = field(default_factory=list)
     linear: bool = True
     srid: int = 0
+    step_default: bool = False
 
     # -- constructors -------------------------------------------------
     @staticmethod
@@ -390,7 +396,8 @@ class Temporal:
         prefix = ""
         if self.srid:
             prefix += f"SRID={self.srid};"
-        if not self.linear and self.duration in (SEQUENCE, SEQUENCESET):
+        if not self.linear and not self.step_default \
+                and self.duration in (SEQUENCE, SEQUENCESET):
             prefix += "Interp=Stepwise;"
         if self.duration == INSTANT:
             return prefix + inst_str(self.seqs[0], 0)
