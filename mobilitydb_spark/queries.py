@@ -315,3 +315,179 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_stats": (q_doc_stats, _ORACLE_DOC_STATS),
         "knn_cosine_brute": (q_knn_cosine_brute, _ORACLE_KNN),
     }
+
+
+# --------------------------------------------------------------------------
+# temporal operators over `events` trajectories (kernel vs SQL oracle)
+# --------------------------------------------------------------------------
+# deterministic long-form points: one instant per (user, ts), coords
+# derived from event_id in exact integer arithmetic (shared SQL text)
+_EV_PTS = """
+    SELECT user_id AS key, ts AS t,
+           CAST(min_by(event_id % 1000, event_id) AS DOUBLE) / 10.0 AS x,
+           CAST(min_by((event_id * 7919) % 1000, event_id) AS DOUBLE) / 10.0
+               AS y,
+           CAST(min_by(CAST(ROUND(value * 100) AS BIGINT), event_id)
+                AS DOUBLE) / 100.0 AS v
+    FROM events GROUP BY user_id, ts
+"""
+_T0 = "2024-01-15 00:00:00"
+
+
+def _ev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return spark.sql(_EV_PTS.replace("FROM events", "FROM {ev}"), ev=ev)
+
+
+def q_traj_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length / max speed / centroid / duration via
+    the spatial kernels (length `tpoint_spatialfuncs.c:887`, speed
+    `:1073`, twcentroid `:1184`) — oracle recomputes with window SQL."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    m = ST.trajectory_metrics(pts)
+    return m.select(
+        "key",
+        F.round("length", 4).alias("length_r"),
+        F.round("speed_max", 6).alias("speed_max_r"),
+        F.round("centroid_x", 4).alias("cx_r"),
+        F.round("centroid_y", 4).alias("cy_r"),
+        F.round("duration_sec", 3).alias("dur_sec"),
+        "n_points").orderBy("key")
+
+
+_ORACLE_TRAJ_METRICS = f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, t, x, y,
+               lead(t) OVER w AS nt, lead(x) OVER w AS nx,
+               lead(y) OVER w AS ny
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)
+    ),
+    segm AS (
+        SELECT key, t, nt, x, y, nx, ny,
+               SQRT((nx - x) * (nx - x) + (ny - y) * (ny - y)) AS seglen,
+               (epoch_us(nt) - epoch_us(t)) / 1000000.0 AS dt
+        FROM seg WHERE nt IS NOT NULL
+    )
+    SELECT p.key,
+           ROUND(COALESCE(s.length, 0.0), 4) AS length_r,
+           ROUND(COALESCE(s.speed_max, 0.0), 6) AS speed_max_r,
+           ROUND(COALESCE(s.cx, p.x1), 4) AS cx_r,
+           ROUND(COALESCE(s.cy, p.y1), 4) AS cy_r,
+           ROUND(p.dur, 3) AS dur_sec,
+           p.n AS n_points
+    FROM (SELECT key, COUNT(*) AS n, MIN(x) AS x1, MIN(y) AS y1,
+                 (epoch_us(MAX(t)) - epoch_us(MIN(t))) / 1000000.0 AS dur
+          FROM pts GROUP BY key) p
+    LEFT JOIN (
+        SELECT key, SUM(seglen) AS length,
+               MAX(seglen / dt) AS speed_max,
+               SUM((x + nx) / 2.0 * dt) / SUM(dt) AS cx,
+               SUM((y + ny) / 2.0 * dt) / SUM(dt) AS cy
+        FROM segm GROUP BY key) s USING (key)
+    ORDER BY key
+"""
+
+
+def q_value_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear interpolation at one timestamp per user
+    (valueAtTimestamp, `src/temporal.c:2910`) vs a window-SQL lerp."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    got = ST.value_at_timestamp(pts, _T0)
+    return got.select("key", F.round("x_at", 6).alias("x_at"),
+                      F.round("y_at", 6).alias("y_at")).orderBy("key")
+
+
+_ORACLE_VALUE_AT = f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, t, x, y,
+               lead(t) OVER w AS nt, lead(x) OVER w AS nx,
+               lead(y) OVER w AS ny
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)
+    )
+    SELECT key,
+           ROUND(x + (nx - x) * (CAST(epoch_us(TIMESTAMP '{_T0}')
+                 - epoch_us(t) AS DOUBLE)
+                 / (epoch_us(nt) - epoch_us(t))), 6) AS x_at,
+           ROUND(y + (ny - y) * (CAST(epoch_us(TIMESTAMP '{_T0}')
+                 - epoch_us(t) AS DOUBLE)
+                 / (epoch_us(nt) - epoch_us(t))), 6) AS y_at
+    FROM seg
+    WHERE t <= TIMESTAMP '{_T0}' AND nt > TIMESTAMP '{_T0}'
+    UNION ALL
+    SELECT key, ROUND(x, 6), ROUND(y, 6) FROM seg
+    WHERE t = TIMESTAMP '{_T0}' AND nt IS NULL
+    ORDER BY key
+"""
+
+
+def q_twavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the tfloat `value` per user (twAvg,
+    `src/temporal.c:3256`) — trapezoid integral kernel vs window SQL."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    got = ST.tnumber_twavg(pts, v="v")
+    return got.select("key", F.round("twavg", 4).alias("twavg_r")) \
+              .orderBy("key")
+
+
+_ORACLE_TWAVG = f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, v, lead(v) OVER w AS nv,
+               (epoch_us(lead(t) OVER w) - epoch_us(t)) / 1000000.0 AS dt
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)
+    )
+    SELECT key,
+           ROUND(CASE WHEN SUM(dt) IS NULL OR SUM(dt) = 0
+                      THEN MIN(v)
+                      ELSE SUM((v + nv) / 2.0 * dt) / SUM(dt) END, 4)
+               AS twavg_r
+    FROM seg
+    WHERE dt IS NOT NULL OR key IN (
+        SELECT key FROM pts GROUP BY key HAVING COUNT(*) = 1)
+    GROUP BY key ORDER BY key
+"""
+
+
+def q_traj_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STBOX extent aggregate per user (`temporal_aggfuncs.c:1214`)
+    — pure built-in min/max, no UDF."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    e = ST.extent(pts)
+    return e.select(
+        "key", "xmin", "xmax", "ymin", "ymax",
+        F.unix_timestamp("tmin").cast("bigint").alias("tmin_s"),
+        F.unix_timestamp("tmax").cast("bigint").alias("tmax_s")) \
+        .orderBy("key")
+
+
+_ORACLE_EXTENT = f"""
+    WITH pts AS ({_EV_PTS})
+    SELECT key, MIN(x) AS xmin, MAX(x) AS xmax,
+           MIN(y) AS ymin, MAX(y) AS ymax,
+           CAST(epoch(date_trunc('second', MIN(t))) AS BIGINT) AS tmin_s,
+           CAST(epoch(date_trunc('second', MAX(t))) AS BIGINT) AS tmax_s
+    FROM pts GROUP BY key ORDER BY key
+"""
+
+
+_EXTRA = {
+    "traj_metrics": (q_traj_metrics, _ORACLE_TRAJ_METRICS),
+    "value_at_timestamp": (q_value_at_timestamp, _ORACLE_VALUE_AT),
+    "twavg": (q_twavg, _ORACLE_TWAVG),
+    "traj_extent": (q_traj_extent, _ORACLE_EXTENT),
+}
+
+
+_BASE_REGISTRY = registry
+
+
+def registry():  # noqa: F811 — extend the base registry
+    out = _BASE_REGISTRY()
+    out.update(_EXTRA)
+    return out
