@@ -58,7 +58,7 @@ def main() -> None:
     # headline: flagship spatial join + tile assignment (pages/sec basis)
     run("flagship_pip_tiles",
         lambda: pipeline.flagship(pages, admin, zoom=12).count())
-    run("pip_grid_4096",
+    run("pip_broadcast_4096",
         lambda: pipeline.pip_join_broadcast(
             pipeline.with_cell(pipeline.extract_points(pages)), grid,
             index_res=7).count())
@@ -66,11 +66,30 @@ def main() -> None:
         lambda: tiles.build_pyramid(
             pipeline.extract_points(pages), max_zoom=12, min_zoom=0).count())
 
+    # shuffle-path spatial joins over the extracted points
+    from pyspark.sql import functions as SF
+    from mobilitydb_spark import joins
+    pts = pipeline.extract_points(pages) \
+        .select(SF.concat_ws("#", "url", "tag_idx").alias("pt_id"),
+                "url", "tag_idx", "lon", "lat")
+    grid_df = spark.createDataFrame(
+        grid, "poly_id bigint, layer string, geom_wkb binary, srid int")
+    run("pip_shuffle_4096",
+        lambda: joins.pip_join_shuffle(
+            pts.drop("pt_id"), grid_df, res=10).count())
+    qpts = pts.limit(2000).select(SF.col("pt_id").alias("q_id"),
+                                  "lon", "lat").cache()
+    cpts = pts.select(SF.col("pt_id").alias("c_id"), "lon", "lat")
+    run("knn_join_k5",
+        lambda: joins.knn_join(qpts, cpts, 5, res=9, rings=1).count())
+
     # registry queries over driver tables
     reg = queries.registry()
     for name in ["tpch_q1", "top_customers", "events_hourly",
                  "geo_cells_tiles", "dedup_exact", "doc_stats",
-                 "knn_cosine_brute"]:
+                 "knn_cosine_brute", "traj_metrics", "twavg",
+                 "minhash_dedup", "simhash_pairs", "ann_lsh_topk",
+                 "langid", "fingerprint_md5"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: fn(spark, SF_DIR).count())
 

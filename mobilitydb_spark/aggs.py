@@ -1,0 +1,346 @@
+"""Temporal aggregates — SURVEY §2.4 (`src/temporal_aggfuncs.c`,
+`point/src/tpoint_aggfuncs.c`).
+
+The result of aggregating N temporal values is a temporal value whose
+value at each instant aggregates the inputs *defined at that instant*.
+The reference maintains a skiplist of disjoint pieces spliced per
+input (`skiplist_splice`, `temporal_aggfuncs.c:289-420`); the
+equivalent here is a **sweep-line over elementary intervals**:
+
+1. boundaries = every instant of every input (+ bound instants);
+2. each elementary piece is either a boundary instant [t] or an open
+   interval (a, b) with no boundary inside — every active input is
+   linear (or constant) there, so count/sum/avg are linear and exact;
+3. min/max additionally insert pairwise segment crossings inside the
+   elementary interval (the `_cross` requirement,
+   `temporalseq_tagg1` `:860-993`);
+4. pieces are assembled into maximal sequences, splitting at value
+   discontinuities (bounds get the one-sided limit value, matching
+   the reference's piece representation).
+
+Aggregation kinds: count, and, or, min, max, sum, avg, centroid
+(tpoint → tdouble3-style (Σx, Σy, n) finalize divide,
+`tpoint_aggfuncs.c:285-489`).
+
+Spark integration: ``temporal_aggregate`` groups long-form instant
+rows per key and runs the kernel per group inside applyInPandas —
+Spark's partial-aggregation shuffle replaces the reference's
+transfn/combinefn split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .types import (INSTANT, INSTANTSET, SEQUENCE, SEQUENCESET, EPSILON,
+                    Seq, Temporal, normalize_instants)
+
+_STEP_KINDS = {"count", "and", "or"}
+
+
+def _combine(kind: str, vals: np.ndarray) -> np.ndarray:
+    """Combine a (n_active, dim) value matrix → result vector."""
+    if kind == "count":
+        return np.array([float(len(vals))])
+    if kind == "and":
+        return np.array([vals[:, 0].min()])
+    if kind == "or":
+        return np.array([vals[:, 0].max()])
+    if kind == "min":
+        return np.array([vals[:, 0].min()])
+    if kind == "max":
+        return np.array([vals[:, 0].max()])
+    if kind == "sum":
+        return np.array([vals[:, 0].sum()])
+    if kind == "avg":
+        return np.array([vals[:, 0].mean()])
+    if kind == "centroid":
+        return vals.mean(axis=0)
+    raise ValueError(kind)
+
+
+def _value_on(seq: Seq, t_lo: int, t_hi: int, linear: bool):
+    """Endpoint values of one input on elementary open interval
+    (t_lo, t_hi) ⊆ one of its segments, or None if not active."""
+    if len(seq.times) < 2 or t_lo < seq.times[0] or t_hi > seq.times[-1]:
+        return None
+    # active on the open interval iff (t_lo, t_hi) lies inside one
+    # segment (bound instants are separate knot pieces)
+    i = int(np.searchsorted(seq.times, t_lo, side="right")) - 1
+    if i < 0 or i >= len(seq.times) - 1:
+        return None
+    t0, t1 = int(seq.times[i]), int(seq.times[i + 1])
+    if not (t0 <= t_lo and t_hi <= t1):
+        return None
+    if not linear:
+        v = seq.values[i]
+        return v, v
+    r0 = (t_lo - t0) / (t1 - t0)
+    r1 = (t_hi - t0) / (t1 - t0)
+    v0 = seq.values[i] + (seq.values[i + 1] - seq.values[i]) * r0
+    v1 = seq.values[i] + (seq.values[i + 1] - seq.values[i]) * r1
+    return v0, v1
+
+
+def _defined_at(tv: Temporal, t: int):
+    return tv.value_at(t)
+
+
+def tagg(values: list[Temporal], kind: str) -> Temporal | None:
+    """Sweep-line temporal aggregation of N temporal values."""
+    values = [v for v in values if v is not None]
+    if not values:
+        return None
+    dim = values[0].dim
+    linear_in = values[0].linear and dim <= 2
+    result_linear = (kind not in _STEP_KINDS) and all(
+        v.linear for v in values)
+    if kind in ("count", "and", "or"):
+        result_linear = False
+
+    # 1. global boundary set
+    bounds = np.unique(np.concatenate([v.times for v in values]))
+
+    # 2. elementary pieces → atoms
+    knots: list[tuple[int, np.ndarray]] = []
+    intervals: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+    for t in bounds:
+        act = [v.value_at(int(t)) for v in values]
+        act = [a for a in act if a is not None]
+        if act:
+            knots.append((int(t), _combine(kind, np.vstack(act))))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        a, b = int(a), int(b)
+        segs = []
+        for v in values:
+            for s in v.seqs:
+                if v.duration in (INSTANT, INSTANTSET):
+                    continue
+                got = _value_on(s, a, b, v.linear)
+                if got is not None:
+                    segs.append(got)
+        if not segs:
+            continue
+        v0 = np.vstack([g[0] for g in segs])
+        v1 = np.vstack([g[1] for g in segs])
+        # min/max: insert pairwise crossings inside (a, b)
+        if kind in ("min", "max") and result_linear and len(segs) > 1:
+            rs = set()
+            for i in range(len(segs)):
+                for j in range(i + 1, len(segs)):
+                    d0 = float(v0[i, 0] - v0[j, 0])
+                    d1 = float(v1[i, 0] - v1[j, 0])
+                    if d0 == d1:
+                        continue
+                    r = d0 / (d0 - d1)
+                    if 0.0 < r < 1.0:
+                        tc = int(round(a + (b - a) * r))
+                        if a < tc < b:
+                            rs.add(tc)
+            subs = [a] + sorted(rs) + [b]
+        else:
+            subs = [a, b]
+        for lo, hi in zip(subs[:-1], subs[1:]):
+            r_lo = (lo - a) / (b - a)
+            r_hi = (hi - a) / (b - a)
+            w0 = v0 + (v1 - v0) * r_lo
+            w1 = v0 + (v1 - v0) * r_hi
+            intervals.append((lo, hi, _combine(kind, w0), _combine(kind, w1)))
+
+    if not knots and not intervals:
+        return None
+
+    # 3. assemble maximal sequences
+    atoms: list[tuple] = [("k", t, v) for t, v in knots] + \
+        [("i", lo, hi, v0, v1) for lo, hi, v0, v1 in intervals]
+    atoms.sort(key=lambda at: (at[1], 0 if at[0] == "k" else 1))
+
+    seqs: list[Seq] = []
+    cur_t: list[int] = []
+    cur_v: list[np.ndarray] = []
+    cur_lo_inc = True
+    cur_hi_inc = False
+    pending_knot: tuple[int, np.ndarray] | None = None
+
+    def flush():
+        nonlocal cur_t, cur_v, cur_lo_inc, cur_hi_inc
+        if cur_t:
+            ts = np.array(cur_t, dtype=np.int64)
+            vs = np.vstack(cur_v)
+            keep = np.ones(len(ts), dtype=bool)
+            keep[1:] = np.diff(ts) > 0
+            ts, vs = ts[keep], vs[keep]
+            if len(ts) > 2:
+                ts, vs = normalize_instants(ts, vs, result_linear)
+            if len(ts) == 1:
+                seqs.append(Seq(ts, vs, True, True))
+            else:
+                seqs.append(Seq(ts, vs, cur_lo_inc, cur_hi_inc))
+        cur_t, cur_v = [], []
+        cur_lo_inc, cur_hi_inc = True, False
+
+    def close(u, w):
+        return bool(np.all(np.abs(u - w) <= 1e-12))
+
+    for at in atoms:
+        if at[0] == "k":
+            t, v = at[1], at[2]
+            if cur_t and cur_t[-1] == t:
+                if close(cur_v[-1], v):
+                    cur_hi_inc = True
+                else:
+                    # discontinuity: close exclusive, knot pends
+                    cur_hi_inc = False
+                    flush()
+                    pending_knot = (t, v)
+            else:
+                if cur_t:
+                    flush()
+                pending_knot = (t, v)
+            continue
+        lo, hi, v0, v1 = at[1], at[2], at[3], at[4]
+        if pending_knot is not None:
+            kt, kv = pending_knot
+            pending_knot = None
+            if kt == lo and close(kv, v0):
+                flush()
+                cur_t, cur_v = [kt], [kv]
+                cur_lo_inc = True
+            else:
+                seqs.append(Seq(np.array([kt], dtype=np.int64), kv[None, :]))
+        if cur_t and cur_t[-1] == lo and close(cur_v[-1], v0):
+            cur_t.append(hi)
+            cur_v.append(v1)
+            cur_hi_inc = False
+        else:
+            if cur_t:
+                flush()
+            cur_t, cur_v = [lo, hi], [v0, v1]
+            cur_lo_inc = False
+            cur_hi_inc = False
+    if pending_knot is not None:
+        kt, kv = pending_knot
+        seqs.append(Seq(np.array([kt], dtype=np.int64), kv[None, :]))
+    flush()
+
+    seqs.sort(key=lambda s: int(s.times[0]))
+    if all(v.duration in (INSTANT, INSTANTSET) for v in values):
+        dur = INSTANT if len(seqs) == 1 else INSTANTSET
+    else:
+        dur = SEQUENCE if len(seqs) == 1 else SEQUENCESET
+    step_def = values[0].step_default or kind in ("count", "and", "or")
+    return Temporal(dur, seqs, result_linear, values[0].srid, step_def)
+
+
+def extent(values: list[Temporal]):
+    """Bounding STBox of all inputs (`temporal_aggfuncs.c:1214-1348`)."""
+    from .boxops import STBox
+    boxes = [STBox.of(v) for v in values if v is not None]
+    if not boxes:
+        return None
+    return STBox(min(b.xmin for b in boxes), max(b.xmax for b in boxes),
+                 min(b.ymin for b in boxes), max(b.ymax for b in boxes),
+                 min(b.tmin for b in boxes), max(b.tmax for b in boxes))
+
+
+def wagg(values: list[Temporal], kind: str, window_us: int) -> Temporal | None:
+    """Window aggregates w{count,sum,min,max,avg}
+    (`src/temporal_waggfuncs.c:31-60`): every input extended by the
+    interval before aggregating (step semantics)."""
+    extended = []
+    for v in values:
+        seqs = []
+        for s in v.seqs:
+            if len(s.times) == 1:
+                seqs.append(Seq(
+                    np.array([s.times[0], s.times[0] + window_us]),
+                    np.vstack([s.values[0], s.values[0]]), True, True))
+            else:
+                for i in range(len(s.times) - 1):
+                    seqs.append(Seq(
+                        np.array([s.times[i], s.times[i + 1] + window_us]),
+                        np.vstack([s.values[i], s.values[i]]), True, False))
+                if s.upper_inc:
+                    seqs.append(Seq(
+                        np.array([s.times[-1], s.times[-1] + window_us]),
+                        np.vstack([s.values[-1], s.values[-1]]), True, True))
+        from .types import normalize_periods
+        ext = Temporal(SEQUENCESET, _merge_overlapping(seqs), False,
+                       v.srid, True)
+        extended.append(ext)
+    return tagg(extended, kind)
+
+
+def _merge_overlapping(seqs: list[Seq]) -> list[Seq]:
+    """Make step sequences disjoint by keeping the later piece's value
+    on overlaps (the extend kernel produces per-segment constant
+    pieces; for window aggs each input contributes its own constant
+    pieces that may chain — merge on equal values, split otherwise)."""
+    seqs = sorted(seqs, key=lambda s: (int(s.times[0]), int(s.times[-1])))
+    out: list[Seq] = []
+    for s in seqs:
+        if not out:
+            out.append(s)
+            continue
+        last = out[-1]
+        if int(s.times[0]) >= int(last.times[-1]):
+            out.append(s)
+            continue
+        # overlap: truncate the earlier piece at the later's start
+        cut = int(s.times[0])
+        keep = last.times < cut
+        if keep.any():
+            out[-1] = Seq(np.append(last.times[keep], cut),
+                          np.vstack([last.values[keep],
+                                     last.values[keep][-1:]]),
+                          last.lower_inc, False)
+            out.append(s)
+        else:
+            out[-1] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+def temporal_aggregate(points: DataFrame, kind: str, group: str = "gkey",
+                       member: str = "mkey", t: str = "t",
+                       value_cols: tuple[str, ...] = ("v",),
+                       linear: bool = True) -> DataFrame:
+    """GROUP BY ``group`` temporal aggregation: rows are instants of
+    per-``member`` temporal values; the kernel merges members inside
+    each group (Agg node analog of `36_temporal_aggfuncs.in.sql`).
+
+    Output: long-form instants of the aggregate
+    (group, seq_idx, lower_inc, upper_inc, t, v...).
+    """
+    from .spark_temporal import temporal_from_pdf
+    vcols = ", ".join(f"{c} double" for c in
+                      (value_cols if kind != "centroid" else ("x", "y")))
+    out_cols = value_cols if kind != "centroid" else ("x", "y")
+    schema = (f"{group} bigint, seq_idx int, lower_inc boolean, "
+              f"upper_inc boolean, t timestamp, {vcols}")
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        gk = pdf[group].iloc[0]
+        members = []
+        for _, mdf in pdf.groupby(member):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            members.append(temporal_from_pdf(mdf, t, value_cols,
+                                             linear=linear))
+        result = tagg(members, kind)
+        rows = []
+        if result is not None:
+            for si, s in enumerate(result.seqs):
+                for i in range(len(s.times)):
+                    rows.append((gk, si, bool(s.lower_inc),
+                                 bool(s.upper_inc),
+                                 np.datetime64(int(s.times[i]), "us"),
+                                 *[float(x) for x in s.values[i]]))
+        return pd.DataFrame(rows, columns=[group, "seq_idx", "lower_inc",
+                                           "upper_inc", t, *out_cols])
+
+    return points.groupBy(group).applyInPandas(agg, schema)

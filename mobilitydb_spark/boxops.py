@@ -1,0 +1,149 @@
+"""STBOX/TBOX box + position operator algebra — SURVEY §2.10.
+
+Reference: `src/temporal_boxops.c:65-1433`,
+`point/src/tpoint_boxops.c:246-957` (bbox ops `&& @> <@ ~=`),
+`point/src/tpoint_posops.c:38-1974` (position ops `<< &< >> &> <<| …`).
+
+Two forms:
+- plain-Python predicates on ``STBox`` (kernel/tests),
+- Spark ``Column`` builders over a box struct column
+  ``struct<xmin,xmax,ymin,ymax,tmin,tmax>`` — pure comparisons that
+  stay in whole-stage codegen and feed the cell-cover join prefilter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .types import Temporal
+
+
+@dataclass(frozen=True)
+class STBox:
+    """`include/temporal.h:118-129` (2D + time; Z deferred)."""
+    xmin: float
+    xmax: float
+    ymin: float
+    ymax: float
+    tmin: int
+    tmax: int
+
+    @staticmethod
+    def of(tv: Temporal) -> "STBox":
+        v = tv.values
+        return STBox(float(v[:, 0].min()), float(v[:, 0].max()),
+                     float(v[:, 1].min()) if tv.dim > 1 else 0.0,
+                     float(v[:, 1].max()) if tv.dim > 1 else 0.0,
+                     tv.start_timestamp(), tv.end_timestamp())
+
+    def expand(self, d: float, dt_us: int = 0) -> "STBox":
+        """expandSpatial/expandTemporal (`tpoint_boxops.c:440-538`)."""
+        return STBox(self.xmin - d, self.xmax + d, self.ymin - d,
+                     self.ymax + d, self.tmin - dt_us, self.tmax + dt_us)
+
+
+def overlaps(a: STBox, b: STBox) -> bool:
+    """&& — all shared dimensions intersect."""
+    return (a.xmin <= b.xmax and b.xmin <= a.xmax
+            and a.ymin <= b.ymax and b.ymin <= a.ymax
+            and a.tmin <= b.tmax and b.tmin <= a.tmax)
+
+
+def contains(a: STBox, b: STBox) -> bool:
+    """@>"""
+    return (a.xmin <= b.xmin and b.xmax <= a.xmax
+            and a.ymin <= b.ymin and b.ymax <= a.ymax
+            and a.tmin <= b.tmin and b.tmax <= a.tmax)
+
+
+def contained(a: STBox, b: STBox) -> bool:
+    return contains(b, a)
+
+
+def same(a: STBox, b: STBox) -> bool:
+    """~="""
+    return a == b
+
+
+# position ops (`tpoint_posops.c:38-44` left_stbox_stbox_internal etc.)
+
+def left(a: STBox, b: STBox) -> bool:       # <<
+    return a.xmax < b.xmin
+
+
+def overleft(a: STBox, b: STBox) -> bool:   # &<
+    return a.xmax <= b.xmax
+
+
+def right(a: STBox, b: STBox) -> bool:      # >>
+    return a.xmin > b.xmax
+
+
+def overright(a: STBox, b: STBox) -> bool:  # &>
+    return a.xmin >= b.xmin
+
+
+def below(a: STBox, b: STBox) -> bool:      # <<|
+    return a.ymax < b.ymin
+
+
+def overbelow(a: STBox, b: STBox) -> bool:  # &<|
+    return a.ymax <= b.ymax
+
+
+def above(a: STBox, b: STBox) -> bool:      # |>>
+    return a.ymin > b.ymax
+
+
+def overabove(a: STBox, b: STBox) -> bool:  # |&>
+    return a.ymin >= b.ymin
+
+
+def before(a: STBox, b: STBox) -> bool:     # <<#
+    return a.tmax < b.tmin
+
+
+def overbefore(a: STBox, b: STBox) -> bool:  # &<#
+    return a.tmax <= b.tmax
+
+
+def after(a: STBox, b: STBox) -> bool:      # #>>
+    return a.tmin > b.tmax
+
+
+def overafter(a: STBox, b: STBox) -> bool:  # #&>
+    return a.tmin >= b.tmin
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders (struct<xmin,xmax,ymin,ymax,tmin,tmax>)
+# ---------------------------------------------------------------------------
+
+def stbox_agg_cols() -> list[Column]:
+    """Aggregate expressions building a box from (lon, lat, t) rows."""
+    return [F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
+            F.min("lat").alias("ymin"), F.max("lat").alias("ymax"),
+            F.min("t").alias("tmin"), F.max("t").alias("tmax")]
+
+
+def overlaps_col(a: Column, b: Column) -> Column:
+    return ((a["xmin"] <= b["xmax"]) & (b["xmin"] <= a["xmax"])
+            & (a["ymin"] <= b["ymax"]) & (b["ymin"] <= a["ymax"])
+            & (a["tmin"] <= b["tmax"]) & (b["tmin"] <= a["tmax"]))
+
+
+def contains_col(a: Column, b: Column) -> Column:
+    return ((a["xmin"] <= b["xmin"]) & (b["xmax"] <= a["xmax"])
+            & (a["ymin"] <= b["ymin"]) & (b["ymax"] <= a["ymax"])
+            & (a["tmin"] <= b["tmin"]) & (b["tmax"] <= a["tmax"]))
+
+
+def left_col(a: Column, b: Column) -> Column:
+    return a["xmax"] < b["xmin"]
+
+
+def before_col(a: Column, b: Column) -> Column:
+    return a["tmax"] < b["tmin"]

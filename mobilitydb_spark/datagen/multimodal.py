@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (deterministic fake decoder) — but everything
+Spark-side is real and tested: schemas, Arrow batch shapes,
+mapInPandas iterator structure, partition-size control for large
+binaries, and the metadata-extraction contract.  Swapping the stub
+for Pillow/librosa/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id bigint, kind string, payload binary, "
+                "mime string, width int, height int, duration_ms int")
+
+FEATURE_SCHEMA = ("media_id bigint, kind string, feat array<float>, "
+                  "n_frames int, decode_ok boolean")
+
+
+def fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media rows (payload = seeded bytes)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            kinds = np.where(ids % 3 == 0, "image",
+                             np.where(ids % 3 == 1, "audio", "video"))
+            rows = []
+            for i, kind in zip(ids, kinds):
+                rng = np.random.default_rng(int(i) + 1000)
+                payload = rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+                rows.append((int(i), str(kind), payload,
+                             f"application/x-fake-{kind}",
+                             64, 64, 1000 * (int(i) % 10 + 1)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height",
+                "duration_ms"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """STUB DECODER — the container has no image/audio libraries.
+
+    Deterministic fake: interprets payload bytes as the "decoded"
+    sample array.  Replace with e.g. PIL.Image.open / soundfile.read;
+    the calling batch plumbing does not change.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    return arr / 255.0
+
+
+def extract_features(media: DataFrame, n_dims: int = 16,
+                     frame_sample: int = 4) -> DataFrame:
+    """Decode → frame-sample → pooled feature vector, one Arrow batch
+    at a time.  Real plumbing: per-batch vectorized pooling, stable
+    output schema, per-row decode_ok flag instead of task failure."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    samples = _decode_stub(bytes(row["payload"]), row["kind"])
+                    # frame-sample: split into frame_sample chunks, mean-pool
+                    frames = np.array_split(samples, frame_sample)
+                    pooled = np.array([f.mean() for f in frames])
+                    feat = np.resize(pooled, n_dims).astype(np.float32)
+                    out.append((row["media_id"], row["kind"],
+                                feat.tolist(), len(frames), True))
+                except Exception:
+                    out.append((row["media_id"], row["kind"],
+                                [0.0] * n_dims, 0, False))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "kind", "feat", "n_frames", "decode_ok"])
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — JVM-side float64 dot
+  products (zip_with/aggregate, no UDF), broadcast query side,
+  per-query window top-k (no global sort)
+- LSH-bucketed ANN: random-hyperplane signatures (Arrow numpy kernel)
+  → multi-probe bucket join → exact rerank; queries that end up with
+  fewer than k verified neighbours fall back to the brute path, so
+  results stay exact-k (the scale path trades candidate count, not
+  correctness of the returned ranking).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_topk(queries: DataFrame, candidates: DataFrame, k: int,
+               q_id: str = "qid", c_id: str = "cid",
+               vec: str = "embedding") -> DataFrame:
+    """Exact cosine top-k (unit-norm embeddings → dot = cosine)."""
+    q = queries.select(F.col(q_id), F.col(vec).alias("qe"))
+    c = candidates.select(F.col(c_id), F.col(vec).alias("ce"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col(q_id) != F.col(c_id))
+              .select(q_id, c_id,
+                      F.round(_dot(F.col("qe"), F.col("ce")), 6)
+                      .alias("score")))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def hyperplane_signatures(df: DataFrame, id_col: str, vec: str,
+                          n_planes: int = 16, dim: int = 64,
+                          seed: int = 42) -> DataFrame:
+    """(id, vec, sig): sign-bit signature under seeded random
+    hyperplanes — one numpy matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    out_schema = f"{id_col} bigint, {vec} array<float>, sig bigint"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            sig = ((mat @ planes) > 0) @ bits
+            out = pdf[[id_col, vec]].copy()
+            out["sig"] = sig.astype(np.int64)
+            yield out
+
+    return df.select(id_col, vec).mapInPandas(kernel, out_schema)
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             q_id: str = "qid", c_id: str = "cid",
+             vec: str = "embedding", n_planes: int = 16, dim: int = 64,
+             probe_bits: int = 1) -> DataFrame:
+    """ANN top-k: hyperplane-bucket candidates (multi-probe: the exact
+    bucket plus all buckets at hamming distance ≤ probe_bits), exact
+    rerank, brute fallback for under-filled queries."""
+    qs = hyperplane_signatures(queries.select(F.col(q_id).alias("_id"),
+                                              F.col(vec)),
+                               "_id", vec, n_planes, dim) \
+        .select(F.col("_id").alias(q_id), F.col(vec).alias("qe"), "sig")
+    cs = hyperplane_signatures(candidates.select(F.col(c_id).alias("_id"),
+                                                 F.col(vec)),
+                               "_id", vec, n_planes, dim) \
+        .select(F.col("_id").alias(c_id), F.col(vec).alias("ce"),
+                F.col("sig").alias("csig"))
+    # multi-probe: query explodes to its bucket + single-bit flips
+    probes = [F.col("sig")]
+    if probe_bits >= 1:
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << b))
+                   for b in range(n_planes)]
+    qexp = qs.select(q_id, "qe",
+                     F.explode(F.array(*probes)).alias("bucket"))
+    cand = qexp.join(cs.withColumnRenamed("csig", "bucket"), "bucket") \
+        .where(F.col(q_id) != F.col(c_id)) \
+        .dropDuplicates([q_id, c_id])
+    scored = cand.select(q_id, c_id,
+                         F.round(_dot(F.col("qe"), F.col("ce")), 6)
+                         .alias("score"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+    # fallback: any query without a full k bucket-verified neighbours
+    # (including zero bucket hits) goes through the brute path
+    full = (ranked.groupBy(q_id).count().where(F.col("count") >= k)
+            .select(q_id))
+    good = ranked.join(full, q_id, "left_semi")
+    redo = queries.join(full, q_id, "left_anti")
+    brute = brute_topk(redo, candidates, k, q_id, c_id, vec)
+    return good.unionByName(brute)

@@ -1,0 +1,293 @@
+"""Distributed spatial join strategies — SURVEY §2.3 / the north rule.
+
+The reference's joins are PostgreSQL index nested loops over GiST
+R-trees (`point/src/sql/70_tpoint_gist.in.sql`,
+`point/src/tpoint_gist.c:51-199`).  On Spark the equivalents are:
+
+- **broadcast path** (small polygon layer): executor-local
+  PolygonIndex, map-only — `pipeline.pip_join_broadcast`
+- **shuffle path** (large polygon layer, this module): both sides
+  keyed by grid cell; polygons exploded to their cell cover, points
+  to their single cell; equi-join on cell then exact PIP refine.
+  A point lives in exactly one cell and a polygon covers that cell
+  at most once, so candidate pairs are already distinct — no
+  post-refine dedupe shuffle.
+- **explicit hot-cell salting**: Zipf-skewed inputs (popular
+  domains/regions) concentrate points in a few cells.  Cells above
+  ``hot_threshold`` get their points split across ``n_salts``
+  sub-keys and their polygon rows replicated per salt — bounding any
+  single task's share of a hot cell.  (AQE skew-join splitting is ON
+  as well; salting keeps the plan safe even where AQE can't split,
+  e.g. pre-aggregation stages.)
+- **dwithin join**: grid_disk ring expansion of the point cell
+  (replaces ``a && expand(b, d)``,
+  `66_tpoint_spatialrels.in.sql:394-445`) then exact distance refine
+- **kNN join**: bounded ring expansion with a correctness guarantee —
+  queries whose k-th neighbour isn't provably inside the searched
+  rings fall back to a brute pass (`|=|` ordering,
+  `56_tpoint_spatialfuncs.in.sql:186-214`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StructField, StructType)
+
+from . import cells, geo
+
+DEFAULT_RES = 12
+
+
+# ---------------------------------------------------------------------------
+# polygon cell covers (the "index build" side)
+# ---------------------------------------------------------------------------
+
+def polygon_covers(polygons: DataFrame, res: int = DEFAULT_RES,
+                   max_cells: int = 4096) -> DataFrame:
+    """(cell, poly_id, geom_wkb): conservative bbox cover per polygon.
+
+    Coarse polygons fall back to coarser cells (cover_bbox_np caps the
+    cell count), so the output also carries ``cover_res`` — the join
+    must then probe each distinct cover resolution (normally just one).
+    """
+    out_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("poly_id", LongType()),
+        StructField("geom_wkb", BinaryType()),
+    ])
+
+    def explode_cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_cell, rows_pid, rows_wkb = [], [], []
+            for pid, wkb in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                g = geo.from_wkb(wkb)
+                b = g.bounds()
+                if b is None:
+                    continue
+                cc = cells.cover_bbox_np(*b, res=res, max_cells=max_cells)
+                rows_cell.append(cc)
+                rows_pid.append(np.full(len(cc), pid, dtype=np.int64))
+                rows_wkb.extend([bytes(wkb)] * len(cc))
+            if not rows_cell:
+                continue
+            yield pd.DataFrame({
+                "cell": np.concatenate(rows_cell),
+                "poly_id": np.concatenate(rows_pid),
+                "geom_wkb": rows_wkb})
+
+    return polygons.select("poly_id", "geom_wkb") \
+        .mapInPandas(explode_cover, out_schema)
+
+
+def _refine_pip(joined: DataFrame, point_cols: list[str]) -> DataFrame:
+    """Exact PIP refine of candidate (point, polygon) pairs."""
+    out_schema = StructType(
+        [f for f in joined.schema.fields
+         if f.name in point_cols + ["poly_id"]])
+    names = [f.name for f in out_schema.fields]
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            # group by polygon so each geometry decodes once per batch
+            for wkb, idx in pdf.groupby("geom_wkb", sort=False).indices.items():
+                g = geo.from_wkb(wkb)
+                if g.is_empty:
+                    continue
+                keep[idx] = geo.points_in_polygon(
+                    pdf["lon"].to_numpy()[idx], pdf["lat"].to_numpy()[idx], g)
+            yield pdf.loc[keep, names]
+
+    return joined.mapInPandas(refine, out_schema)
+
+
+def hot_cells(points: DataFrame, res: int = DEFAULT_RES,
+              threshold: int = 100_000) -> list[int]:
+    """Cells whose point count exceeds ``threshold`` (the salting set).
+
+    One cheap pre-pass aggregation; at 100 TB this is a counts-only
+    scan that AQE coalesces, and the result is a tiny driver list."""
+    cnt = (points
+           .select(cells.cell_col(F.col("lon"), F.col("lat"), res).alias("cell"))
+           .groupBy("cell").count()
+           .where(F.col("count") > threshold)
+           .select("cell").collect())
+    return [r["cell"] for r in cnt]
+
+
+def pip_join_shuffle(points: DataFrame, polygons: DataFrame,
+                     res: int = DEFAULT_RES,
+                     hot: list[int] | None = None,
+                     n_salts: int = 8,
+                     salt_key: str = "url") -> DataFrame:
+    """Shuffle spatial join: points ⋈ large polygon layer.
+
+    Phase 1 (filter): equi-join on grid cell — points carry their
+    single cell, polygons their exploded cover (possibly at coarser
+    resolutions, probed per distinct cover_res).  Phase 2 (refine):
+    exact vectorized PIP.  Hot cells get salted: point rows gain
+    ``salt = xxhash64(salt_key) % n_salts`` and matching polygon cover
+    rows are replicated across all salts.
+    """
+    point_cols = [c for c in points.columns]
+    pts = points.withColumn(
+        "cell", cells.cell_col(F.col("lon"), F.col("lat"), res))
+    covers = polygon_covers(polygons, res)
+    # polygons may cover at coarser resolutions; probe each present level
+    res_rows = [r["r"] for r in
+                covers.select(F.shiftright("cell", cells.R_BITS).alias("r"))
+                .distinct().collect()]
+    joined_parts = []
+    for r in sorted(res_rows):
+        cov_r = covers.where(
+            F.shiftright("cell", cells.R_BITS) == r)
+        pts_r = pts.withColumn(
+            "jcell", F.col("cell") if r == res
+            else cells.cell_parent_col(F.col("cell"), res, r))
+        cov_r = cov_r.withColumnRenamed("cell", "jcell")
+        if hot:
+            hot_at_r = [int(cells.cell_parent_np(np.array([h]), r)[0])
+                        if (h >> cells.R_BITS) != r else h for h in hot]
+            is_hot = F.col("jcell").isin(hot_at_r)
+            pts_r = pts_r.withColumn(
+                "salt", F.when(is_hot,
+                               F.pmod(F.xxhash64(salt_key), F.lit(n_salts)))
+                         .otherwise(F.lit(0)))
+            cov_r = cov_r.withColumn(
+                "salt", F.explode(F.when(
+                    is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                    .otherwise(F.array(F.lit(0)))))
+            joined = pts_r.join(cov_r, ["jcell", "salt"])
+        else:
+            joined = pts_r.join(cov_r, "jcell")
+        joined_parts.append(_refine_pip(joined, point_cols))
+    out = joined_parts[0]
+    for p in joined_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dwithin join (ring expansion)
+# ---------------------------------------------------------------------------
+
+def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
+                 res: int = DEFAULT_RES,
+                 left_id: str = "l_id", right_id: str = "r_id") -> DataFrame:
+    """All (left, right) point pairs within ``dist_deg`` planar degrees.
+
+    left: (l_id, lon, lat); right: (r_id, lon, lat).  Left rows explode
+    to a grid_disk whose radius covers dist_deg (the ``expand``/&&
+    prefilter); the refine step is an exact vectorized distance test.
+    """
+    n = 1 << res
+    cell_h = 180.0 / n  # the smaller cell edge (lat direction)
+    k = int(np.ceil(dist_deg / cell_h)) + 1
+
+    l_cell = cells.cell_col(F.col("lon"), F.col("lat"), res)
+    lpts = left.withColumn("cell", l_cell)
+
+    disk_schema = StructType(list(lpts.schema.fields)
+                             + [StructField("jcell", LongType())])
+
+    def explode_disk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), k)
+            m = disk.shape[1]
+            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            rep["jcell"] = disk.ravel()
+            # a polar clamp can duplicate cells inside one row's disk
+            rep = rep.drop_duplicates(
+                subset=[left_id, "jcell"], ignore_index=True)
+            yield rep
+
+    lexp = lpts.mapInPandas(explode_disk, disk_schema)
+    rpts = right.select(
+        F.col(right_id), F.col("lon").alias("r_lon"),
+        F.col("lat").alias("r_lat")).withColumn(
+        "jcell", cells.cell_col(F.col("r_lon"), F.col("r_lat"), res))
+    cand = lexp.join(rpts, "jcell")
+    d2 = ((F.col("lon") - F.col("r_lon")) ** 2
+          + (F.col("lat") - F.col("r_lat")) ** 2)
+    return (cand.where(d2 <= F.lit(float(dist_deg) ** 2))
+            .select(left_id, right_id,
+                    F.sqrt(d2).alias("dist_deg")))
+
+
+# ---------------------------------------------------------------------------
+# kNN join (ring expansion + guaranteed fallback)
+# ---------------------------------------------------------------------------
+
+def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
+             res: int = 8, rings: int = 2,
+             query_id: str = "q_id", cand_id: str = "c_id") -> DataFrame:
+    """k nearest candidate points per query point (planar degrees).
+
+    Phase 1: ring-expansion candidate generation — each query explodes
+    to grid_disk(rings) at ``res`` and equi-joins candidates on cell;
+    per-query top-k by exact distance (partitioned window, no global
+    sort).  Phase 2 (correctness guarantee, `|=|` must equal true NAD
+    ordering): a query whose k-th candidate distance exceeds the
+    guaranteed-covered radius ``rings · cell_height`` — or that found
+    fewer than k — re-runs in a brute-force pass over the (typically
+    tiny) remainder via a crossJoin.
+    """
+    from pyspark.sql import Window
+    n = 1 << res
+    cell_h = 180.0 / n
+    guarantee = rings * cell_h
+
+    qpts = queries.withColumn(
+        "cell", cells.cell_col(F.col("lon"), F.col("lat"), res))
+    disk_schema = StructType(list(qpts.schema.fields)
+                             + [StructField("jcell", LongType())])
+
+    def explode_disk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), rings)
+            m = disk.shape[1]
+            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            rep["jcell"] = disk.ravel()
+            rep = rep.drop_duplicates(subset=[query_id, "jcell"],
+                                      ignore_index=True)
+            yield rep
+
+    qexp = qpts.mapInPandas(explode_disk, disk_schema)
+    cpts = candidates.select(
+        F.col(cand_id), F.col("lon").alias("c_lon"),
+        F.col("lat").alias("c_lat")).withColumn(
+        "jcell", cells.cell_col(F.col("c_lon"), F.col("c_lat"), res))
+    cand = qexp.join(cpts, "jcell").where(F.col(query_id) != F.col(cand_id))
+    dist = F.sqrt((F.col("lon") - F.col("c_lon")) ** 2
+                  + (F.col("lat") - F.col("c_lat")) ** 2)
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(cand_id))
+    ranked = (cand.select(query_id, cand_id, dist.alias("dist"))
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+
+    # guarantee check: kth distance must be inside the searched radius
+    per_q = ranked.groupBy(query_id).agg(
+        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"))
+    bad = per_q.where((F.col("found") < k)
+                      | (F.col("dmax") > F.lit(guarantee))) \
+               .select(query_id)
+    good = ranked.join(bad, query_id, "left_anti")
+
+    redo_q = queries.join(bad, query_id)  # typically a handful of rows
+    brute = (redo_q.crossJoin(cpts.drop("jcell"))
+             .where(F.col(query_id) != F.col(cand_id))
+             .select(query_id, cand_id, dist.alias("dist"))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k))
+    return good.unionByName(brute)

@@ -491,3 +491,158 @@ def registry():  # noqa: F811 — extend the base registry
     out = _BASE_REGISTRY()
     out.update(_EXTRA)
     return out
+
+
+# --------------------------------------------------------------------------
+# datagen operators over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (3-gram shingles, jaccard ≥ 0.8),
+    exact-verified — oracle recomputes ALL pairs brute-force in SQL, so
+    a hash-miss in the LSH banding would show up as a missing row."""
+    from .datagen import dedup
+    docs = _load(spark, sf_dir, "documents")
+    return (dedup.minhash_lsh_pairs(docs, threshold=0.8)
+            .orderBy("id_i", "id_j"))
+
+
+_ORACLE_MINHASH = """
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+                    ELSE list_distinct(list_transform(
+                        range(1, len(string_split(text, ' ')) - 1),
+                        i -> string_split(text, ' ')[i] || '|' ||
+                             string_split(text, ' ')[i+1] || '|' ||
+                             string_split(text, ' ')[i+2]))
+               END AS sh
+        FROM documents)
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.8
+    ORDER BY id_i, id_j
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID over documents; oracle replicates
+    the argmax with an explicit CASE chain (same tie-break order)."""
+    from .datagen import text as dtext
+    docs = _load(spark, sf_dir, "documents")
+    pred = docs.select("doc_id",
+                       dtext.langid_col(F.col("text")).alias("pred_lang"))
+    return (pred.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n"),
+                                          F.min("doc_id").alias("min_doc"))
+            .orderBy("pred_lang"))
+
+
+def _oracle_langid() -> str:
+    from .datagen.text import STOPWORDS
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n               ".join(
+        f"len(list_intersect(w, {STOPWORDS[lg]!r})) AS s_{lg}"
+        for lg in langs)
+    # first max in sorted(langs) order, matching langid_col's tie-break
+    case = "CASE "
+    for lg in langs:
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs if o != lg)
+        case += f"WHEN {conds} THEN '{lg}' "
+    case += "END"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS w
+            FROM documents),
+        scores AS (
+            SELECT doc_id,
+               {score_cols}
+            FROM toks)
+        SELECT {case} AS pred_lang, COUNT(*) AS n, MIN(doc_id) AS min_doc
+        FROM scores GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-signal sums (token/char/punct counts)."""
+    from .datagen import text as dtext
+    docs = _load(spark, sf_dir, "documents")
+    q = dtext.doc_quality(docs)
+    return (q.groupBy("lang")
+            .agg(F.sum("n_chars").alias("sum_chars"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("n_distinct_tokens").alias("sum_distinct"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
+_ORACLE_DOC_QUALITY = """
+    SELECT lang,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS sum_tokens,
+           CAST(SUM(len(list_distinct(regexp_split_to_array(text, '\\s+'))))
+               AS BIGINT) AS sum_distinct,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup fingerprint: md5(text) per doc (md5 is identical
+    across engines → strong cross-engine value check)."""
+    from .datagen import text as dtext
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dtext.fingerprint_md5_col(F.col("text")).alias("fp")) \
+        .orderBy("doc_id")
+
+
+_ORACLE_FP = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 near-dup pairs (rows-only check: the
+    signature depends on Spark-side token hashing, not SQL-expressible;
+    semantics are pytest-verified against exact duplicates)."""
+    from .datagen import dedup
+    docs = _load(spark, sf_dir, "documents")
+    sigs = dedup.simhash_64(docs)
+    return dedup.simhash_near_pairs(sigs, max_hamming=3) \
+        .orderBy("id_i", "id_j")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 for query vectors (rows-only check;
+    recall vs the brute baseline is pytest-verified)."""
+    from .datagen import similarity
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    return (similarity.lsh_topk(q, c, 5)
+            .select("qid", "cid", "score",
+                    F.col("rank").cast("bigint").alias("rank"))
+            .orderBy("qid", "rank"))
+
+
+_EXTRA2 = {
+    "minhash_dedup": (q_minhash_dedup, _ORACLE_MINHASH),
+    "langid": (q_langid, _oracle_langid()),
+    "doc_quality": (q_doc_quality, _ORACLE_DOC_QUALITY),
+    "fingerprint_md5": (q_fingerprint_md5, _ORACLE_FP),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+}
+
+_BASE_REGISTRY2 = registry
+
+
+def registry():  # noqa: F811 — extend again
+    out = _BASE_REGISTRY2()
+    out.update(_EXTRA2)
+    return out

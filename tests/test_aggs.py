@@ -1,0 +1,150 @@
+"""Temporal aggregate tests: hand-computed goldens + the sampling
+property (value_at of the aggregate == python-aggregate of the
+inputs' value_at, at many sampled instants)."""
+
+import numpy as np
+import pytest
+
+from mobilitydb_spark import aggs
+from mobilitydb_spark import types as T
+
+
+def tf(s):
+    return T.parse_temporal(s)
+
+
+def tstep(s):
+    v = T.parse_temporal(s)
+    v.linear = False
+    v.step_default = True
+    return v
+
+
+def out(tv):
+    return "NULL" if tv is None else str(tv)
+
+
+def ts(s):
+    return int(T.parse_ts(s))
+
+
+def test_tcount_overlapping_sequences():
+    a = tstep("[1@2000-01-01, 1@2000-01-03]")
+    b = tstep("[1@2000-01-02, 1@2000-01-04]")
+    got = aggs.tagg([a, b], "count")
+    assert out(got) == ("{[1@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00)"
+                        ", [2@2000-01-02 00:00:00+00, 2@2000-01-03 00:00:00+00]"
+                        ", (1@2000-01-03 00:00:00+00, 1@2000-01-04 00:00:00+00]}")
+
+
+def test_tcount_single_instant():
+    # golden 36_temporal_aggfuncs.test.out:36-41
+    got = aggs.tagg([None, tstep("1@2000-01-01")], "count")
+    assert out(got) == "1@2000-01-01 00:00:00+00"
+
+
+def test_tsum_linear_overlap():
+    a = tf("[1@2000-01-01, 1@2000-01-03]")
+    b = tf("[5@2000-01-02, 5@2000-01-04]")
+    got = aggs.tagg([a, b], "sum")
+    assert out(got) == ("{[1@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00)"
+                        ", [6@2000-01-02 00:00:00+00, 6@2000-01-03 00:00:00+00]"
+                        ", (5@2000-01-03 00:00:00+00, 5@2000-01-04 00:00:00+00]}")
+
+
+def test_tmin_crossing_insertion():
+    # two linear ramps crossing at d2: min follows the lower one
+    a = tf("[0@2000-01-01, 4@2000-01-03]")
+    b = tf("[4@2000-01-01, 0@2000-01-03]")
+    got = aggs.tagg([a, b], "min")
+    mid = ts("2000-01-02")
+    np.testing.assert_allclose(got.value_at(mid), [2.0])
+    np.testing.assert_allclose(got.value_at(ts("2000-01-01")), [0.0])
+    np.testing.assert_allclose(got.value_at(ts("2000-01-03")), [0.0])
+    # the crossing knot exists
+    assert mid in got.times.tolist()
+
+
+def test_tand_tor():
+    a = tstep("[1@2000-01-01, 1@2000-01-03]")
+    b = tstep("[0@2000-01-02, 0@2000-01-04]")
+    tand = aggs.tagg([a, b], "and")
+    assert tand.value_at(ts("2000-01-01"))[0] == 1.0
+    assert tand.value_at(ts("2000-01-02"))[0] == 0.0
+    tor = aggs.tagg([a, b], "or")
+    assert tor.value_at(ts("2000-01-02"))[0] == 1.0
+    assert tor.value_at(ts("2000-01-04"))[0] == 0.0
+
+
+def test_tcentroid():
+    a = tf("[Point(0 0)@2000-01-01, Point(2 2)@2000-01-03]")
+    b = tf("[Point(4 0)@2000-01-01, Point(2 2)@2000-01-03]")
+    got = aggs.tagg([a, b], "centroid")
+    np.testing.assert_allclose(got.value_at(ts("2000-01-01")), [2.0, 0.0])
+    np.testing.assert_allclose(got.value_at(ts("2000-01-03")), [2.0, 2.0])
+    np.testing.assert_allclose(got.value_at(ts("2000-01-02")), [2.0, 1.0])
+
+
+@pytest.mark.parametrize("kind", ["count", "sum", "min", "max", "avg"])
+def test_sampling_property(kind):
+    rng = np.random.default_rng(11)
+    base = ts("2000-01-01")
+    day = 86400_000_000
+    inputs = []
+    for i in range(5):
+        start = base + int(rng.integers(0, 3)) * day
+        n = int(rng.integers(2, 5))
+        times = start + np.cumsum(rng.integers(1, 3, n)) * day
+        vals = rng.integers(-5, 6, n).astype(float)
+        inputs.append(T.Temporal.sequence(times, vals[:, None],
+                                          normalize=False))
+    got = aggs.tagg(inputs, kind)
+    fns = {"count": len, "sum": sum, "min": min, "max": max,
+           "avg": lambda xs: sum(xs) / len(xs)}
+    for t in range(int(got.start_timestamp()), int(got.end_timestamp()),
+                   day // 4):
+        defined = [float(v.value_at(t)[0]) for v in inputs
+                   if v.value_at(t) is not None]
+        want = fns[kind](defined) if defined else None
+        gv = got.value_at(t)
+        if want is None:
+            assert gv is None, T.fmt_ts(t)
+        else:
+            assert gv is not None, (T.fmt_ts(t), kind)
+            np.testing.assert_allclose(gv[0], want, atol=1e-9,
+                                       err_msg=f"{kind}@{T.fmt_ts(t)}")
+
+
+def test_extent():
+    a = tf("[Point(0 0)@2000-01-01, Point(2 2)@2000-01-03]")
+    b = tf("[Point(-1 5)@2000-01-02, Point(1 1)@2000-01-05]")
+    e = aggs.extent([a, b])
+    assert (e.xmin, e.xmax, e.ymin, e.ymax) == (-1.0, 2.0, 0.0, 5.0)
+    assert e.tmin == ts("2000-01-01") and e.tmax == ts("2000-01-05")
+
+
+def test_wcount_window_extension():
+    # two instants 1 day apart, window 1 day: counts overlap in between
+    a = tstep("1@2000-01-01")
+    b = tstep("1@2000-01-02")
+    day = 86400_000_000
+    got = aggs.wagg([a, b], "count", day)
+    assert got.value_at(ts("2000-01-01") + day // 2)[0] == 1.0
+    assert got.value_at(ts("2000-01-02"))[0] == 2.0
+    assert got.value_at(ts("2000-01-02") + day // 2)[0] == 1.0
+
+
+def test_spark_temporal_aggregate(spark):
+    import pandas as pd
+    rows = []
+    base = np.datetime64("2000-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # group 1: two members with overlapping [d1,d3] and [d2,d4]
+    for m, (s, n) in enumerate([(0, 3), (1, 3)]):
+        for i in range(n):
+            rows.append((1, m, base + (s + i) * day, 1.0))
+    pdf = pd.DataFrame(rows, columns=["gkey", "mkey", "t", "v"])
+    df = spark.createDataFrame(pdf)
+    got = aggs.temporal_aggregate(df, "count", linear=False).toPandas()
+    got = got.sort_values(["seq_idx", "t"]).reset_index(drop=True)
+    assert got["v"].tolist() == [1.0, 1.0, 2.0, 2.0, 1.0, 1.0]

@@ -1,0 +1,134 @@
+"""Datagen operator tests: dedup (exact/minhash/simhash), similarity
+(brute vs LSH recall), text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydb_spark.datagen import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    assert out["n_dups"].sum() == docs.count()
+
+
+def test_minhash_lsh_matches_bruteforce(spark, docs):
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8).toPandas()
+    brute = dedup.ngram_jaccard_pairs(docs.limit(200), threshold=0.8) \
+        .toPandas()
+    lsh_set = set(map(tuple, lsh[["id_i", "id_j"]].itertuples(index=False)))
+    brute_set = set(map(tuple,
+                        brute[["id_i", "id_j"]].itertuples(index=False)))
+    # LSH must find every brute pair within the restricted id range
+    assert brute_set <= lsh_set
+    assert len(lsh) >= len(brute_set)
+    # every reported pair really has jaccard >= 0.8 (exact verify step)
+    assert (lsh["jaccard"] >= 0.8).all()
+
+
+def test_simhash_near_pairs_find_exact_dups(spark, docs):
+    sigs = dedup.simhash_64(docs)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3).toPandas()
+    # exact duplicate texts must be found at hamming 0
+    dup_pairs = (docs.alias("a").join(docs.alias("b"),
+                 (F.col("a.text") == F.col("b.text"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .select(F.col("a.doc_id").alias("i"),
+                         F.col("b.doc_id").alias("j"))).toPandas()
+    got = set(map(tuple, pairs[["id_i", "id_j"]].itertuples(index=False)))
+    for i, j in dup_pairs.itertuples(index=False):
+        assert (i, j) in got or len(dup_pairs) == 0
+    if len(pairs):
+        assert (pairs["hamming"] <= 3).all()
+
+
+def test_lsh_topk_recall_vs_brute(spark, emb):
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    brute = similarity.brute_topk(q, c, 5).toPandas()
+    ann = similarity.lsh_topk(q, c, 5, probe_bits=1).toPandas()
+    assert set(ann["qid"]) == set(brute["qid"])
+    # every query returns exactly k ranked rows
+    assert (ann.groupby("qid").size() == 5).all()
+    # recall@5 of the ANN path vs brute
+    recall = 0.0
+    for qid, grp in brute.groupby("qid"):
+        b = set(grp["cid"])
+        a = set(ann[ann["qid"] == qid]["cid"])
+        recall += len(a & b) / 5
+    recall /= brute["qid"].nunique()
+    assert recall >= 0.6, recall
+
+
+def test_langid_matches_stopword_argmax(spark):
+    rows = [(1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist von zu"),
+            (3, "le chat et la maison est pour les"),
+            (4, "xyzzy qwerty plugh")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = dict(df.select("id", text.langid_col(F.col("text")).alias("lg"))
+               .collect())
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "de"  # zero hits everywhere → first code wins
+
+
+def test_quality_cols(spark, docs):
+    out = text.doc_quality(docs.limit(50)).toPandas()
+    assert (out["n_tokens"] > 0).all()
+    assert (out["distinct_ratio"] <= 1.0).all()
+    assert (out["n_chars"] == out["text"].str.len()).all()
+
+
+def test_rolling_fingerprints_detect_containment(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [(1, base), (2, base + " phi chi psi omega extra tail words"),
+            (3, "completely different words with no overlap at all here")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fp = df.select("id", text.rolling_fingerprints_col(F.col("text"))
+                   .alias("fp")).toPandas()
+    f = {r["id"]: set(r["fp"]) for _, r in fp.iterrows()}
+    if f[1]:
+        # doc2 contains doc1 → shares its fingerprints
+        assert f[1] <= f[2]
+        assert not (f[1] & f[3])
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world! x2 (ok)")],
+                               "id int, text string")
+    n = df.select(text.bpe_ish_count_col(F.col("text")).alias("n")).first()["n"]
+    # hello , world ! x 2 ( ok )  → 9
+    assert n == 9
+
+
+def test_multimodal_stub_pipeline(spark):
+    media = multimodal.fake_media(spark, 30)
+    feats = multimodal.extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert feats["decode_ok"].all()
+    assert (feats["feat"].str.len() == 16).all()
+    assert set(feats["kind"]) == {"image", "audio", "video"}
+    # deterministic across runs
+    feats2 = multimodal.extract_features(media).toPandas()
+    a = [tuple(map(float, f)) for f in feats.sort_values("media_id")["feat"]]
+    b = [tuple(map(float, f)) for f in feats2.sort_values("media_id")["feat"]]
+    assert a == b

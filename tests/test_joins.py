@@ -1,0 +1,112 @@
+"""Distributed join strategy tests: shuffle PIP (± salting), dwithin,
+kNN — each checked against a brute-force reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydb_spark import fixtures, geo, joins, pipeline
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    # extracted geotag points from the deterministic pages fixture
+    pages = fixtures.pages(spark, 400)
+    df = (pipeline.extract_points(pages)
+          .select("url", "tag_idx", "lon", "lat").cache())
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def grid_polys(spark):
+    return fixtures.polygons_pd("grid", 256)
+
+
+def _brute_pip(pts_pdf, polys_pdf):
+    want = set()
+    for _, prow in polys_pdf.iterrows():
+        g = geo.from_wkb(prow["geom_wkb"])
+        if g.is_empty:
+            continue
+        hit = geo.points_in_polygon(pts_pdf["lon"].to_numpy(),
+                                    pts_pdf["lat"].to_numpy(), g)
+        for i in np.nonzero(hit)[0]:
+            want.add((pts_pdf["url"].iloc[i], int(pts_pdf["tag_idx"].iloc[i]),
+                      int(prow["poly_id"])))
+    return want
+
+
+def test_shuffle_join_matches_bruteforce(spark, pts, grid_polys):
+    polys_df = spark.createDataFrame(
+        grid_polys, "poly_id bigint, layer string, geom_wkb binary, srid int")
+    got = joins.pip_join_shuffle(pts, polys_df, res=10)
+    got_set = {(r["url"], r["tag_idx"], r["poly_id"])
+               for r in got.collect()}
+    want = _brute_pip(pts.toPandas(), grid_polys)
+    assert got_set == want and len(want) > 0
+
+
+def test_shuffle_join_salted_same_result(spark, pts, grid_polys):
+    polys_df = spark.createDataFrame(
+        grid_polys, "poly_id bigint, layer string, geom_wkb binary, srid int")
+    # force-salt every populated cell: results must be identical
+    hot = [r["cell"] for r in
+           pts.select(joins.cells.cell_col(F.col("lon"), F.col("lat"), 10)
+                      .alias("cell")).distinct().collect()]
+    plain = joins.pip_join_shuffle(pts, polys_df, res=10)
+    salted = joins.pip_join_shuffle(pts, polys_df, res=10,
+                                    hot=hot, n_salts=4)
+    a = {(r["url"], r["tag_idx"], r["poly_id"]) for r in plain.collect()}
+    b = {(r["url"], r["tag_idx"], r["poly_id"]) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hot_cells_detects_skew_cluster(spark, pts):
+    # the fixtures put ~30% of tags in a 0.2° cluster at (8E, 50N)
+    hot = joins.hot_cells(pts, res=6, threshold=pts.count() // 10)
+    assert len(hot) >= 1
+    import mobilitydb_spark.cells as C
+    hot_cell = C.cell_np(np.array([8.0]), np.array([50.0]), 6)[0]
+    assert int(hot_cell) in [int(h) for h in hot]
+
+
+def test_dwithin_join_matches_bruteforce(spark, pts):
+    a = pts.select(F.concat_ws("#", "url", "tag_idx").alias("l_id"),
+                   "lon", "lat").limit(150).cache()
+    b = pts.select(F.concat_ws("#", "url", "tag_idx").alias("r_id"),
+                   "lon", "lat")
+    d = 0.5
+    got = {(r["l_id"], r["r_id"]) for r in
+           joins.dwithin_join(a, b, d, res=8).collect()}
+    apdf = a.toPandas()
+    bpdf = b.toPandas()
+    ax = apdf["lon"].to_numpy()[:, None]
+    ay = apdf["lat"].to_numpy()[:, None]
+    bx = bpdf["lon"].to_numpy()[None, :]
+    by = bpdf["lat"].to_numpy()[None, :]
+    dist = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+    want = {(apdf["l_id"].iloc[i], bpdf["r_id"].iloc[j])
+            for i, j in zip(*np.nonzero(dist <= d))}
+    assert got == want and len(want) > 0
+
+
+def test_knn_join_matches_bruteforce(spark, pts):
+    q = pts.select(F.concat_ws("#", "url", "tag_idx").alias("q_id"),
+                   "lon", "lat").limit(40).cache()
+    c = pts.select(F.concat_ws("#", "url", "tag_idx").alias("c_id"),
+                   "lon", "lat")
+    k = 5
+    got = joins.knn_join(q, c, k, res=8, rings=1).toPandas()
+    qpdf = q.toPandas()
+    cpdf = c.toPandas()
+    for _, qrow in qpdf.iterrows():
+        d = np.sqrt((cpdf["lon"] - qrow["lon"]) ** 2
+                    + (cpdf["lat"] - qrow["lat"]) ** 2)
+        mask = cpdf["c_id"] != qrow["q_id"]
+        order = sorted(zip(d[mask], cpdf["c_id"][mask]))[:k]
+        want_ids = [cid for _, cid in order]
+        got_ids = got[got["q_id"] == qrow["q_id"]] \
+            .sort_values("rank")["c_id"].tolist()
+        assert got_ids == want_ids, qrow["q_id"]

@@ -1,0 +1,104 @@
+"""Time set-operation + box/position operator tests (semantics from
+`src/timeops.c` via `test/queries/11_timeops.test.sql` conventions)."""
+
+from mobilitydb_spark import boxops, timeops
+from mobilitydb_spark import types as T
+
+
+def P(s):
+    return T.parse_period(s)
+
+
+def test_union_merges():
+    got = timeops.union([P("[2000-01-01, 2000-01-03)")],
+                        [P("[2000-01-03, 2000-01-05]")])
+    assert [str(p) for p in got] == \
+        ["[2000-01-01 00:00:00+00, 2000-01-05 00:00:00+00]"]
+
+
+def test_union_keeps_gap():
+    got = timeops.union([P("[2000-01-01, 2000-01-02)")],
+                        [P("(2000-01-02, 2000-01-03]")])
+    assert len(got) == 2
+
+
+def test_intersection_bounds():
+    got = timeops.intersection([P("[2000-01-01, 2000-01-04)")],
+                               [P("(2000-01-02, 2000-01-06]")])
+    assert [str(p) for p in got] == \
+        ["(2000-01-02 00:00:00+00, 2000-01-04 00:00:00+00)"]
+    assert timeops.intersection([P("[2000-01-01, 2000-01-02)")],
+                                [P("[2000-01-02, 2000-01-03]")]) == []
+
+
+def test_minus_splits():
+    got = timeops.minus([P("[2000-01-01, 2000-01-10]")],
+                        [P("[2000-01-03, 2000-01-05)")])
+    assert [str(p) for p in got] == [
+        "[2000-01-01 00:00:00+00, 2000-01-03 00:00:00+00)",
+        "[2000-01-05 00:00:00+00, 2000-01-10 00:00:00+00]"]
+
+
+def test_contains_overlaps():
+    a = [P("[2000-01-01, 2000-01-10]")]
+    b = [P("[2000-01-03, 2000-01-05)")]
+    assert timeops.contains(a, b)
+    assert not timeops.contains(b, a)
+    assert timeops.contained(b, a)
+    assert timeops.overlaps(a, b)
+
+
+def test_before_after_adjacent():
+    a = [P("[2000-01-01, 2000-01-02)")]
+    b = [P("[2000-01-02, 2000-01-03]")]
+    assert timeops.before(a, b)
+    assert timeops.after(b, a)
+    assert timeops.adjacent(a, b)
+    c = [P("(2000-01-02, 2000-01-03]")]
+    assert not timeops.adjacent(a, c)  # gap at the shared instant
+    d = [P("[2000-01-02, 2000-01-03]")]
+    assert timeops.adjacent(a, d)
+    e = [P("[2000-01-01, 2000-01-02]")]
+    assert not timeops.adjacent(e, d)  # overlap at the instant
+
+
+def test_overbefore_overafter():
+    a = [P("[2000-01-01, 2000-01-04]")]
+    b = [P("[2000-01-02, 2000-01-04]")]
+    assert timeops.overbefore(a, b) and timeops.overbefore(b, a)
+    assert timeops.overafter(b, a) and not timeops.overafter(a, b)
+
+
+def test_stbox_ops():
+    v1 = T.parse_temporal("[Point(0 0)@2000-01-01, Point(2 2)@2000-01-03]")
+    v2 = T.parse_temporal("[Point(1 1)@2000-01-02, Point(3 3)@2000-01-04]")
+    v3 = T.parse_temporal("[Point(5 5)@2000-01-05, Point(6 6)@2000-01-06]")
+    b1, b2, b3 = (boxops.STBox.of(v) for v in (v1, v2, v3))
+    assert boxops.overlaps(b1, b2)
+    assert not boxops.overlaps(b1, b3)
+    assert boxops.left(b1, b3) and boxops.below(b1, b3)
+    assert boxops.before(b1, b3)
+    assert boxops.right(b3, b1) and boxops.after(b3, b1)
+    big = b1.expand(10.0, 10 * 86400_000_000)
+    assert boxops.contains(big, b3)
+    assert boxops.contained(b3, big)
+    assert boxops.same(b1, boxops.STBox.of(v1))
+    assert boxops.overleft(b1, b2) and boxops.overbefore(b1, b2)
+
+
+def test_stbox_cols(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 100), (1, 2.0, 2.0, 200),
+         (2, 5.0, 5.0, 500), (2, 6.0, 6.0, 600)],
+        "key int, lon double, lat double, t long")
+    boxes = df.groupBy("key").agg(*boxops.stbox_agg_cols()) \
+        .select("key", F.struct("xmin", "xmax", "ymin", "ymax",
+                                "tmin", "tmax").alias("box"))
+    a = boxes.where("key = 1").select(F.col("box").alias("a"))
+    b = boxes.where("key = 2").select(F.col("box").alias("b"))
+    row = a.crossJoin(b).select(
+        boxops.overlaps_col(F.col("a"), F.col("b")).alias("ov"),
+        boxops.left_col(F.col("a"), F.col("b")).alias("lf"),
+        boxops.before_col(F.col("a"), F.col("b")).alias("bf")).first()
+    assert not row["ov"] and row["lf"] and row["bf"]
