@@ -646,3 +646,110 @@ def registry():  # noqa: F811 — extend again
     out = _BASE_REGISTRY2()
     out.update(_EXTRA2)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 4: ever/always, CRS transform, shuffle-join parity
+# --------------------------------------------------------------------------
+_BOX = (10.0, 40.0, 30.0, 60.0)  # lon_min, lat_min, lon_max, lat_max
+
+
+def q_traj_ever_in_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ever/always intersects(tpoint, box) per user over discrete
+    instant sets (`tpoint.c:452-545` ever_eq family; spatial variant
+    via the at_geometry kernel) — oracle: EXISTS / ALL in SQL."""
+    import pandas as pd
+    from . import geo as G
+    from .everops import intersects, within
+    from .types import Temporal
+    pts = _ev_points(spark, sf_dir)
+    ring = [[_BOX[0], _BOX[1]], [_BOX[2], _BOX[1]], [_BOX[2], _BOX[3]],
+            [_BOX[0], _BOX[3]], [_BOX[0], _BOX[1]]]
+    import numpy as np
+    box = G.from_wkb(G.polygon_wkb(np.array(ring)))
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
+        t = pdf["t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tv = Temporal.instant_set(t, pdf[["x", "y"]].to_numpy())
+        return pd.DataFrame([{
+            "key": key,
+            "ever_in": bool(intersects(tv, box)),
+            "always_in": bool(within(tv, box))}])
+
+    return (pts.groupBy("key")
+            .applyInPandas(agg, "key bigint, ever_in boolean, "
+                                "always_in boolean")
+            .orderBy("key"))
+
+
+_ORACLE_EVER_IN_BOX = f"""
+    WITH pts AS ({_EV_PTS})
+    SELECT key,
+           bool_or(x >= {_BOX[0]} AND x <= {_BOX[2]}
+                   AND y >= {_BOX[1]} AND y <= {_BOX[3]}) AS ever_in,
+           bool_and(x >= {_BOX[0]} AND x <= {_BOX[2]}
+                    AND y >= {_BOX[1]} AND y <= {_BOX[3]}) AS always_in
+    FROM pts GROUP BY key ORDER BY key
+"""
+
+
+def q_mercator_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → 3857 transform of derived doc points (the closed
+    form behind `transform`, `tpoint_spatialfuncs.c:262-435`)."""
+    from typing import Iterator
+    import pandas as pd
+    from .everops import lonlat_to_mercator
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+
+    def kernel(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            x, y = lonlat_to_mercator(pdf["lon"].to_numpy(),
+                                      pdf["lat"].to_numpy())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "mx": x.round(4), "my": y.round(4)})
+
+    return (pts.mapInPandas(kernel, "doc_id bigint, mx double, my double")
+            .orderBy("doc_id"))
+
+
+_ORACLE_MERCATOR = f"""
+    SELECT doc_id,
+           ROUND(6378137.0 * RADIANS({_LON}), 4) AS mx,
+           ROUND(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS({_LAT}) / 2.0)), 4)
+               AS my
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_pip_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHUFFLE-path spatial join (cell-cover equi-join + exact PIP
+    refine, `joins.pip_join_shuffle`) against the same BETWEEN oracle
+    as the broadcast path — both strategies must agree exactly."""
+    from . import fixtures, joins
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+    polys = spark.createDataFrame(
+        fixtures.polygons_pd("grid", _GRID_SIDE * _GRID_SIDE),
+        "poly_id bigint, layer string, geom_wkb binary, srid int")
+    out = joins.pip_join_shuffle(pts, polys, res=8)
+    return out.select("doc_id", "poly_id").orderBy("doc_id", "poly_id")
+
+
+_EXTRA3 = {
+    "traj_ever_in_box": (q_traj_ever_in_box, _ORACLE_EVER_IN_BOX),
+    "mercator_transform": (q_mercator_transform, _ORACLE_MERCATOR),
+    "pip_shuffle_join": (q_pip_shuffle_join, _oracle_pip_grid()),
+}
+
+_BASE_REGISTRY3 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY3()
+    out.update(_EXTRA3)
+    return out
