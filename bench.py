@@ -55,6 +55,11 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # JVM/JIT + Arrow warm-up (untimed): the first query in a fresh
+    # session otherwise absorbs codegen/JIT cost and skews per-core
+    # comparisons
+    pipeline.flagship(pages.limit(5000), admin, zoom=12).count()
+
     # headline: flagship spatial join + tile assignment (pages/sec basis)
     run("flagship_pip_tiles",
         lambda: pipeline.flagship(pages, admin, zoom=12).count())
@@ -81,7 +86,7 @@ def main() -> None:
                                   "lon", "lat").cache()
     cpts = pts.select(SF.col("pt_id").alias("c_id"), "lon", "lat")
     run("knn_join_k5",
-        lambda: joins.knn_join(qpts, cpts, 5, res=9, rings=1).count())
+        lambda: joins.knn_join(qpts, cpts, 5).count())
 
     # registry queries over driver tables
     reg = queries.registry()

@@ -228,64 +228,117 @@ def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
 # ---------------------------------------------------------------------------
 
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
-             res: int = 8, rings: int = 2,
+             resolutions: tuple[int, ...] = (14, 11, 8), rings: int = 1,
+             target_cands: int = 64,
              query_id: str = "q_id", cand_id: str = "c_id") -> DataFrame:
     """k nearest candidate points per query point (planar degrees).
 
-    Phase 1: ring-expansion candidate generation — each query explodes
-    to grid_disk(rings) at ``res`` and equi-joins candidates on cell;
-    per-query top-k by exact distance (partitioned window, no global
-    sort).  Phase 2 (correctness guarantee, `|=|` must equal true NAD
-    ordering): a query whose k-th candidate distance exceeds the
-    guaranteed-covered radius ``rings · cell_height`` — or that found
-    fewer than k — re-runs in a brute-force pass over the (typically
-    tiny) remainder via a crossJoin.
+    **Density-adaptive resolution** — the skew answer for kNN: a
+    single grid resolution can't serve both a Zipf hot cluster (one
+    coarse cell holding 30% of all points → quadratic candidate
+    blow-up) and sparse regions (fine cells empty → no candidates).
+    Instead:
+
+    1. count candidates per cell at each resolution (3 cheap
+       counts-only aggregations, map-side combined);
+    2. each query picks the FINEST resolution whose own-cell count
+       already reaches ``target_cands`` (broadcast count join), so hot
+       queries search small cells and sparse queries coarse ones;
+    3. queries explode to grid_disk(rings) at their chosen resolution
+       and equi-join candidates on that resolution's cell; per-query
+       top-k by exact distance (partitioned window, no global sort);
+    4. correctness guarantee (`|=|` must equal true NAD ordering,
+       `56_tpoint_spatialfuncs.in.sql:186-214`): a query whose k-th
+       distance exceeds the covered radius ``rings · cell_height`` —
+       or that found fewer than k — re-runs in a brute pass over the
+       (small) remainder.
     """
     from pyspark.sql import Window
-    n = 1 << res
-    cell_h = 180.0 / n
-    guarantee = rings * cell_h
+    resolutions = tuple(sorted(resolutions, reverse=True))
+    finest = resolutions[0]
 
-    qpts = queries.withColumn(
-        "cell", cells.cell_col(F.col("lon"), F.col("lat"), res))
-    disk_schema = StructType(list(qpts.schema.fields)
-                             + [StructField("jcell", LongType())])
-
-    def explode_disk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), rings)
-            m = disk.shape[1]
-            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
-            rep["jcell"] = disk.ravel()
-            rep = rep.drop_duplicates(subset=[query_id, "jcell"],
-                                      ignore_index=True)
-            yield rep
-
-    qexp = qpts.mapInPandas(explode_disk, disk_schema)
     cpts = candidates.select(
         F.col(cand_id), F.col("lon").alias("c_lon"),
-        F.col("lat").alias("c_lat")).withColumn(
-        "jcell", cells.cell_col(F.col("c_lon"), F.col("c_lat"), res))
-    cand = qexp.join(cpts, "jcell").where(F.col(query_id) != F.col(cand_id))
+        F.col("lat").alias("c_lat"))
+    for r in resolutions:
+        cpts = cpts.withColumn(
+            f"cell{r}", cells.cell_col(F.col("c_lon"), F.col("c_lat"), r))
+    cpts = cpts.persist()
+
+    qpts = queries
+    for r in resolutions:
+        qpts = qpts.withColumn(
+            f"cell{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
+
+    # per-query resolution choice: finest level whose own cell already
+    # holds >= target_cands candidates (counts broadcast — tiny)
+    chosen = F.lit(resolutions[-1])
+    for r in resolutions[:-1]:
+        cnt = (cpts.groupBy(F.col(f"cell{r}").alias("cell"))
+               .count().where(F.col("count") >= target_cands)
+               .withColumnRenamed("count", f"cnt{r}"))
+        qpts = qpts.join(F.broadcast(cnt),
+                         qpts[f"cell{r}"] == cnt["cell"], "left") \
+                   .drop("cell")
+    # build the chosen-resolution expression finest-first
+    expr = F.lit(resolutions[-1])
+    for r in reversed(resolutions[:-1]):
+        expr = F.when(F.col(f"cnt{r}").isNotNull(), F.lit(r)).otherwise(expr)
+    qpts = qpts.withColumn("res", expr)
+
+    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(cand_id))
     dist = F.sqrt((F.col("lon") - F.col("c_lon")) ** 2
                   + (F.col("lat") - F.col("c_lat")) ** 2)
-    w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(cand_id))
-    ranked = (cand.select(query_id, cand_id, dist.alias("dist"))
+
+    parts = []
+    for r in resolutions:
+        q_r = qpts.where(F.col("res") == r) \
+            .select(query_id, "lon", "lat", F.col(f"cell{r}").alias("cell"))
+        disk_schema = StructType(list(q_r.schema.fields)
+                                 + [StructField("jcell", LongType())])
+
+        def explode_disk(batches: Iterator[pd.DataFrame],
+                         ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                disk = cells.grid_disk_np(pdf["cell"].to_numpy(), rings)
+                m = disk.shape[1]
+                rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+                rep["jcell"] = disk.ravel()
+                rep = rep.drop_duplicates(subset=[query_id, "jcell"],
+                                          ignore_index=True)
+                yield rep
+
+        qexp = q_r.mapInPandas(explode_disk, disk_schema)
+        cand = qexp.join(
+            cpts.withColumnRenamed(f"cell{r}", "jcell")
+                .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell") \
+            .where(F.col(query_id) != F.col(cand_id))
+        guarantee = rings * 180.0 / (1 << r)
+        parts.append(
+            cand.select(query_id, cand_id, dist.alias("dist"),
+                        F.lit(guarantee).alias("guarantee")))
+    allcand = parts[0]
+    for p in parts[1:]:
+        allcand = allcand.unionByName(p)
+    # persist: feeds the guarantee check, keep-side anti-join, fallback
+    ranked = (allcand
               .withColumn("rank", F.row_number().over(w))
-              .where(F.col("rank") <= k))
+              .where(F.col("rank") <= k)).persist()
 
-    # guarantee check: kth distance must be inside the searched radius
     per_q = ranked.groupBy(query_id).agg(
-        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"))
-    bad = per_q.where((F.col("found") < k)
-                      | (F.col("dmax") > F.lit(guarantee))) \
+        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"),
+        F.max("guarantee").alias("g"))
+    bad = per_q.where((F.col("found") < k) | (F.col("dmax") > F.col("g"))) \
                .select(query_id)
-    good = ranked.join(bad, query_id, "left_anti")
-
-    redo_q = queries.join(bad, query_id)  # typically a handful of rows
-    brute = (redo_q.crossJoin(cpts.drop("jcell"))
+    n_bad = bad.count()  # materializes `ranked` exactly once
+    keep = ranked.select(query_id, cand_id, "dist", "rank")
+    if n_bad == 0:
+        return keep
+    good = keep.join(bad, query_id, "left_anti")
+    redo_q = queries.join(bad, query_id)  # n_bad rows only
+    brute = (redo_q.crossJoin(cpts.select(cand_id, "c_lon", "c_lat"))
              .where(F.col(query_id) != F.col(cand_id))
              .select(query_id, cand_id, dist.alias("dist"))
              .withColumn("rank", F.row_number().over(w))

@@ -32,6 +32,20 @@ TurnFn = Callable[[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int],
                   list[int]]
 
 
+def ensure_compatible(a: Temporal, b: Temporal) -> None:
+    """Mixed SRID / mixed dimensionality is an error, matching
+    ``ensure_same_srid_tpoint`` / ``ensure_same_dimensionality``
+    (`point/src/tpoint_spatialfuncs.c:36-74`; exercised by the
+    62_tpoint_distance error cases)."""
+    if a.srid and b.srid and a.srid != b.srid:
+        raise ValueError(
+            f"operation on mixed SRID is not allowed ({a.srid} vs {b.srid})")
+    if a.dim != b.dim:
+        raise ValueError(
+            f"operation on mixed dimensionality is not allowed "
+            f"({a.dim}D vs {b.dim}D)")
+
+
 def _result_dur(a: Temporal, b: Temporal, n_seqs: int) -> int:
     if a.duration == INSTANT or b.duration == INSTANT:
         return INSTANT
@@ -117,6 +131,7 @@ def lift_binary(f: Callable[[np.ndarray, np.ndarray], np.ndarray],
                 result_step_default: bool = False) -> Temporal | None:
     """Lift a vectorized binary kernel f(A, B) -> V over two temporal
     values (sync_tfunc2 family, `lifting.c:500+`)."""
+    ensure_compatible(a, b)
     pieces = synchronize(a, b, turnfn)
     if not pieces:
         return None

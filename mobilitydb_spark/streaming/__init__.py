@@ -1,0 +1,5 @@
+"""Streaming tile ingest (engine extension — the reference is strictly
+batch, SURVEY §2.11; this demonstrates the same operator surface over
+Structured Streaming for continuously-arriving crawl data)."""
+
+from .tile_ingest import stream_tile_counts  # noqa: F401

@@ -98,7 +98,8 @@ def test_knn_join_matches_bruteforce(spark, pts):
     c = pts.select(F.concat_ws("#", "url", "tag_idx").alias("c_id"),
                    "lon", "lat")
     k = 5
-    got = joins.knn_join(q, c, k, res=8, rings=1).toPandas()
+    got = joins.knn_join(q, c, k, resolutions=(12, 10, 8),
+                         rings=1, target_cands=8).toPandas()
     qpdf = q.toPandas()
     cpdf = c.toPandas()
     for _, qrow in qpdf.iterrows():

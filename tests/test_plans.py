@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the properties the 100 TB design depends on:
+column pruning reaches the scan, hot paths stay in whole-stage
+codegen (no Python eval nodes), the shuffle join keys on the cell,
+and small dimensions broadcast."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydb_spark import cells, fixtures, joins, pipeline, tiles
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    fixtures.pages(spark, 300).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_extraction_prunes_html_column(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    pts = pipeline.extract_points(pages)
+    plan = _plan(pts)
+    # column pruning must reach the parquet scan: html (the widest
+    # column) is never read
+    scan_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_line, plan
+    assert "html" not in scan_line[0]
+    assert "text" in scan_line[0]
+
+
+def test_extraction_and_tiles_are_udf_free(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    df = tiles.assign_tiles(
+        pipeline.with_cell(pipeline.extract_points(pages)))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # `*(n)` prefixes mark whole-stage-codegen stages in toString()
+    assert "*(1)" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path).where(F.col("lang") == "en")
+    plan = _plan(pipeline.extract_points(pages))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_shuffle_join_keys_on_cell(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    pts = pipeline.extract_points(pages)
+    polys = spark.createDataFrame(
+        fixtures.polygons_pd("grid", 64),
+        "poly_id bigint, layer string, geom_wkb binary, srid int")
+    out = joins.pip_join_shuffle(pts, polys, res=8)
+    plan = _optimized(out)
+    assert "jcell" in plan           # the equi-join key is the cell
+    assert "CartesianProduct" not in _plan(out)
+
+
+def test_small_dim_broadcasts(spark, pages_path):
+    li = spark.range(0, 10000).withColumn("k", F.pmod("id", F.lit(100)))
+    dim = spark.range(0, 100).select(F.col("id").alias("k"),
+                                     F.lit("x").alias("v"))
+    joined = li.join(F.broadcast(dim), "k")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_pyramid_is_two_shuffles(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    pyr = tiles.build_pyramid(pipeline.extract_points(pages),
+                              max_zoom=12, min_zoom=0)
+    plan = _plan(pyr)
+    # one exchange for the base groupBy, one for the rollup groupBy
+    # (final AQE reads may add coalesces but no extra wide shuffles)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"pyramid plan has {n_exchanges} shuffles"
