@@ -247,59 +247,33 @@ def extent(values: list[Temporal]):
 
 def wagg(values: list[Temporal], kind: str, window_us: int) -> Temporal | None:
     """Window aggregates w{count,sum,min,max,avg}
-    (`src/temporal_waggfuncs.c:31-60`): every input extended by the
-    interval before aggregating (step semantics)."""
-    extended = []
+    (`src/temporal_waggfuncs.c:31-60`): every instant/segment extended
+    by the interval and aggregated as an independent piece — pieces of
+    the SAME input that overlap after extension aggregate with each
+    other too (``temporalinst_extend`` emits one sequence per
+    instant/segment, each a separate skiplist splice)."""
+    pieces: list[Temporal] = []
     for v in values:
-        seqs = []
+        if v is None:
+            continue
         for s in v.seqs:
             if len(s.times) == 1:
-                seqs.append(Seq(
+                pieces.append(Temporal(SEQUENCE, [Seq(
                     np.array([s.times[0], s.times[0] + window_us]),
-                    np.vstack([s.values[0], s.values[0]]), True, True))
+                    np.vstack([s.values[0], s.values[0]]), True, True)],
+                    False, v.srid, True))
             else:
                 for i in range(len(s.times) - 1):
-                    seqs.append(Seq(
+                    pieces.append(Temporal(SEQUENCE, [Seq(
                         np.array([s.times[i], s.times[i + 1] + window_us]),
-                        np.vstack([s.values[i], s.values[i]]), True, False))
+                        np.vstack([s.values[i], s.values[i]]), True, False)],
+                        False, v.srid, True))
                 if s.upper_inc:
-                    seqs.append(Seq(
+                    pieces.append(Temporal(SEQUENCE, [Seq(
                         np.array([s.times[-1], s.times[-1] + window_us]),
-                        np.vstack([s.values[-1], s.values[-1]]), True, True))
-        from .types import normalize_periods
-        ext = Temporal(SEQUENCESET, _merge_overlapping(seqs), False,
-                       v.srid, True)
-        extended.append(ext)
-    return tagg(extended, kind)
-
-
-def _merge_overlapping(seqs: list[Seq]) -> list[Seq]:
-    """Make step sequences disjoint by keeping the later piece's value
-    on overlaps (the extend kernel produces per-segment constant
-    pieces; for window aggs each input contributes its own constant
-    pieces that may chain — merge on equal values, split otherwise)."""
-    seqs = sorted(seqs, key=lambda s: (int(s.times[0]), int(s.times[-1])))
-    out: list[Seq] = []
-    for s in seqs:
-        if not out:
-            out.append(s)
-            continue
-        last = out[-1]
-        if int(s.times[0]) >= int(last.times[-1]):
-            out.append(s)
-            continue
-        # overlap: truncate the earlier piece at the later's start
-        cut = int(s.times[0])
-        keep = last.times < cut
-        if keep.any():
-            out[-1] = Seq(np.append(last.times[keep], cut),
-                          np.vstack([last.values[keep],
-                                     last.values[keep][-1:]]),
-                          last.lower_inc, False)
-            out.append(s)
-        else:
-            out[-1] = s
-    return out
+                        np.vstack([s.values[-1], s.values[-1]]), True, True)],
+                        False, v.srid, True))
+    return tagg(pieces, kind)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +283,8 @@ def _merge_overlapping(seqs: list[Seq]) -> list[Seq]:
 def temporal_aggregate(points: DataFrame, kind: str, group: str = "gkey",
                        member: str = "mkey", t: str = "t",
                        value_cols: tuple[str, ...] = ("v",),
-                       linear: bool = True) -> DataFrame:
+                       linear: bool = True,
+                       discrete: bool = False) -> DataFrame:
     """GROUP BY ``group`` temporal aggregation: rows are instants of
     per-``member`` temporal values; the kernel merges members inside
     each group (Agg node analog of `36_temporal_aggfuncs.in.sql`).
@@ -329,8 +304,14 @@ def temporal_aggregate(points: DataFrame, kind: str, group: str = "gkey",
         members = []
         for _, mdf in pdf.groupby(member):
             mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
-            members.append(temporal_from_pdf(mdf, t, value_cols,
-                                             linear=linear))
+            if discrete:
+                tt = mdf[t].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                members.append(Temporal.instant_set(
+                    tt, mdf[list(value_cols)].to_numpy()))
+            else:
+                members.append(temporal_from_pdf(mdf, t, value_cols,
+                                                 linear=linear))
         result = tagg(members, kind)
         rows = []
         if result is not None:

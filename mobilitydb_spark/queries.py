@@ -753,3 +753,41 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY3()
     out.update(_EXTRA3)
     return out
+
+
+def q_tagg_tcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal COUNT aggregate over discrete per-user instant sets
+    (`temporal_aggfuncs.c:1739` tcount): the value at each instant is
+    the number of users defined there — oracle: per-timestamp COUNT."""
+    from . import aggs
+    pts = _ev_points(spark, sf_dir).select(
+        F.lit(1).alias("gkey"), F.col("key").alias("mkey"), "t", "v")
+    out = aggs.temporal_aggregate(pts, "count", discrete=True)
+    return (out.select(
+                F.col("t"),
+                F.col("v").cast("bigint").alias("n_defined"))
+            .withColumn("t_epoch",
+                        F.unix_timestamp("t").cast("bigint") * 1000000
+                        + F.date_format("t", "SSSSSS").cast("bigint"))
+            .select("t_epoch", "n_defined")
+            .orderBy("t_epoch"))
+
+
+_ORACLE_TAGG_TCOUNT = f"""
+    WITH pts AS ({_EV_PTS})
+    SELECT CAST(epoch_us(t) AS BIGINT) AS t_epoch,
+           COUNT(DISTINCT key) AS n_defined
+    FROM pts GROUP BY t ORDER BY t_epoch
+"""
+
+_EXTRA4 = {
+    "tagg_tcount": (q_tagg_tcount, _ORACLE_TAGG_TCOUNT),
+}
+
+_BASE_REGISTRY4 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY4()
+    out.update(_EXTRA4)
+    return out

@@ -148,3 +148,14 @@ def test_spark_temporal_aggregate(spark):
     got = aggs.temporal_aggregate(df, "count", linear=False).toPandas()
     got = got.sort_values(["seq_idx", "t"]).reset_index(drop=True)
     assert got["v"].tolist() == [1.0, 1.0, 2.0, 2.0, 1.0, 1.0]
+
+
+def test_wcount_single_input_overlap():
+    """Extensions of the SAME input overlap and aggregate with each
+    other (temporalinst_extend emits independent pieces)."""
+    v = tstep("{1@2000-01-01, 1@2000-01-02}")
+    day = 86400_000_000
+    got = aggs.wagg([v], "count", 2 * day)
+    assert got.value_at(ts("2000-01-02 12:00:00"))[0] == 2.0
+    assert got.value_at(ts("2000-01-01 12:00:00"))[0] == 1.0
+    assert got.value_at(ts("2000-01-03 12:00:00"))[0] == 1.0
