@@ -764,12 +764,8 @@ def q_tagg_tcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("gkey"), F.col("key").alias("mkey"), "t", "v")
     out = aggs.temporal_aggregate(pts, "count", discrete=True)
     return (out.select(
-                F.col("t"),
+                F.unix_micros("t").alias("t_epoch"),
                 F.col("v").cast("bigint").alias("n_defined"))
-            .withColumn("t_epoch",
-                        F.unix_timestamp("t").cast("bigint") * 1000000
-                        + F.date_format("t", "SSSSSS").cast("bigint"))
-            .select("t_epoch", "n_defined")
             .orderBy("t_epoch"))
 
 

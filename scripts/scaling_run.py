@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Scaling-efficiency measurement (north rule: same job, two
+parallelism levels, efficiency ≥ 0.8).
+
+Runs the heavy spatial workload — flagship PIP+tiles over 1M pages,
+tile pyramid, shuffle PIP join — ``--reps`` times at one master and
+prints per-op MEDIANS as one JSON line.  Medians + a big input kill
+the two artifacts that invalidated naive runs on this shared host:
+straggler spikes from neighbor noise, and fixed-overhead domination
+at small inputs.
+
+Usage:  python scripts/scaling_run.py --cpus 8 [--reps 3] [--pages 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pages", type=int, default=4_000_000)
+    ap.add_argument("--join-pages", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from mobilitydb_spark import fixtures, joins, pipeline, tiles
+    from mobilitydb_spark.session import get_spark
+
+    # 4x cores shuffle partitions: multiple waves even out stragglers
+    spark = get_spark("scaling", master=f"local[{args.cpus}]",
+                      shuffle_partitions=4 * args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pages_at(n):
+        path = os.path.join(REPO, ".cache", "bench", f"pages_{n}.parquet")
+        if not os.path.exists(path):
+            fixtures.pages(spark, n, partitions=256) \
+                .write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    pages = pages_at(args.pages)
+    jpages = pages_at(args.join_pages)
+    admin = fixtures.polygons_pd("admin", 64)
+    grid_df = spark.createDataFrame(
+        fixtures.polygons_pd("grid", 4096),
+        "poly_id bigint, layer string, geom_wkb binary, srid int")
+
+    ops = {
+        "flagship": lambda: pipeline.flagship(pages, admin, zoom=12).count(),
+        "pyramid": lambda: tiles.build_pyramid(
+            pipeline.extract_points(pages), max_zoom=12, min_zoom=0).count(),
+        "pip_shuffle": lambda: joins.pip_join_shuffle(
+            pipeline.extract_points(jpages), grid_df, res=10).count(),
+    }
+    for fn in ops.values():  # warm-up EVERY op untimed (JIT + workers)
+        fn()
+
+    med: dict[str, float] = {}
+    raw: dict[str, list[float]] = {k: [] for k in ops}
+    for _ in range(args.reps):
+        for name, fn in ops.items():
+            t0 = time.time()
+            fn()
+            raw[name].append(round(time.time() - t0, 3))
+    for name in ops:
+        med[name] = round(statistics.median(raw[name]), 3)
+    print(json.dumps({
+        "cpus": args.cpus, "n_pages": args.pages, "reps": args.reps,
+        "median_sec": med, "raw_sec": raw,
+        "flagship_pages_per_sec": round(args.pages / med["flagship"], 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
