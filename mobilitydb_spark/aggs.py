@@ -84,8 +84,59 @@ def _value_on(seq: Seq, t_lo: int, t_hi: int, linear: bool):
     return v0, v1
 
 
-def _defined_at(tv: Temporal, t: int):
-    return tv.value_at(t)
+def _values_at_many(tv: Temporal, ts: np.ndarray):
+    """Vectorized value_at over many timestamps:
+    returns (values (B, dim), defined_mask (B,))."""
+    B = len(ts)
+    vals = np.zeros((B, tv.dim))
+    mask = np.zeros(B, dtype=bool)
+    for s in tv.seqs:
+        lo, hi = int(s.times[0]), int(s.times[-1])
+        inside = (ts >= lo) & (ts <= hi)
+        if not s.lower_inc:
+            inside &= ts > lo
+        if not s.upper_inc:
+            inside &= ts < hi
+        if not inside.any():
+            continue
+        tt = ts[inside]
+        idx = np.searchsorted(s.times, tt, side="right") - 1
+        idx = np.clip(idx, 0, len(s.times) - 1)
+        exact = s.times[idx] == tt
+        if tv.linear and len(s.times) > 1:
+            nxt = np.clip(idx + 1, 0, len(s.times) - 1)
+            t0 = s.times[idx].astype(np.float64)
+            t1 = s.times[nxt].astype(np.float64)
+            dt = np.where(t1 > t0, t1 - t0, 1.0)
+            r = (tt.astype(np.float64) - t0) / dt
+            v = s.values[idx] + (s.values[nxt] - s.values[idx]) * r[:, None]
+            v[exact] = s.values[idx[exact]]
+        else:
+            v = s.values[idx]
+        vals[inside] = v
+        mask[inside] = True
+    return vals, mask
+
+
+def _combine_matrix(kind: str, vals: np.ndarray, mask: np.ndarray):
+    """Columnwise combine over (M, B, dim) values with (M, B) mask →
+    (B, dim) result + (B,) any-defined."""
+    any_def = mask.any(axis=0)
+    cnt = mask.sum(axis=0).astype(np.float64)
+    cnt_safe = np.where(cnt == 0, 1.0, cnt)
+    if kind == "count":
+        return cnt[:, None], any_def
+    m3 = mask[:, :, None]
+    if kind in ("and", "min"):
+        return np.where(m3, vals, np.inf).min(axis=0), any_def
+    if kind in ("or", "max"):
+        return np.where(m3, vals, -np.inf).max(axis=0), any_def
+    s = np.where(m3, vals, 0.0).sum(axis=0)
+    if kind == "sum":
+        return s, any_def
+    if kind in ("avg", "centroid"):
+        return s / cnt_safe[:, None], any_def
+    raise ValueError(kind)
 
 
 def tagg(values: list[Temporal], kind: str) -> Temporal | None:
@@ -104,14 +155,16 @@ def tagg(values: list[Temporal], kind: str) -> Temporal | None:
     bounds = np.unique(np.concatenate([v.times for v in values]))
 
     # 2. elementary pieces → atoms
-    knots: list[tuple[int, np.ndarray]] = []
+    # knots, fully vectorized: one searchsorted pass per member
+    per_member = [_values_at_many(v, bounds) for v in values]
+    all_vals = np.stack([vm[0] for vm in per_member])
+    all_mask = np.stack([vm[1] for vm in per_member])
+    kvals, kdef = _combine_matrix(kind, all_vals, all_mask)
+    knots: list[tuple[int, np.ndarray]] = [
+        (int(bounds[i]), kvals[i]) for i in np.nonzero(kdef)[0]]
     intervals: list[tuple[int, int, np.ndarray, np.ndarray]] = []
-    for t in bounds:
-        act = [v.value_at(int(t)) for v in values]
-        act = [a for a in act if a is not None]
-        if act:
-            knots.append((int(t), _combine(kind, np.vstack(act))))
-    for a, b in zip(bounds[:-1], bounds[1:]):
+    all_discrete = all(v.duration in (INSTANT, INSTANTSET) for v in values)
+    for a, b in ([] if all_discrete else zip(bounds[:-1], bounds[1:])):
         a, b = int(a), int(b)
         segs = []
         for v in values:
@@ -187,6 +240,12 @@ def tagg(values: list[Temporal], kind: str) -> Temporal | None:
     for at in atoms:
         if at[0] == "k":
             t, v = at[1], at[2]
+            if pending_knot is not None:
+                # previous knot was never absorbed by an interval →
+                # it is an isolated instant
+                kt, kv = pending_knot
+                seqs.append(Seq(np.array([kt], dtype=np.int64), kv[None, :]))
+                pending_knot = None
             if cur_t and cur_t[-1] == t:
                 if close(cur_v[-1], v):
                     cur_hi_inc = True

@@ -148,3 +148,69 @@ def run_partitioned(spark: SparkSession, pages: DataFrame,
         with open(os.path.join(lineage_dir, f"bucket-{b}.json"), "w") as f:
             f.write(json.dumps(row) + "\n")
     return stats
+
+
+def pip_join_broadcast_jvm(points: DataFrame, polygons_pdf: pd.DataFrame,
+                           index_res: int = 7) -> DataFrame:
+    """Broadcast PIP join with a FULLY-JVM refine (no Python at all).
+
+    The even-odd ray cast runs as Catalyst expressions over a
+    broadcast per-polygon edge array: candidates come from a
+    broadcast equi-join on the polygon's cell cover, the crossing
+    count is ``size(filter(edges, crossing_test))`` — one
+    whole-stage-codegen pipeline from parquet scan to join output.
+    Semantics equal the numpy kernel except exact-boundary points
+    (the kernel counts them inside via BOUNDARY_EPS; the expression
+    uses pure parity) — measure-zero for real coordinates.
+
+    Scale note: this is the preferred flagship path — the pandas
+    variant (`pip_join_broadcast`) is Arrow-feed-bound in local mode;
+    this one scales with the scan.
+    """
+    import numpy as np
+    from pyspark.sql.types import Row
+    from . import cells as C
+
+    spark = points.sparkSession
+    cover_rows = []
+    edge_rows = []
+    for pid, wkb in zip(polygons_pdf["poly_id"], polygons_pdf["geom_wkb"]):
+        g = geo.from_wkb(wkb)
+        b = g.bounds()
+        if b is None:
+            continue
+        for c in C.cover_bbox_np(*b, res=index_res):
+            cover_rows.append((int(c), int(pid)))
+        edges = []
+        for ring, _ in g.rings():
+            for i in range(len(ring) - 1):
+                edges.append({"x1": float(ring[i, 0]), "y1": float(ring[i, 1]),
+                              "x2": float(ring[i + 1, 0]),
+                              "y2": float(ring[i + 1, 1])})
+        edge_rows.append((int(pid), edges))
+    cover = spark.createDataFrame(cover_rows, "jcell bigint, poly_id bigint")
+    edges_df = spark.createDataFrame(
+        edge_rows, "poly_id bigint, edges array<struct<x1:double,y1:double,"
+                   "x2:double,y2:double>>")
+
+    out_parts = []
+    res_list = sorted({c >> C.R_BITS for c, _ in cover_rows})
+    for r in res_list:
+        cov_r = cover.where(F.shiftright("jcell", C.R_BITS) == r)
+        pts_r = points.withColumn(
+            "jcell", C.cell_col(F.col("lon"), F.col("lat"), int(r)))
+        cand = (pts_r.join(F.broadcast(cov_r), "jcell")
+                .join(F.broadcast(edges_df), "poly_id"))
+        px, py = F.col("lon"), F.col("lat")
+        crossing = lambda e: (
+            ((e["y1"] > py) != (e["y2"] > py))
+            & (px < e["x1"] + (py - e["y1"]) / (e["y2"] - e["y1"])
+               * (e["x2"] - e["x1"])))
+        inside = F.pmod(F.size(F.filter(F.col("edges"), crossing)),
+                        F.lit(2)) == 1
+        out_parts.append(cand.where(inside)
+                         .select(*points.columns, "poly_id"))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
