@@ -171,3 +171,144 @@ def geo_m_to_tpoint(wkb: bytes, srid: int = 4326,
     times = (arr[:, 2] * 1e6).round().astype(np.int64)
     return Temporal.sequence(times, arr[:, :2], srid=srid, linear=linear,
                              normalize=False)
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM-style predicates on the trajectory (§2.9 remainder;
+# `tpoint_spatialrels.c:300-1423` — the reference applies the plain
+# GEOS predicate to the trajectory geometry; here on our exact kernels)
+# ---------------------------------------------------------------------------
+
+def _strictly_inside_frac(tv: Temporal, g: geo.Geometry) -> tuple[bool, bool]:
+    """(some position strictly inside interior, some position outside).
+
+    Probes the at_geometry pieces' midpoints + points outside the
+    covered time domain — exact for polygonal geometries because
+    interior membership is constant between boundary crossings."""
+    from .restrict import at_periodset, complement_periods
+    ps = at_geometry_periods(tv, g)
+    some_inside = False
+    if ps:
+        inside_part = at_periodset(tv, ps, force_set=True)
+        for s in inside_part.seqs:
+            # midpoint of each piece: strictly inside unless the piece
+            # runs along the boundary
+            if len(s.times) == 1:
+                pts = s.values
+            else:
+                pts = (s.values[:-1] + s.values[1:]) / 2.0
+            d = geo.point_polygon_dist(pts[:, 0], pts[:, 1], g)
+            inside = geo.points_in_polygon(pts[:, 0], pts[:, 1], g)
+            if bool(np.any(inside & (d == 0.0) & ~_on_boundary(pts, g))):
+                some_inside = True
+                break
+    comp = complement_periods(ps) if ps else None
+    if ps:
+        outside_part = at_periodset(tv, comp, force_set=True)
+        some_outside = outside_part is not None
+    else:
+        some_outside = True
+    return some_inside, some_outside
+
+
+def _on_boundary(pts: np.ndarray, g: geo.Geometry,
+                 eps: float = geo.EPSILON) -> np.ndarray:
+    out = np.zeros(len(pts), dtype=bool)
+    for ring, _ in g.rings():
+        if len(ring) < 2:
+            continue
+        d, _ = geo.point_segment_dist(pts[:, 0:1], pts[:, 1:2],
+                                      ring[:-1, 0], ring[:-1, 1],
+                                      ring[1:, 0], ring[1:, 1])
+        out |= (d.min(axis=1) <= eps)
+    return out
+
+
+def contains(g: geo.Geometry, tv: Temporal) -> bool | None:
+    """contains(geom, tpoint): trajectory in interior+boundary with at
+    least one interior position (GEOS contains semantics)."""
+    if g.is_empty:
+        return None
+    some_in, some_out = _strictly_inside_frac(tv, g)
+    return (not some_out) and some_in
+
+
+def covers(g: geo.Geometry, tv: Temporal) -> bool | None:
+    """covers(geom, tpoint): no position outside."""
+    if g.is_empty:
+        return None
+    return within(tv, g)
+
+
+def coveredby(tv: Temporal, g: geo.Geometry) -> bool | None:
+    return covers(g, tv)
+
+
+def touches(tv: Temporal, g: geo.Geometry) -> bool | None:
+    """touches: boundary contact only — intersects but never enters
+    the interior."""
+    if g.is_empty:
+        return None
+    if not intersects(tv, g):
+        return False
+    some_in, _ = _strictly_inside_frac(tv, g)
+    return not some_in
+
+
+def crosses(tv: Temporal, g: geo.Geometry) -> bool | None:
+    """crosses(line, area): interiors intersect AND the trajectory is
+    not contained (enters and leaves)."""
+    if g.is_empty:
+        return None
+    some_in, some_out = _strictly_inside_frac(tv, g)
+    return some_in and some_out
+
+
+def overlaps_rel(tv: Temporal, g: geo.Geometry) -> bool | None:
+    """overlaps is dimensionally impossible for line×area (GEOS
+    returns false); kept for surface parity."""
+    if g.is_empty:
+        return None
+    return False
+
+
+# -- temporal variants (→ tbool; tpoint_tempspatialrels.c:1456+) -------------
+
+def tdisjoint(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    from .lifting import tnot
+    from .spatial import tintersects
+    ti = tintersects(tv, g)
+    return None if ti is None else tnot(ti)
+
+
+def tequals(tv: Temporal, point) -> Temporal | None:
+    """tequals(tpoint, point) → tbool: true exactly while positioned at
+    the point (exact crossing instants via atValue)."""
+    from .restrict import at_value
+    from .spatial import _tbool_from_periods
+    pt = np.atleast_1d(np.asarray(point, dtype=np.float64))
+    hit = at_value(tv, pt)
+    true_ps = hit.get_time() if hit is not None else []
+    return _tbool_from_periods(tv, true_ps)
+
+
+# -- total order + hash (§2.5; temporal.c:3344-3601) --------------------------
+
+def temporal_cmp(a: Temporal, b: Temporal) -> int:
+    """B-tree comparator: bounding period, then bbox, then values —
+    a total order consistent with `temporal_cmp`."""
+    ka = (a.start_timestamp(), a.end_timestamp(),
+          tuple(a.values.min(axis=0)), tuple(a.values.max(axis=0)))
+    kb = (b.start_timestamp(), b.end_timestamp(),
+          tuple(b.values.min(axis=0)), tuple(b.values.max(axis=0)))
+    if ka != kb:
+        return -1 if ka < kb else 1
+    sa, sb = str(a), str(b)
+    return 0 if sa == sb else (-1 if sa < sb else 1)
+
+
+def temporal_hash(a: Temporal) -> int:
+    """Canonical 64-bit hash (temporal_hash, `temporal.c:3601`)."""
+    import hashlib
+    h = hashlib.blake2b(str(a).encode(), digest_size=8)
+    return int.from_bytes(h.digest(), "big", signed=True)
