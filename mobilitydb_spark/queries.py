@@ -787,3 +787,109 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY4()
     out.update(_EXTRA4)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 5: pyramid rollup, dwithin join, planar kNN join vs SQL oracles
+# --------------------------------------------------------------------------
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom 0-12 tile pyramid over derived doc points via the 2-shuffle
+    rollup (`tiles.build_pyramid`) — oracle recomputes every level
+    independently from the raw points (13-way UNION ALL)."""
+    from . import tiles as TL
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    pyr = TL.build_pyramid(pts, max_zoom=12, min_zoom=0)
+    return (pyr.select("zoom", "tile_x", "tile_y",
+                       F.col("n_points").cast("bigint").alias("n"))
+            .orderBy("zoom", "tile_x", "tile_y"))
+
+
+def _oracle_pyramid() -> str:
+    from . import tiles as TL
+    selects = []
+    for z in range(0, 13):
+        tx, ty = TL.tile_sql(_LON, _LAT, z)
+        selects.append(
+            f"SELECT {z} AS zoom, {tx} AS tile_x, {ty} AS tile_y, "
+            f"COUNT(*) AS n FROM documents GROUP BY 2, 3")
+    return " UNION ALL ".join(selects) + " ORDER BY zoom, tile_x, tile_y"
+
+
+def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dwithin self-join of derived doc points (ring-expansion
+    prefilter + exact refine, `joins.dwithin_join`) vs the brute
+    all-pairs SQL distance test."""
+    from . import joins
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id"), F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+    a = pts.select(F.col("doc_id").alias("l_id"), "lon", "lat")
+    b = pts.select(F.col("doc_id").alias("r_id"), "lon", "lat")
+    out = joins.dwithin_join(a, b, 0.9, res=8)
+    return (out.where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id", F.round("dist_deg", 6).alias("d"))
+            .orderBy("l_id", "r_id"))
+
+
+_ORACLE_DWITHIN = f"""
+    WITH pts AS (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents)
+    SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+           ROUND(SQRT((a.lon - b.lon) * (a.lon - b.lon)
+                      + (a.lat - b.lat) * (a.lat - b.lat)), 6) AS d
+    FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+    WHERE (a.lon - b.lon) * (a.lon - b.lon)
+          + (a.lat - b.lat) * (a.lat - b.lat) <= 0.9 * 0.9
+    ORDER BY l_id, r_id
+"""
+
+
+def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar kNN join (density-adaptive grid, `joins.knn_join`) for
+    query docs (doc_id < 10) vs a window-SQL exact oracle."""
+    from . import joins
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id"), F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+    q = pts.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), "lon", "lat")
+    c = pts.select(F.col("doc_id").alias("c_id"), "lon", "lat")
+    out = joins.knn_join(q, c, 3, resolutions=(10, 8, 6), rings=1,
+                         target_cands=16)
+    return (out.select("q_id", "c_id", F.round("dist", 6).alias("d"),
+                       F.col("rank").cast("bigint").alias("rank"))
+            .orderBy("q_id", "rank"))
+
+
+_ORACLE_KNN_PTS = f"""
+    WITH pts AS (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents),
+    q AS (SELECT doc_id AS q_id, lon AS qlon, lat AS qlat FROM pts
+          WHERE doc_id < 10),
+    scored AS (
+        SELECT q_id, p.doc_id AS c_id,
+               SQRT((qlon - p.lon) * (qlon - p.lon)
+                    + (qlat - p.lat) * (qlat - p.lat)) AS dist
+        FROM q CROSS JOIN pts p WHERE q.q_id != p.doc_id),
+    ranked AS (
+        SELECT q_id, c_id, dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY dist ASC, c_id ASC) AS BIGINT) AS rank
+        FROM scored)
+    SELECT q_id, c_id, ROUND(dist, 6) AS d, rank
+    FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+_EXTRA5 = {
+    "tile_pyramid": (q_tile_pyramid, _oracle_pyramid()),
+    "dwithin_join": (q_dwithin_join, _ORACLE_DWITHIN),
+    "knn_points": (q_knn_points, _ORACLE_KNN_PTS),
+}
+
+_BASE_REGISTRY5 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY5()
+    out.update(_EXTRA5)
+    return out
