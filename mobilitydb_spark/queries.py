@@ -893,3 +893,75 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY5()
     out.update(_EXTRA5)
     return out
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization of the events stream (30-min inactivity gap):
+    per-user session count, total/max session span — the standard
+    gaps-and-islands pattern via window lag + running sum (no UDF)."""
+    from pyspark.sql import Window
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events `ts` arrives as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (session TZ is pinned UTC, so the cast is value-preserving)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0))
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_sess = (sess.groupBy("user_id", "sess_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     ((F.unix_micros(F.max("ts").cast("timestamp"))
+                       - F.unix_micros(F.min("ts").cast("timestamp")))
+                      / 1_000_000.0).alias("span_sec")))
+    return (per_sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.round(F.sum("span_sec"), 3).alias("total_span_sec"),
+                 F.round(F.max("span_sec"), 3).alias("max_span_sec"))
+            .orderBy("user_id"))
+
+
+_ORACLE_SESSIONIZE = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+                   AS span_sec
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(SUM(span_sec), 3) AS total_span_sec,
+           ROUND(MAX(span_sec), 3) AS max_span_sec
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+_EXTRA6 = {
+    "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
+}
+
+_BASE_REGISTRY6 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY6()
+    out.update(_EXTRA6)
+    return out
