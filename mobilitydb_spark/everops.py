@@ -312,3 +312,75 @@ def temporal_hash(a: Temporal) -> int:
     import hashlib
     h = hashlib.blake2b(str(a).encode(), digest_size=8)
     return int.from_bytes(h.digest(), "big", signed=True)
+
+
+def _boundary_periods(tv: Temporal, g: geo.Geometry) -> list:
+    """Time periods/instants where the position lies ON the boundary
+    of g: segment×ring crossing instants + collinear along-edge runs
+    (endpoint+midpoint-on-boundary test — exact for piecewise-linear
+    motion against polygon rings)."""
+    from .spatial import _segment_polygon_entries
+    from .types import Period, normalize_periods
+    out: list[Period] = []
+    for s in tv.seqs:
+        n = len(s.times)
+        pts_on = _on_boundary(s.values, g)
+        if n == 1 or tv.duration in (1, 2) or not tv.linear:
+            for i in range(n):
+                if pts_on[i]:
+                    t = int(s.times[i])
+                    out.append(Period(t, t))
+            if not tv.linear and n > 1:
+                # stepwise: constant position holds over [t_i, t_{i+1})
+                for i in range(n - 1):
+                    if pts_on[i]:
+                        out.append(Period(int(s.times[i]),
+                                          int(s.times[i + 1]), True, False))
+            continue
+        for i in range(n - 1):
+            p0, p1 = s.values[i], s.values[i + 1]
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            mid = (p0 + p1) / 2.0
+            if pts_on[i] and pts_on[i + 1] and \
+                    bool(_on_boundary(mid[None, :], g)[0]):
+                out.append(Period(t0, t1))
+                continue
+            if pts_on[i]:
+                out.append(Period(t0, t0))
+            if pts_on[i + 1]:
+                out.append(Period(t1, t1))
+            for r in _segment_polygon_entries(p0, p1, g):
+                tc = int(round(t0 + (t1 - t0) * r))
+                if t0 < tc < t1:
+                    out.append(Period(tc, tc))
+    return normalize_periods(out)
+
+
+def ttouches(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    """ttouches → tbool: true exactly while on the boundary
+    (`tpoint_tempspatialrels.c` ttouches semantics)."""
+    if g.is_empty:
+        return None
+    from .spatial import _tbool_from_periods
+    return _tbool_from_periods(tv, _boundary_periods(tv, g))
+
+
+def tcontains(g: geo.Geometry, tv: Temporal) -> Temporal | None:
+    """tcontains(geom, tpoint) → tbool: true while strictly in the
+    interior (at_geometry periods minus boundary contact)."""
+    if g.is_empty:
+        return None
+    from .spatial import _tbool_from_periods, at_geometry_periods
+    from .timeops import minus
+    inside = at_geometry_periods(tv, g)
+    interior = minus(inside, _boundary_periods(tv, g))
+    return _tbool_from_periods(tv, interior)
+
+
+def tcovers(g: geo.Geometry, tv: Temporal) -> Temporal | None:
+    """tcovers(geom, tpoint) ≡ tintersects for point arguments (the
+    closure contains the point iff they intersect)."""
+    if g.is_empty:
+        return None
+    from .spatial import tintersects
+    return tintersects(tv, g)

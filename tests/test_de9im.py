@@ -75,3 +75,20 @@ def test_cmp_hash_total_order():
     assert E.temporal_cmp(a, c) == -1  # earlier period sorts first
     assert E.temporal_hash(a) == E.temporal_hash(a)
     assert E.temporal_hash(a) != E.temporal_hash(b)
+
+
+def test_ttouches_tcontains_tcovers():
+    ts = lambda s: int(T.parse_ts(s))
+    v = tp("[Point(-1 1)@2000-01-01, Point(3 1)@2000-01-05]")
+    tt = E.ttouches(v, SQ)
+    assert tt.value_at(ts("2000-01-02"))[0] == 1.0   # entry on x=0 edge
+    assert tt.value_at(ts("2000-01-03"))[0] == 0.0   # interior
+    tc = E.tcontains(SQ, v)
+    assert tc.value_at(ts("2000-01-03"))[0] == 1.0
+    assert tc.value_at(ts("2000-01-02"))[0] == 0.0   # boundary ≠ interior
+    edge = tp("[Point(0 2)@2000-01-01, Point(2 2)@2000-01-03]")
+    assert E.ttouches(edge, SQ).value_at(ts("2000-01-02"))[0] == 1.0
+    assert float(E.tcontains(SQ, edge).max_value()[0]) == 0.0
+    assert E.tcovers(SQ, v) is not None
+    assert E.ttouches(v, EMPTY) is None
+    assert E.tcontains(EMPTY, v) is None
