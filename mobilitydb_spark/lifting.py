@@ -218,6 +218,55 @@ def turn_distance(a0, a1, b0, b1, t0: int, t1: int) -> list[int]:
 # comparison lifting with crossings → stepwise tbool
 # ---------------------------------------------------------------------------
 
+def assemble_step_atoms(atoms: list[tuple]) -> list[Seq]:
+    """Assemble (lo, hi, lo_inc, hi_inc, value) step atoms into the
+    reference's sequence form: touching equal-valued atoms merge; a
+    different-valued instant touching the open end of the preceding
+    interval is absorbed as its inclusive final instant
+    (`{[f@.., t@cross], (f@cross, …` — the _cross output convention).
+    Shared by comparison lifting and the tbool-from-periods builder."""
+    merged: list[list] = []
+    for at in atoms:
+        if merged:
+            m = merged[-1]
+            if m[4] == at[4] and m[1] == at[0] and (m[3] or at[2]):
+                m[1], m[3] = at[1], at[3]
+                continue
+        merged.append(list(at))
+    # chain pieces into maximal step sequences: a following piece whose
+    # inclusive start meets the previous piece's EXCLUSIVE end is a
+    # representable value change at an interior knot
+    # (`[f@d1, t@d2, t@d4]` — the new value belongs to the knot)
+    seqs: list[Seq] = []
+    cur: dict | None = None
+
+    def flush():
+        nonlocal cur
+        if cur is None:
+            return
+        t, v = cur["t"], cur["v"]
+        if cur["hi"] > t[-1]:
+            t = t + [cur["hi"]]
+            v = v + [v[-1]]
+        seqs.append(Seq(np.array(t, dtype=np.int64),
+                        np.array(v, dtype=np.float64)[:, None],
+                        cur["lo_inc"], cur["hi_inc"]))
+        cur = None
+
+    for lo, hi, li, hi_i, v in merged:
+        if (cur is not None and cur["hi"] == lo
+                and not cur["hi_inc"] and li):
+            cur["t"].append(lo)
+            cur["v"].append(v)
+            cur["hi"], cur["hi_inc"] = hi, hi_i or (lo == hi)
+        else:
+            flush()
+            cur = {"t": [lo], "v": [v], "lo_inc": li or (lo == hi),
+                   "hi": hi, "hi_inc": hi_i or (lo == hi)}
+    flush()
+    return seqs
+
+
 def _crossing_ratio(a0, a1, b0, b1) -> float | None:
     """r in (0,1) where the 1-d linear segments a(t), b(t) meet."""
     d0 = float(a0[0] - b0[0])
@@ -290,38 +339,7 @@ def lift_comparison(op: str, a: Temporal, b: Temporal) -> Temporal | None:
         if hi_inc:
             atoms.append((int(ts[n - 1]), int(ts[n - 1]), True, True,
                           float(fcmp(va[n - 1:n], vb[n - 1:n])[0])))
-        # merge touching equal-valued atoms
-        merged: list[list] = []
-        for at in atoms:
-            if merged:
-                m = merged[-1]
-                if m[4] == at[4] and m[1] == at[0] and (m[3] or at[2]):
-                    m[1], m[3] = at[1], at[3]
-                    continue
-            merged.append(list(at))
-        # convert to step sequences; a different-valued instant touching
-        # the open end of the preceding interval is absorbed as its
-        # inclusive final instant (golden `{[f@.., t@cross], (f@cross,…`)
-        k = 0
-        while k < len(merged):
-            lo, hi, li, hi_i, v = merged[k]
-            if lo == hi:
-                seqs.append(Seq(np.array([lo], dtype=np.int64),
-                                np.array([[v]]), True, True))
-                k += 1
-                continue
-            times = [lo, hi]
-            vals = [v, v]
-            upper = hi_i
-            if (not hi_i and k + 1 < len(merged)
-                    and merged[k + 1][0] == merged[k + 1][1] == hi):
-                vals[-1] = merged[k + 1][4]
-                upper = True
-                k += 1
-            seqs.append(Seq(np.array(times, dtype=np.int64),
-                            np.array(vals, dtype=np.float64)[:, None],
-                            li, upper))
-            k += 1
+        seqs.extend(assemble_step_atoms(atoms))
     if not seqs:
         return None
     dur = _result_dur(a, b, len(seqs))

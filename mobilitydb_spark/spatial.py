@@ -261,6 +261,7 @@ def tintersects(tv: Temporal, g: geo.Geometry) -> Temporal | None:
 
 
 def _tbool_from_periods(tv: Temporal, true_ps: list[Period]) -> Temporal:
+    from .lifting import assemble_step_atoms
     dom = tv.get_time()
     pieces: list[tuple[Period, float]] = []
     for p in true_ps:
@@ -273,15 +274,21 @@ def _tbool_from_periods(tv: Temporal, true_ps: list[Period]) -> Temporal:
             inter = c.intersection(d)
             if inter is not None:
                 pieces.append((inter, 0.0))
-    pieces.sort(key=lambda pv: (pv[0].lower, not pv[0].lower_inc))
-    seqs = []
+    # decompose pieces into step atoms (knots at closed bounds + open
+    # interiors) and reuse the shared _cross assembly so output forms
+    # match the reference (isolated instants absorb into run ends)
+    atoms: list[tuple] = []
     for p, v in pieces:
         if p.lower == p.upper:
-            seqs.append(Seq(np.array([p.lower], dtype=np.int64),
-                            np.array([[v]])))
-        else:
-            seqs.append(Seq(np.array([p.lower, p.upper], dtype=np.int64),
-                            np.array([[v], [v]]), p.lower_inc, p.upper_inc))
+            atoms.append((p.lower, p.lower, True, True, v))
+            continue
+        if p.lower_inc:
+            atoms.append((p.lower, p.lower, True, True, v))
+        atoms.append((p.lower, p.upper, False, False, v))
+        if p.upper_inc:
+            atoms.append((p.upper, p.upper, True, True, v))
+    atoms.sort(key=lambda at: (at[0], at[1]))
+    seqs = assemble_step_atoms(atoms)
     dur = SEQUENCESET if tv.duration in (SEQUENCE, SEQUENCESET) \
         else (INSTANT if tv.duration == INSTANT else INSTANTSET)
     return Temporal(dur, seqs, False, tv.srid, True)

@@ -119,8 +119,10 @@ def test_at_geometry_stepwise():
 def test_tintersects_pieces():
     v = tp("[Point(-1 1)@2000-01-01, Point(3 1)@2000-01-05]")
     tb = spatial.tintersects(v, SQUARE)
-    assert out(tb) == ("{[0@2000-01-01 00:00:00+00, 0@2000-01-02 00:00:00+00)"
-                       ", [1@2000-01-02 00:00:00+00, 1@2000-01-04 00:00:00+00]"
+    # reference piece form: value change at the included interior knot
+    # ({[f@.., t@.., t@..], (f@.., f@..]} convention)
+    assert out(tb) == ("{[0@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00"
+                       ", 1@2000-01-04 00:00:00+00]"
                        ", (0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
 
 
@@ -131,16 +133,20 @@ def test_tdwithin_quadratic_roots():
     b = tp("[Point(4 0)@2000-01-01, Point(0 0)@2000-01-03]")
     tb = spatial.tdwithin(a, b, 1.0)
     # gap 4-4τ (τ in [0,2] days): |gap|≤1 → τ ∈ [0.75, 1.25] days
-    assert out(tb) == ("{[0@2000-01-01 00:00:00+00, 0@2000-01-01 18:00:00+00)"
-                       ", [1@2000-01-01 18:00:00+00, 1@2000-01-02 06:00:00+00]"
+    assert out(tb) == ("{[0@2000-01-01 00:00:00+00, 1@2000-01-01 18:00:00+00"
+                       ", 1@2000-01-02 06:00:00+00]"
                        ", (0@2000-01-02 06:00:00+00, 0@2000-01-03 00:00:00+00]}")
 
 
 def test_tdwithin_fixed_point():
     a = tp("[Point(0 0)@2000-01-01, Point(4 0)@2000-01-05]")
     tb = spatial.tdwithin(a, np.array([2.0, 0.0]), 1.0)
-    vals = {(T.fmt_ts(s.times[0]), float(s.values[0, 0])) for s in tb.seqs}
-    assert ("2000-01-02 00:00:00+00", 1.0) in vals
+    # within 1 of (2,0) exactly while x ∈ [1,3] → [d2, d4]
+    assert tb.value_at(ts("2000-01-01 12:00:00"))[0] == 0.0
+    assert tb.value_at(ts("2000-01-02"))[0] == 1.0
+    assert tb.value_at(ts("2000-01-03"))[0] == 1.0
+    assert tb.value_at(ts("2000-01-04"))[0] == 1.0
+    assert tb.value_at(ts("2000-01-04 12:00:00"))[0] == 0.0
 
 
 def test_nai_nad_to_geometry():
@@ -185,3 +191,91 @@ def test_at_geometry_matches_tintersects_domain():
                 assert (inside | (d < 1e-5)).all()
         else:
             assert ag is None
+
+
+# --- tdwithin truth tables (golden examples embedded in the reference
+# source, point/src/tpoint_tempspatialrels.c:875-1040) ---------------
+
+def _tdw(a_lit, b_lit, d):
+    return out(spatial.tdwithin(tp(a_lit), tp(b_lit), d))
+
+
+def test_tdwithin_parallel_within():
+    # "{[t@2000-01-01, t@2000-01-02]}"
+    assert _tdw("[Point(0 1)@2000-01-01, Point(1 2)@2000-01-02]",
+                "[Point(0 0)@2000-01-01, Point(1 1)@2000-01-02]", 1) == \
+        "{[1@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00]}"
+
+
+def test_tdwithin_parallel_not_within():
+    # "{[f@2000-01-01, f@2000-01-02]}"
+    assert _tdw("[Point(0 2)@2000-01-01, Point(1 3)@2000-01-02]",
+                "[Point(0 0)@2000-01-01, Point(1 1)@2000-01-02]", 1) == \
+        "{[0@2000-01-01 00:00:00+00, 0@2000-01-02 00:00:00+00]}"
+
+
+def test_tdwithin_no_solution():
+    # "{[f@2000-01-01, f@2000-01-03]}"
+    assert _tdw("[Point(2 3)@2000-01-01, Point(3 4)@2000-01-03]",
+                "[Point(4 4)@2000-01-01, Point(6 2)@2000-01-03]", 1) == \
+        "{[0@2000-01-01 00:00:00+00, 0@2000-01-03 00:00:00+00]}"
+
+
+def test_tdwithin_one_solution_within_segment():
+    # "{[f@2000-01-01, t@2000-01-02], (f@2000-01-02, f@2000-01-03]}"
+    assert _tdw("[Point(2 2)@2000-01-01, Point(1 1)@2000-01-03]",
+                "[Point(3 1)@2000-01-01, Point(2 2)@2000-01-03]", 1) == \
+        ("{[0@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00], "
+         "(0@2000-01-02 00:00:00+00, 0@2000-01-03 00:00:00+00]}")
+
+
+def test_tdwithin_one_solution_outside_segment():
+    # "{[f@2000-01-01, f@2000-01-03]}"
+    assert _tdw("[Point(3 3)@2000-01-01, Point(2 2)@2000-01-03]",
+                "[Point(4 0)@2000-01-01, Point(3 1)@2000-01-03]", 1) == \
+        "{[0@2000-01-01 00:00:00+00, 0@2000-01-03 00:00:00+00]}"
+
+
+def test_tdwithin_two_solutions_contained():
+    # "{[f@2000-01-01, t@2000-01-02, t@2000-01-04], (f@2000-01-04, f@2000-01-05]}"
+    assert _tdw("[Point(1 1)@2000-01-01, Point(5 5)@2000-01-05]",
+                "[Point(1 3)@2000-01-01, Point(5 3)@2000-01-05]", 1) == \
+        ("{[0@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00, "
+         "1@2000-01-04 00:00:00+00], "
+         "(0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
+
+
+def test_tdwithin_solution_contains_segment():
+    # "{[t@2000-01-02 12:00, t@2000-01-03 12:00]}"
+    assert _tdw("[Point(2.5 2.5)@2000-01-02 12:00:00, "
+                "Point(3.5 3.5)@2000-01-05 12:00:00]",
+                "[Point(2.5 3.0)@2000-01-02 12:00:00, "
+                "Point(3.5 3.0)@2000-01-03 12:00:00]", 1) == \
+        "{[1@2000-01-02 12:00:00+00, 1@2000-01-03 12:00:00+00]}"
+
+
+def test_tdwithin_overlap_left():
+    # reference comment shows "{[t@d3, f@d4, f@d5]}" (exit-root instant
+    # EXCLUDED) — but its own "two solutions contained" example INCLUDES
+    # the exit root (t@d4).  dist(d4) == d exactly, so ≤-semantics make
+    # it true; we keep the consistent inclusive form:
+    assert _tdw("[Point(3 3)@2000-01-03, Point(5 5)@2000-01-05]",
+                "[Point(3 3)@2000-01-03, Point(5 3)@2000-01-05]", 1) == \
+        ("{[1@2000-01-03 00:00:00+00, 1@2000-01-04 00:00:00+00], "
+         "(0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
+
+
+def test_tdwithin_overlap_right():
+    # "{[f@2000-01-01, t@2000-01-02, t@2000-01-03]}"
+    assert _tdw("[Point(1 1)@2000-01-01, Point(3 3)@2000-01-03]",
+                "[Point(1 3)@2000-01-01, Point(3 3)@2000-01-03]", 1) == \
+        ("{[0@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00, "
+         "1@2000-01-03 00:00:00+00]}")
+
+
+def test_tdwithin_touch_at_instant():
+    # "{[t@2000-01-04], (f@2000-01-04, f@2000-01-05]}"
+    assert _tdw("[Point(4 4)@2000-01-04, Point(5 5)@2000-01-05]",
+                "[Point(4 3)@2000-01-04, Point(5 3)@2000-01-05]", 1) == \
+        ("{[1@2000-01-04 00:00:00+00], "
+         "(0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
