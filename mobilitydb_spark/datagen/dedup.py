@@ -8,16 +8,14 @@ Execution shapes (scale notes):
   band-key self-join.  Degenerate buckets (near-empty docs hashing
   identically) are capped — a bucket of B docs creates B² candidate
   pairs, so the cap bounds the worst-case task.
-- SimHash: one Arrow-batched numpy kernel per batch → 64-bit
-  signature; hamming-≤-r pairs via pigeonhole chunk banding.
+- SimHash: pure Catalyst (token explode + md5 + 64 partial-agg SUM
+  votes) → 64-bit signature; hamming-≤-r pairs via pigeonhole chunk
+  banding (exact for hamming ≤ r).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,14 +42,21 @@ def shingles_col(text_col: str = "text", n: int = 3):
                 "|", *[F.element_at(toks, i + j) for j in range(n)]))))
 
 
-def minhash_signature(shingles, n_hashes: int = 32, seed: int = 42):
-    """Array of n_hashes minhash values, all in Catalyst expressions:
-    h_j(s) = (a_j·x + b_j) mod (2³¹−1) over x = xxhash64(s) mod M."""
+def base_hash_col(shingles):
+    """x = xxhash64(s) mod M per shingle — materialize this ONCE as a
+    column before applying the n_hashes permutations (Catalyst's
+    CollapseProject keeps a non-cheap projection referenced n times as
+    a separate step, so the shingles are hashed once, not n times)."""
+    return F.transform(shingles,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+
+def minhash_from_base(base, n_hashes: int = 48, seed: int = 42):
+    """Array of n_hashes minhash values over a pre-hashed shingle
+    array: h_j(x) = (a_j·x + b_j) mod (2³¹−1)."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE31, n_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE31, n_hashes, dtype=np.int64)
-    base = F.transform(shingles,
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
 
     def perm(aj: int, bj: int):
         # single-arg lambda: a 2-arg lambda would receive the element
@@ -63,9 +68,18 @@ def minhash_signature(shingles, n_hashes: int = 32, seed: int = 42):
         for j in range(n_hashes)])
 
 
+def minhash_signature(shingles, n_hashes: int = 48, seed: int = 42):
+    """Array of n_hashes minhash values, all in Catalyst expressions:
+    h_j(s) = (a_j·x + b_j) mod (2³¹−1) over x = xxhash64(s) mod M.
+
+    Prefer ``base_hash_col`` + ``minhash_from_base`` on a two-step
+    projection so the shingle hashing runs once."""
+    return minhash_from_base(base_hash_col(shingles), n_hashes, seed)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n_hashes: int = 32,
-                      n_bands: int = 8, threshold: float = 0.8,
+                      text_col: str = "text", n_hashes: int = 48,
+                      n_bands: int = 16, threshold: float = 0.8,
                       shingle_n: int = 3,
                       max_bucket: int = 2000) -> DataFrame:
     """Near-duplicate pairs (i < j) with exact shingle-Jaccard ≥
@@ -74,12 +88,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Returns (id_i, id_j, jaccard).  Buckets larger than ``max_bucket``
     are dropped (degenerate — e.g. empty docs) rather than exploding
     into B² pairs; the exact verify step keeps the output precise.
+
+    Banding is 16 bands × 3 rows: a pair at the 0.8 Jaccard threshold
+    is missed with probability (1 − 0.8³)¹⁶ ≈ 1.1e-5 (the previous
+    8×4 layout missed ~1.5% of borderline pairs, which made parity
+    against the brute-force oracle flaky at other scales).
     """
     rows = n_hashes // n_bands
     sh = df.select(F.col(id_col).alias("id"),
                    shingles_col(text_col, shingle_n).alias("sh"))
-    sig = sh.select(
-        "id", "sh", minhash_signature(F.col("sh"), n_hashes).alias("mh"))
+    # two-step projection: hash every shingle ONCE, then take the 48
+    # permutation minima over the pre-hashed array
+    base = sh.select("id", "sh", base_hash_col(F.col("sh")).alias("hx"))
+    sig = base.select(
+        "id", "sh", minhash_from_base(F.col("hx"), n_hashes).alias("mh"))
     bands = sig.select(
         "id",
         F.posexplode(F.array(*[
@@ -129,48 +151,88 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
-
-def _token_hash(tokens: list[str]) -> np.ndarray:
-    h = np.array([hash(t) & 0x7FFFFFFFFFFFFFFF for t in tokens],
-                 dtype=np.uint64)
-    return _splitmix64(h)
-
-
 def simhash_64(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched numpy kernel).
+    """64-bit SimHash per document — pure Catalyst, no Python kernel.
 
-    NOTE: python hash() is seed-dependent across processes —
-    PYTHONHASHSEED is pinned by Spark for workers, so signatures are
-    stable within a job; persist signatures rather than recomputing
-    across jobs for cross-run stability."""
-    out_schema = f"{id_col} bigint, simhash bigint"
+    Token hash = md5(token)'s 128 bits truncated to 64 (two 32-bit
+    halves parsed from hex); the per-bit ±1 vote is an explode +
+    hash-aggregate with 64 map-side-combinable SUMs.  md5 is identical
+    across engines, so the signature is deterministic across runs AND
+    SQL-expressible (the DuckDB oracle reproduces it bit-for-bit).
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-        for pdf in batches:
-            sigs = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = text.split()
-                if not toks:
-                    continue
-                th = _token_hash(toks)
-                bitmat = ((th[:, None] & bits[None, :]) != 0)
-                score = bitmat.sum(axis=0) * 2 - len(toks)
-                sig = np.uint64(0)
-                sig = (bits[score > 0]).sum(dtype=np.uint64)
-                sigs[i] = np.int64(sig.astype(np.uint64).view(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "simhash": sigs})
+    100 TB shape: tokenize-explode (like wordcount) → partial-agg
+    groupBy(doc_id) — no UDF, no skew beyond token-count variance.
+    """
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                       .alias("tok"))
+            .where(F.col("tok") != ""))
+    m = toks.select(id_col, F.md5("tok").alias("m"))
+    hv = m.select(
+        id_col,
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"))
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    def bit(b: int):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+
+    votes = hv.groupBy(id_col).agg(*[
+        F.sum(bit(b) * 2 - F.lit(1)).alias(f"s{b}") for b in range(64)])
+    # two's-complement reassembly: bit 63 contributes -2^63
+    sig_expr = F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for b in range(63):
+        sig_expr = sig_expr + F.when(F.col(f"s{b}") > 0,
+                                     F.lit(1 << b)).otherwise(F.lit(0))
+    sig = votes.select(id_col, sig_expr.cast("long").alias("simhash"))
+    # docs with zero tokens get signature 0
+    return (df.select(id_col).join(sig, id_col, "left")
+            .select(id_col, F.coalesce("simhash", F.lit(0))
+                    .cast("long").alias("simhash")))
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB SQL reproducing simhash_64 + simhash_near_pairs exactly
+    (pigeonhole banding is exact for hamming ≤ r, so brute-force
+    all-pairs is a faithful oracle)."""
+    def half(off: int) -> str:
+        return ("CAST(list_sum(list_transform(range(1,9), i -> "
+                "CAST(strpos('0123456789abcdef', substr(m, i + {off}, 1))"
+                " - 1 AS BIGINT) << (4*(8-i)))) AS BIGINT)"
+                .format(off=off))
+    sums = ",\n           ".join(
+        "CAST(SUM(2 * ((({src} >> {sh}) & 1)) - 1) AS BIGINT) AS s{b}"
+        .format(src="lo" if b < 32 else "hi", sh=b % 32, b=b)
+        for b in range(64))
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for b in range(63))
+    recon = (f"(CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+             f"ELSE CAST(0 AS BIGINT) END) + {recon}")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS tok
+            FROM documents)
+        WHERE tok <> ''),
+    h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    hv AS (SELECT doc_id, {half(0)} AS hi, {half(8)} AS lo FROM h),
+    votes AS (
+        SELECT doc_id,
+           {sums}
+        FROM hv GROUP BY doc_id),
+    sig0 AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes),
+    sig AS (
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sig0 s USING (doc_id))
+    SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_i, id_j
+    """
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
@@ -192,6 +254,6 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     cand = (l.join(r, ["chunk", "ckey"])
              .where(F.col("id_i") < F.col("id_j"))
              .select("id_i", "id_j", "sh_i", "sh_j").distinct())
-    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
+    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j"))).cast("int")
     return (cand.select("id_i", "id_j", hamming.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))

@@ -44,26 +44,45 @@ def ever(op: str, tv: Temporal, value) -> bool:
     """∃ instant where value `op` target (ever_eq …, temporal.c:2145).
 
     Linear inputs also attain every value between consecutive knots,
-    so eq/lt/… test segment ranges, not just knots."""
+    so eq tests segment interiors, not just knots.  Bound inclusivity
+    is honored (reference ever_eq checks lower_inc/upper_inc): a value
+    present ONLY at an exclusive bound is never attained."""
+    from .lifting import _crossing_ratio
     target = np.atleast_1d(np.asarray(value, dtype=np.float64))
     for s in tv.seqs:
-        if _cmp(op, s.values, target).any():
+        hold = _cmp(op, s.values, target)
+        n = len(s.times)
+        if n > 1:
+            if tv.linear:
+                # eq (and the equality case of le/ge) at an exclusive
+                # bound is not attained; strict ops still hold just
+                # inside the bound by continuity
+                if op in ("eq", "le", "ge"):
+                    if not s.lower_inc and bool(
+                            np.all(np.abs(s.values[0] - target) <= EPSILON)):
+                        hold[0] = False
+                    if not s.upper_inc and bool(
+                            np.all(np.abs(s.values[-1] - target) <= EPSILON)):
+                        hold[-1] = False
+            else:
+                # stepwise: the final knot's value is attained only at
+                # the final instant itself
+                if not s.upper_inc:
+                    hold[-1] = False
+        if hold.any():
             return True
-        if tv.linear and len(s.times) > 1:
+        if tv.linear and n > 1 and op == "eq":
+            # attainment strictly inside a segment (crossing with the
+            # constant target); bound knots are handled above
             v0, v1 = s.values[:-1], s.values[1:]
-            if op == "eq":
-                if tv.dim == 1:
-                    lo = np.minimum(v0[:, 0], v1[:, 0])
-                    hi = np.maximum(v0[:, 0], v1[:, 0])
-                    if ((lo - EPSILON <= target[0])
-                            & (target[0] <= hi + EPSILON)).any():
-                        return True
-                else:
-                    from .restrict import at_value
-                    if at_value(tv, target) is not None:
-                        return True
-            elif op in ("lt", "le", "gt", "ge"):
-                pass  # monotone between knots → knot check suffices
+            for i in range(n - 1):
+                if _crossing_ratio(v0[i], v1[i], target, target) is not None:
+                    return True
+                # constant segment equal to target: attained on the
+                # open interior even when both bounds are exclusive
+                if np.all(np.abs(v0[i] - target) <= EPSILON) and \
+                        np.all(np.abs(v1[i] - target) <= EPSILON):
+                    return True
     return False
 
 

@@ -268,12 +268,23 @@ def assemble_step_atoms(atoms: list[tuple]) -> list[Seq]:
 
 
 def _crossing_ratio(a0, a1, b0, b1) -> float | None:
-    """r in (0,1) where the 1-d linear segments a(t), b(t) meet."""
-    d0 = float(a0[0] - b0[0])
-    d1 = float(a1[0] - b1[0])
-    if d0 == d1:
+    """r in (0,1) where the linear segments a(t), b(t) coincide in
+    EVERY dimension (for points: where the two paths meet, cf.
+    sync_tfunc4_…_cross inserting the crossing instant,
+    `src/temporal_compops.c:96`)."""
+    d0 = np.asarray(a0 - b0, dtype=np.float64)
+    d1 = np.asarray(a1 - b1, dtype=np.float64)
+    dd = d1 - d0
+    moving = dd != 0.0
+    if not moving.any():
         return None
-    r = d0 / (d0 - d1)
+    rs = -d0[moving] / dd[moving]
+    r = float(rs[0])
+    # all moving dims must cross at the same instant; static dims must
+    # already coincide
+    if np.any(np.abs(rs - r) > 1e-9) or \
+            np.any(np.abs(d0[~moving]) > EPSILON):
+        return None
     return r if 0.0 < r < 1.0 else None
 
 
@@ -295,7 +306,7 @@ def lift_comparison(op: str, a: Temporal, b: Temporal) -> Temporal | None:
         return None
     seqs: list[Seq] = []
     for ts, va, vb, lo_inc, hi_inc in pieces:
-        if len(ts) == 1 or a.dim > 1:
+        if len(ts) == 1:
             v = fcmp(va, vb)
             seqs.append(Seq(ts, v[:, None], lo_inc, hi_inc))
             continue

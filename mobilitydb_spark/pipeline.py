@@ -91,10 +91,18 @@ def pip_join_broadcast(points: DataFrame, polygons_pdf: pd.DataFrame,
 
 
 def flagship(pages: DataFrame, polygons_pdf: pd.DataFrame,
-             zoom: int = tiles.MAX_ZOOM, res: int = DEFAULT_RES) -> DataFrame:
-    """(url, warc_ts, lang, lon, lat, cell, poly_id, zoom, tile_x, tile_y)."""
+             zoom: int = tiles.MAX_ZOOM, res: int = DEFAULT_RES,
+             method: str = "jvm") -> DataFrame:
+    """(url, warc_ts, lang, lon, lat, cell, poly_id, zoom, tile_x, tile_y).
+
+    Default refine is the fully-JVM ray cast (``pip_join_broadcast_jvm``
+    — scales with the scan; the pandas kernel is Arrow-feed-bound in
+    single-JVM local mode).  ``method='pandas'`` keeps the PolygonIndex
+    kernel for geometries that need its boundary-eps semantics; a
+    result-identity test gates the two paths."""
     pts = with_cell(extract_points(pages), res)
-    joined = pip_join_broadcast(pts, polygons_pdf)
+    join = pip_join_broadcast_jvm if method == "jvm" else pip_join_broadcast
+    joined = join(pts, polygons_pdf)
     return tiles.assign_tiles(joined, zoom=zoom)
 
 

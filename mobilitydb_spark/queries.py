@@ -208,6 +208,42 @@ def _oracle_pip_grid() -> str:
     """
 
 
+def q_pip_jvm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join via the fully-JVM Catalyst ray cast
+    (``pip_join_broadcast_jvm`` — the flagship's default refine).
+
+    Pure even-odd parity gives half-open rectangle semantics
+    [x0, x1) × [y0, y1); the oracle reproduces exactly that, so a
+    boundary-point divergence would fail the hash check.
+    """
+    from . import fixtures, pipeline
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.expr(_LON).alias("lon"),
+        F.expr(_LAT).alias("lat"))
+    polys = fixtures.polygons_pd("grid", _GRID_SIDE * _GRID_SIDE)
+    joined = pipeline.pip_join_broadcast_jvm(pts, polys, index_res=5)
+    return (joined.select("doc_id", "poly_id")
+                  .orderBy("doc_id", "poly_id"))
+
+
+def _oracle_pip_jvm() -> str:
+    return f"""
+        WITH pts AS (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat
+                     FROM documents),
+        grid AS (SELECT 100000 + i AS poly_id,
+                        -10.0 + (i % {_GRID_SIDE}) * {_GRID_DX} AS x0,
+                        32.0 + (i // {_GRID_SIDE}) * {_GRID_DY} AS y0
+                 FROM (SELECT UNNEST(RANGE(0, {_GRID_SIDE * _GRID_SIDE})) AS i))
+        SELECT doc_id, poly_id
+        FROM pts JOIN grid
+          ON lon >= x0 AND lon < x0 + {_GRID_DX}
+         AND lat >= y0 AND lat < y0 + {_GRID_DY}
+        ORDER BY doc_id, poly_id
+    """
+
+
 # --------------------------------------------------------------------------
 # datagen / text-pipeline operators
 # --------------------------------------------------------------------------
@@ -606,14 +642,20 @@ _ORACLE_FP = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-≤3 near-dup pairs (rows-only check: the
-    signature depends on Spark-side token hashing, not SQL-expressible;
-    semantics are pytest-verified against exact duplicates)."""
+    """SimHash hamming-≤3 near-dup pairs.  The signature is md5-based
+    and pure Catalyst, so the DuckDB oracle reproduces it bit-for-bit
+    (pigeonhole banding is exact for hamming ≤ r → full hash-match
+    oracle, no longer rows-only)."""
     from .datagen import dedup
     docs = _load(spark, sf_dir, "documents")
     sigs = dedup.simhash_64(docs)
     return dedup.simhash_near_pairs(sigs, max_hamming=3) \
         .orderBy("id_i", "id_j")
+
+
+def _simhash_oracle() -> str:
+    from .datagen.dedup import simhash_oracle_sql
+    return simhash_oracle_sql(3)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +677,7 @@ _EXTRA2 = {
     "langid": (q_langid, _oracle_langid()),
     "doc_quality": (q_doc_quality, _ORACLE_DOC_QUALITY),
     "fingerprint_md5": (q_fingerprint_md5, _ORACLE_FP),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, _simhash_oracle()),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
 }
 
@@ -956,6 +998,7 @@ _ORACLE_SESSIONIZE = """
 
 _EXTRA6 = {
     "sessionize": (q_sessionize, _ORACLE_SESSIONIZE),
+    "pip_jvm_join": (q_pip_jvm_join, _oracle_pip_jvm()),
 }
 
 _BASE_REGISTRY6 = registry

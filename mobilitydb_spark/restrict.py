@@ -332,11 +332,27 @@ def at_range(tv: Temporal, lo: float, hi: float,
             # t where value == c: t0 + (c - v0)/(v1 - v0) * (t1 - t0)
             def t_of(c):
                 return t0 + (c - v0) / (v1 - v0) * (t1 - t0)
-            r0, r1 = sorted((t_of(lo), t_of(hi)))
-            a = max(t0, int(np.ceil(r0))) if r0 > t0 else t0
-            b = min(t1, int(np.floor(r1))) if r1 < t1 else t1
-            if a <= b:
-                periods.append(Period(a, b))
+            # A clip bound produced by a RANGE-BOUND crossing inherits
+            # the range bound's inclusivity (exclusive range bound →
+            # exclusive period bound); a bound that is the segment
+            # endpoint itself stays closed (the endpoint lies strictly
+            # inside the range).  cf. tnumberseq_at_range.
+            if v0 < v1:
+                a, a_inc = ((max(t0, int(np.ceil(t_of(lo)))), True)
+                            if lo_inc else (int(round(t_of(lo))), False)) \
+                    if v0 < lo else (t0, True)
+                b, b_inc = ((min(t1, int(np.floor(t_of(hi)))), True)
+                            if hi_inc else (int(round(t_of(hi))), False)) \
+                    if v1 > hi else (t1, True)
+            else:
+                a, a_inc = ((max(t0, int(np.ceil(t_of(hi)))), True)
+                            if hi_inc else (int(round(t_of(hi))), False)) \
+                    if v0 > hi else (t0, True)
+                b, b_inc = ((min(t1, int(np.floor(t_of(lo)))), True)
+                            if lo_inc else (int(round(t_of(lo))), False)) \
+                    if v1 < lo else (t1, True)
+            if a < b or (a == b and a_inc and b_inc):
+                periods.append(Period(a, b, a_inc, b_inc))
     if not periods:
         return None
     return at_periodset(tv, periods, force_set=True)

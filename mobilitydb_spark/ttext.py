@@ -43,8 +43,11 @@ class TText:
 
         numeric = re.sub(r"([^@{}\[\](),]+)@([^,{}\[\]()]+)", sub, s)
         from .types import parse_temporal
-        tv = parse_temporal(numeric)
-        tv.linear = False
+        # Parse with stepwise semantics so normalize_instants only merges
+        # repeated values — a linear parse would drop any instant whose
+        # vocab code happens to be collinear in time (ttext is always
+        # stepwise, temporal.h:320).
+        tv = parse_temporal("Interp=Stepwise;" + numeric)
         tv.step_default = True
         return TText(tv, vocab)
 

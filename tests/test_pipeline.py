@@ -73,6 +73,20 @@ def test_flagship_join_matches_bruteforce(spark, pages_df):
     assert len(want) > 0
 
 
+def test_flagship_jvm_and_pandas_paths_identical(spark, pages_df):
+    """Gate for the JVM-default flagship: the Catalyst ray cast and the
+    PolygonIndex pandas kernel produce the same join rows."""
+    polys = fixtures.polygons_pd("admin", 24)
+    cols = ["url", "tag_idx", "poly_id"]
+    jvm = pipeline.flagship(pages_df, polys, method="jvm") \
+        .select(*cols).toPandas()
+    pnd = pipeline.flagship(pages_df, polys, method="pandas") \
+        .select(*cols).toPandas()
+    assert set(map(tuple, jvm.itertuples(index=False))) == \
+        set(map(tuple, pnd.itertuples(index=False)))
+    assert len(jvm) > 0
+
+
 def test_tile_assignment_bounds(spark, pages_df):
     polys = fixtures.polygons_pd("admin", 8)
     out = pipeline.flagship(pages_df, polys, zoom=12).toPandas()
