@@ -1001,6 +1001,620 @@ _EXTRA6 = {
     "pip_jvm_join": (q_pip_jvm_join, _oracle_pip_jvm()),
 }
 
+
+# --------------------------------------------------------------------------
+# batch 7 (round 2): driver oracles for the pytest-only §2 families —
+# restriction (atPeriod/atGeometry), timeops set algebra, window aggs,
+# temporal min/max/sum/avg aggregation, tdwithin, NAD/NAI
+# --------------------------------------------------------------------------
+
+def _us_of(ts: str) -> int:
+    import numpy as np
+    return int(np.datetime64(ts, "us").astype("int64"))
+
+
+_CLIP_T1, _CLIP_T2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_at_period_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user atPeriod restriction to [Jan 10, Jan 20] (atPeriod,
+    `src/temporal.c:2936`): instant count, exact duration, lerped
+    clip-bound coordinates — oracle reproduces each with window SQL."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    got = ST.restrict_period_clip(pts, _us_of(_CLIP_T1), _us_of(_CLIP_T2))
+    return got.select(
+        "key", "n_inst", "dur_us",
+        F.round("x0", 6).alias("x0_r"), F.round("y0", 6).alias("y0_r"),
+        F.round("x1", 6).alias("x1_r"), F.round("y1", 6).alias("y1_r")) \
+        .orderBy("key")
+
+
+_ORACLE_AT_PERIOD = f"""
+    WITH pts AS ({_EV_PTS}),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    cl AS (
+        SELECT key, t0, t1,
+               GREATEST(t0, TIMESTAMP '{_CLIP_T1}') AS a,
+               LEAST(t1, TIMESTAMP '{_CLIP_T2}') AS b
+        FROM dom
+        WHERE t0 <= TIMESTAMP '{_CLIP_T2}' AND t1 >= TIMESTAMP '{_CLIP_T1}'),
+    kin AS (
+        SELECT c.key, COUNT(p.t) AS k_in
+        FROM cl c LEFT JOIN pts p ON p.key = c.key
+             AND p.t > TIMESTAMP '{_CLIP_T1}' AND p.t < TIMESTAMP '{_CLIP_T2}'
+        GROUP BY c.key),
+    -- lerp both clip bounds from the surrounding original knots
+    bnd AS (
+        SELECT key, a AS s FROM cl UNION ALL SELECT key, b AS s FROM cl),
+    prev AS (
+        SELECT g.key, g.s, MAX(p.t) AS pt FROM bnd g
+        JOIN pts p ON p.key = g.key AND p.t <= g.s GROUP BY g.key, g.s),
+    nxt AS (
+        SELECT g.key, g.s, MIN(p.t) AS nt FROM bnd g
+        JOIN pts p ON p.key = g.key AND p.t >= g.s GROUP BY g.key, g.s),
+    lv AS (
+        SELECT pr.key, pr.s,
+               CASE WHEN pr.pt = nx.nt THEN pa.x
+                    ELSE pa.x + (pb.x - pa.x) *
+                         (CAST(epoch_us(pr.s) - epoch_us(pr.pt) AS DOUBLE)
+                          / (epoch_us(nx.nt) - epoch_us(pr.pt))) END AS xv,
+               CASE WHEN pr.pt = nx.nt THEN pa.y
+                    ELSE pa.y + (pb.y - pa.y) *
+                         (CAST(epoch_us(pr.s) - epoch_us(pr.pt) AS DOUBLE)
+                          / (epoch_us(nx.nt) - epoch_us(pr.pt))) END AS yv
+        FROM prev pr JOIN nxt nx ON nx.key = pr.key AND nx.s = pr.s
+        JOIN pts pa ON pa.key = pr.key AND pa.t = pr.pt
+        JOIN pts pb ON pb.key = nx.key AND pb.t = nx.nt)
+    SELECT c.key,
+           CAST(k.k_in
+                + (CASE WHEN c.t0 <= TIMESTAMP '{_CLIP_T1}' THEN 1 ELSE 0 END)
+                + (CASE WHEN c.t1 >= TIMESTAMP '{_CLIP_T2}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inst,
+           CAST(epoch_us(c.b) - epoch_us(c.a) AS BIGINT) AS dur_us,
+           ROUND(la.xv, 6) AS x0_r, ROUND(la.yv, 6) AS y0_r,
+           ROUND(lb.xv, 6) AS x1_r, ROUND(lb.yv, 6) AS y1_r
+    FROM cl c
+    JOIN kin k USING (key)
+    JOIN lv la ON la.key = c.key AND la.s = c.a
+    JOIN lv lb ON lb.key = c.key AND lb.s = c.b
+    ORDER BY c.key
+"""
+
+
+def _business_windows_us() -> list[tuple[int, int]]:
+    out = []
+    for d in range(1, 31):
+        out.append((_us_of(f"2024-01-{d:02d} 09:00:00"),
+                    _us_of(f"2024-01-{d:02d} 17:00:00")))
+    return out
+
+
+def q_period_business(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user period algebra (timeops.c intersection/minus/
+    complement): observation span ∩ / − daily business-hour windows
+    [09:00, 17:00) — exact integer-microsecond totals + piece counts."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    got = ST.period_business_stats(pts, _business_windows_us())
+    return got.orderBy("key")
+
+
+_ORACLE_PERIOD_BUSINESS = f"""
+    WITH pts AS ({_EV_PTS}),
+    dom AS (SELECT key, epoch_us(MIN(t)) AS t0, epoch_us(MAX(t)) AS t1
+            FROM pts GROUP BY key),
+    win AS (
+        SELECT epoch_us(TIMESTAMP '2024-01-01 09:00:00'
+                        + (i * INTERVAL 1 DAY)) AS w0,
+               epoch_us(TIMESTAMP '2024-01-01 17:00:00'
+                        + (i * INTERVAL 1 DAY)) AS w1
+        FROM (SELECT UNNEST(RANGE(0, 30)) AS i)),
+    ov AS (
+        SELECT d.key, d.t0, d.t1, w.w0, w.w1,
+               GREATEST(d.t0, w.w0) AS a, LEAST(d.t1, w.w1) AS b
+        FROM dom d JOIN win w ON GREATEST(d.t0, w.w0) < LEAST(d.t1, w.w1)),
+    agg AS (
+        SELECT key, CAST(SUM(b - a) AS BIGINT) AS inter_us,
+               COUNT(*) AS n_inter,
+               CAST(MAX(CASE WHEN t0 >= w0 AND t0 < w1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS starts_in,
+               CAST(MAX(CASE WHEN t1 >= w0 AND t1 < w1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ends_in
+        FROM ov GROUP BY key)
+    SELECT d.key,
+           COALESCE(a.inter_us, 0) AS inter_us,
+           COALESCE(a.n_inter, 0) AS n_inter,
+           CAST(d.t1 - d.t0 - COALESCE(a.inter_us, 0) AS BIGINT) AS minus_us,
+           CAST(COALESCE(a.n_inter, 0) + 1 - COALESCE(a.starts_in, 0)
+                - COALESCE(a.ends_in, 0) AS BIGINT) AS n_minus
+    FROM dom d LEFT JOIN agg a USING (key)
+    ORDER BY d.key
+"""
+
+
+_WPROBES = [f"2024-01-{d:02d} {h:02d}:30:00"
+            for d in range(1, 31) for h in (0, 6, 12, 18)]
+
+
+def q_wcount_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-count aggregate wcount (users 0-9, 12 h window,
+    `src/temporal_waggfuncs.c:31-60`) sampled at 6-hourly probes —
+    oracle: COUNT of instants in [probe−12h, probe]."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir).where(F.col("key") < 10)
+    got = ST.wagg_count_profile(
+        pts, 12 * 3600 * 1_000_000, [_us_of(p) for p in _WPROBES])
+    return got.orderBy("t_us")
+
+
+_ORACLE_WCOUNT = f"""
+    WITH pts AS ({_EV_PTS}),
+    p10 AS (SELECT * FROM pts WHERE key < 10),
+    probes AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:30:00',
+                                      TIMESTAMP '2024-01-30 18:30:00',
+                                      INTERVAL 6 HOUR)) AS pt)
+    SELECT CAST(epoch_us(pr.pt) AS BIGINT) AS t_us,
+           COUNT(*) AS wcount
+    FROM probes pr JOIN p10 s
+      ON s.t >= pr.pt - INTERVAL 12 HOUR AND s.t <= pr.pt
+    GROUP BY pr.pt HAVING COUNT(*) > 0 ORDER BY t_us
+"""
+
+
+def q_tagg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal min/max/sum/avg/count aggregation of the users-0-9
+    tfloats (`src/temporal_aggfuncs.c` sweep/skiplist semantics incl.
+    min/max crossing insertion), sampled at 6-hourly probes.  Oracle:
+    per probe, aggregate the lerped value of every user defined there."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir).where(F.col("key") < 10)
+    got = ST.temporal_agg_profile(pts, [_us_of(p) for p in _WPROBES])
+    return got.select(
+        "t_us", "n_def",
+        F.round("vmin", 6).alias("vmin_r"), F.round("vmax", 6).alias("vmax_r"),
+        F.round("vsum", 6).alias("vsum_r"), F.round("vavg", 6).alias("vavg_r")
+    ).orderBy("t_us")
+
+
+_ORACLE_TAGG_PROFILE = f"""
+    WITH pts0 AS ({_EV_PTS}),
+    pts AS (SELECT * FROM pts0 WHERE key < 10),
+    probes AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:30:00',
+                                      TIMESTAMP '2024-01-30 18:30:00',
+                                      INTERVAL 6 HOUR)) AS pt),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    grid AS (SELECT d.key, p.pt FROM dom d
+             JOIN probes p ON p.pt >= d.t0 AND p.pt <= d.t1),
+    prev AS (SELECT g.key, g.pt, MAX(s.t) AS kt FROM grid g
+             JOIN pts s ON s.key = g.key AND s.t <= g.pt
+             GROUP BY g.key, g.pt),
+    nxt AS (SELECT g.key, g.pt, MIN(s.t) AS kt FROM grid g
+            JOIN pts s ON s.key = g.key AND s.t >= g.pt
+            GROUP BY g.key, g.pt),
+    lv AS (
+        SELECT pr.key, pr.pt,
+               CASE WHEN pr.kt = nx.kt THEN a.v
+                    ELSE a.v + (b.v - a.v) *
+                         (CAST(epoch_us(pr.pt) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS v
+        FROM prev pr JOIN nxt nx ON nx.key = pr.key AND nx.pt = pr.pt
+        JOIN pts a ON a.key = pr.key AND a.t = pr.kt
+        JOIN pts b ON b.key = nx.key AND b.t = nx.kt)
+    SELECT CAST(epoch_us(pt) AS BIGINT) AS t_us,
+           COUNT(*) AS n_def,
+           ROUND(MIN(v), 6) AS vmin_r, ROUND(MAX(v), 6) AS vmax_r,
+           ROUND(SUM(v), 6) AS vsum_r, ROUND(AVG(v), 6) AS vavg_r
+    FROM lv GROUP BY pt ORDER BY t_us
+"""
+
+
+# box bounds deliberately NOT multiples of 0.05: trajectory knots are
+# exact tenths, so no knot can ever sit on the box boundary and the
+# crossing windows are numerically unambiguous
+_BOX2 = (20.33, 10.11, 77.77, 88.88)  # x0, y0, x1, y1
+
+
+def q_at_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user atGeometry restriction to a rectangle
+    (``tpointseq_at_geometry1``, `tpoint_spatialfuncs.c:1627-1740`):
+    connected components, knots inside, exact inside-microseconds.
+    Oracle solves each segment's per-axis crossing window in SQL and
+    merges touching windows with a gaps-and-islands pass."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    x0, y0, x1, y1 = _BOX2
+    return ST.at_box_stats(pts, x0, y0, x1, y1).orderBy("key")
+
+
+def _round_even_sql(expr: str) -> str:
+    """Banker's rounding of a positive DOUBLE to BIGINT — matches
+    Python's round() used by the kernels for crossing timestamps.
+    (DuckDB's round()/round_even() are half-away / broken at 1e15
+    magnitudes, where float ulp is 0.25 and exact .5 values are
+    common.)"""
+    f = f"FLOOR({expr})"
+    frac = f"(({expr}) - {f})"
+    return (f"CAST(CASE WHEN {frac} > 0.5 THEN {f} + 1 "
+            f"WHEN {frac} < 0.5 THEN {f} "
+            f"WHEN (CAST({f} AS BIGINT) % 2) = 0 THEN {f} "
+            f"ELSE {f} + 1 END AS BIGINT)")
+
+
+def _edge_cross_sql(e0x: str, e0y: str, edx: str, edy: str) -> str:
+    """Crossing parameter r of segment (px0,py0)→(px1,py1) with one
+    polygon edge — the SAME float operations as the kernel
+    (`spatial._segment_polygon_entries`): r = (w0·edy − w1·edx)/denom,
+    srel likewise, hit iff denom≠0 ∧ 0<r<1 ∧ 0≤srel≤1."""
+    denom = f"((px1 - px0) * ({edy}) - (py1 - py0) * ({edx}))"
+    w0 = f"(({e0x}) - px0)"
+    w1 = f"(({e0y}) - py0)"
+    r = f"(({w0} * ({edy}) - {w1} * ({edx})) / {denom})"
+    srel = f"(({w0} * (py1 - py0) - {w1} * (px1 - px0)) / {denom})"
+    return (f"CASE WHEN {denom} <> 0 AND {r} > 0 AND {r} < 1 "
+            f"AND {srel} >= 0 AND {srel} <= 1 THEN {r} END")
+
+
+def _oracle_at_box() -> str:
+    x0, y0, x1, y1 = _BOX2
+    # rectangle ring edges in the same order the kernel sees them
+    edges = [(x0, y0, f"{x1} - {x0}", "0.0"),
+             (x1, y0, "0.0", f"{y1} - {y0}"),
+             (x1, y1, f"{x0} - {x1}", "0.0"),
+             (x0, y1, "0.0", f"{y0} - {y1}")]
+    cross = ", ".join(_edge_cross_sql(str(ex), str(ey), dx, dy)
+                      for ex, ey, dx, dy in edges)
+    return f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, CAST(epoch_us(t) AS BIGINT) AS t0, x AS px0, y AS py0,
+               CAST(epoch_us(lead(t) OVER w) AS BIGINT) AS t1,
+               lead(x) OVER w AS px1, lead(y) OVER w AS py1
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    win AS (
+        SELECT key, t0, t1, px0, py0, px1, py1,
+               list_sort(list_distinct(list_concat(
+                   [0.0, 1.0],
+                   list_filter([{cross}], v -> v IS NOT NULL)))) AS rs
+        FROM seg WHERE t1 IS NOT NULL),
+    pcs AS (
+        SELECT key, t0, t1,
+               list_filter(
+                 list_transform(range(1, len(rs)),
+                                i -> {{'a': rs[i], 'b': rs[i + 1]}}),
+                 p -> (px0 + (px1 - px0) * ((p.a + p.b) / 2.0))
+                          BETWEEN {x0} AND {x1}
+                      AND (py0 + (py1 - py0) * ((p.a + p.b) / 2.0))
+                          BETWEEN {y0} AND {y1}) AS pieces
+        FROM win),
+    per0 AS (
+        SELECT key, t0, t1, unnest(pieces) AS pc
+        FROM pcs WHERE len(pieces) > 0),
+    per AS (
+        SELECT key, {_round_even_sql("t0 + (t1 - t0) * pc.a")} AS ta,
+               {_round_even_sql("t0 + (t1 - t0) * pc.b")} AS tb
+        FROM per0
+        UNION ALL
+        -- single-knot users: instantaneous period when inside
+        SELECT p.key, CAST(epoch_us(p.t) AS BIGINT), CAST(epoch_us(p.t) AS BIGINT)
+        FROM pts p
+        JOIN (SELECT key FROM pts GROUP BY key HAVING COUNT(*) = 1) o
+          USING (key)
+        WHERE p.x >= {x0} AND p.x <= {x1} AND p.y >= {y0} AND p.y <= {y1}),
+    isl AS (
+        SELECT key, ta, tb,
+               CASE WHEN LAG(tb) OVER (PARTITION BY key ORDER BY ta, tb)
+                         IS NULL
+                     OR ta > LAG(tb) OVER (PARTITION BY key ORDER BY ta, tb)
+                    THEN 1 ELSE 0 END AS newp
+        FROM per),
+    pagg AS (
+        SELECT key, CAST(SUM(newp) AS BIGINT) AS n_periods,
+               CAST(SUM(tb - ta) AS BIGINT) AS total_us
+        FROM isl GROUP BY key),
+    kin AS (
+        SELECT key, CAST(COUNT(CASE WHEN x >= {x0} AND x <= {x1}
+                                     AND y >= {y0} AND y <= {y1}
+                                    THEN 1 END) AS BIGINT) AS n_knots_in
+        FROM pts GROUP BY key)
+    SELECT k.key, COALESCE(p.n_periods, 0) AS n_periods,
+           k.n_knots_in, COALESCE(p.total_us, 0) AS total_us
+    FROM kin k LEFT JOIN pagg p USING (key)
+    ORDER BY k.key
+    """
+
+
+_TDW_DIST = 30.0
+
+
+def _pair_sync_sql(cols: tuple[str, ...] = ("x", "y")) -> str:
+    """Shared oracle scaffold: pair users (2k, 2k+1), build the
+    synchronized instant set over the common time domain, and lerp
+    BOTH members at every sync instant from their ORIGINAL knots —
+    the same float operations as `lifting.synchronize`/`_sample`.
+
+    Exposes CTE ``sq`` with columns pair, t0, t1 (BIGINT epoch µs) and
+    a_<col>0 / b_<col>0 / a_<col>1 / b_<col>1 per value column."""
+    sel = ", ".join(["key // 2 AS pair", "key % 2 AS side", "t"]
+                    + list(cols))
+    lerp_lines = ",\n               ".join(
+        f"""CASE WHEN pr.kt = nx.kt THEN a.{c}
+                    ELSE a.{c} + (b.{c} - a.{c}) *
+                         (CAST(epoch_us(pr.t) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS {c}"""
+        for c in cols)
+    pivot_lines = ",\n               ".join(
+        f"MAX(CASE WHEN side = {i} THEN {c} END) AS {p}_{c}"
+        for p, i in (("a", 0), ("b", 1)) for c in cols)
+    lead_lines = ",\n               ".join(
+        f"{p}_{c} AS {p}_{c}0, lead({p}_{c}) OVER w AS {p}_{c}1"
+        for p in ("a", "b") for c in cols)
+    return f"""
+    pts AS ({_EV_PTS}),
+    pp AS (SELECT {sel} FROM pts),
+    ok AS (SELECT pair FROM pp GROUP BY pair
+           HAVING COUNT(DISTINCT side) = 2),
+    dom AS (SELECT pair, side, MIN(t) AS d0, MAX(t) AS d1
+            FROM pp JOIN ok USING (pair) GROUP BY pair, side),
+    win AS (SELECT pair, MAX(d0) AS lo, MIN(d1) AS hi
+            FROM dom GROUP BY pair HAVING MAX(d0) < MIN(d1)),
+    sync AS (SELECT DISTINCT w.pair, p.t FROM win w
+             JOIN pp p ON p.pair = w.pair AND p.t >= w.lo AND p.t <= w.hi),
+    prv AS (SELECT s.pair, s.t, p.side, MAX(p.t) AS kt FROM sync s
+            JOIN pp p ON p.pair = s.pair AND p.t <= s.t
+            GROUP BY s.pair, s.t, p.side),
+    nxt AS (SELECT s.pair, s.t, p.side, MIN(p.t) AS kt FROM sync s
+            JOIN pp p ON p.pair = s.pair AND p.t >= s.t
+            GROUP BY s.pair, s.t, p.side),
+    lv AS (
+        SELECT pr.pair, pr.t, pr.side,
+               {lerp_lines}
+        FROM prv pr
+        JOIN nxt nx ON nx.pair = pr.pair AND nx.t = pr.t AND nx.side = pr.side
+        JOIN pp a ON a.pair = pr.pair AND a.side = pr.side AND a.t = pr.kt
+        JOIN pp b ON b.pair = nx.pair AND b.side = nx.side AND b.t = nx.kt),
+    sv AS (
+        SELECT pair, t,
+               {pivot_lines}
+        FROM lv GROUP BY pair, t),
+    sq AS (
+        SELECT pair, CAST(epoch_us(t) AS BIGINT) AS t0,
+               CAST(epoch_us(lead(t) OVER w) AS BIGINT) AS t1,
+               {lead_lines}
+        FROM sv WINDOW w AS (PARTITION BY pair ORDER BY t))
+    """
+
+
+def q_tdwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-pair tdwithin(a, b, 30) totals (quadratic per-segment
+    solver, `tpoint_tempspatialrels.c:952-1098`): exact microseconds
+    within distance + connected-component count."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    paired = pts.withColumn("pair", (F.col("key") / 2).cast("bigint"))
+    got = ST.tdwithin_pair_stats(paired, _TDW_DIST, pair="pair",
+                                 member="key")
+    return got.orderBy("pair")
+
+
+def _oracle_tdwithin() -> str:
+    d = _TDW_DIST
+    return f"""
+    WITH {_pair_sync_sql()},
+    qd AS (
+        SELECT pair, t0, t1,
+               (b_x0 - a_x0) AS d0x, (b_y0 - a_y0) AS d0y,
+               ((b_x1 - a_x1) - (b_x0 - a_x0)) AS ddx,
+               ((b_y1 - a_y1) - (b_y0 - a_y0)) AS ddy
+        FROM sq WHERE t1 IS NOT NULL),
+    qq AS (
+        SELECT pair, t0, t1,
+               (ddx * ddx + ddy * ddy) AS qa,
+               (2.0 * (d0x * ddx + d0y * ddy)) AS qb,
+               (d0x * d0x + d0y * d0y - {d} * {d}) AS qc
+        FROM qd),
+    w0 AS (
+        SELECT pair, t0, t1,
+               CASE WHEN qa = 0 THEN (CASE WHEN qc <= 0 THEN 0.0 END)
+                    WHEN qb * qb - 4 * qa * qc < 0 THEN NULL
+                    ELSE GREATEST(0.0, LEAST(
+                        (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa),
+                        (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)))
+               END AS rlo,
+               CASE WHEN qa = 0 THEN (CASE WHEN qc <= 0 THEN 1.0 END)
+                    WHEN qb * qb - 4 * qa * qc < 0 THEN NULL
+                    ELSE LEAST(1.0, GREATEST(
+                        (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa),
+                        (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)))
+               END AS rhi
+        FROM qq),
+    per AS (
+        SELECT pair, {_round_even_sql("t0 + (t1 - t0) * rlo")} AS ta,
+               {_round_even_sql("t0 + (t1 - t0) * rhi")} AS tb
+        FROM w0 WHERE rlo IS NOT NULL AND rhi IS NOT NULL AND rlo <= rhi),
+    isl AS (
+        SELECT pair, ta, tb,
+               CASE WHEN LAG(tb) OVER (PARTITION BY pair ORDER BY ta, tb)
+                         IS NULL
+                     OR ta > LAG(tb) OVER (PARTITION BY pair ORDER BY ta, tb)
+                    THEN 1 ELSE 0 END AS newp
+        FROM per)
+    SELECT pair, CAST(SUM(tb - ta) AS BIGINT) AS total_us,
+           CAST(SUM(newp) AS BIGINT) AS n_periods
+    FROM isl GROUP BY pair ORDER BY pair
+    """
+
+
+def q_nad_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-pair NAD + NAI (`tpoint_spatialfuncs.c:2107-2506`):
+    closest approach via the temporal distance's turning points —
+    oracle evaluates knot + turning-instant candidates in SQL."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    paired = pts.withColumn("pair", (F.col("key") / 2).cast("bigint"))
+    got = ST.nearest_approach_pairs(paired, pair="pair", member="key")
+    return got.select("pair", F.round("nad", 6).alias("nad_r"),
+                      "nai_us").orderBy("pair")
+
+
+def _oracle_nad() -> str:
+    return f"""
+    WITH {_pair_sync_sql()},
+    turn AS (
+        SELECT pair, t0, t1,
+               (b_x0 - a_x0) AS d0x, (b_y0 - a_y0) AS d0y,
+               ((b_x1 - a_x1) - (b_x0 - a_x0)) AS ddx,
+               ((b_y1 - a_y1) - (b_y0 - a_y0)) AS ddy
+        FROM sq WHERE t1 IS NOT NULL),
+    tc0 AS (
+        SELECT pair, t0, t1,
+               (-(d0x * ddx + d0y * ddy)) / (ddx * ddx + ddy * ddy) AS r
+        FROM turn WHERE (ddx * ddx + ddy * ddy) <> 0.0),
+    tcand AS (
+        SELECT pair, {_round_even_sql("t0 + (t1 - t0) * r")} AS tc
+        FROM tc0 WHERE r > 0.0 AND r < 1.0),
+    cand AS (
+        SELECT pair, t FROM sync
+        UNION
+        SELECT c.pair, make_timestamp(c.tc) FROM tcand c
+        JOIN turn u ON u.pair = c.pair AND c.tc > u.t0 AND c.tc < u.t1),
+    cprv AS (SELECT s.pair, s.t, p.side, MAX(p.t) AS kt FROM cand s
+             JOIN pp p ON p.pair = s.pair AND p.t <= s.t
+             GROUP BY s.pair, s.t, p.side),
+    cnxt AS (SELECT s.pair, s.t, p.side, MIN(p.t) AS kt FROM cand s
+             JOIN pp p ON p.pair = s.pair AND p.t >= s.t
+             GROUP BY s.pair, s.t, p.side),
+    clv AS (
+        SELECT pr.pair, pr.t, pr.side,
+               CASE WHEN pr.kt = nx.kt THEN a.x
+                    ELSE a.x + (b.x - a.x) *
+                         (CAST(epoch_us(pr.t) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS x,
+               CASE WHEN pr.kt = nx.kt THEN a.y
+                    ELSE a.y + (b.y - a.y) *
+                         (CAST(epoch_us(pr.t) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS y
+        FROM cprv pr
+        JOIN cnxt nx ON nx.pair = pr.pair AND nx.t = pr.t AND nx.side = pr.side
+        JOIN pp a ON a.pair = pr.pair AND a.side = pr.side AND a.t = pr.kt
+        JOIN pp b ON b.pair = nx.pair AND b.side = nx.side AND b.t = nx.kt),
+    cd AS (
+        SELECT pair, t,
+               sqrt((MAX(CASE WHEN side = 0 THEN x END)
+                     - MAX(CASE WHEN side = 1 THEN x END))
+                    * (MAX(CASE WHEN side = 0 THEN x END)
+                       - MAX(CASE WHEN side = 1 THEN x END))
+                    + (MAX(CASE WHEN side = 0 THEN y END)
+                       - MAX(CASE WHEN side = 1 THEN y END))
+                    * (MAX(CASE WHEN side = 0 THEN y END)
+                       - MAX(CASE WHEN side = 1 THEN y END))) AS dist
+        FROM clv GROUP BY pair, t),
+    best AS (
+        SELECT pair, t, dist,
+               ROW_NUMBER() OVER (PARTITION BY pair
+                                  ORDER BY dist ASC, t ASC) AS rn
+        FROM cd)
+    SELECT pair, ROUND(dist, 6) AS nad_r,
+           CAST(epoch_us(t) AS BIGINT) AS nai_us
+    FROM best WHERE rn = 1 ORDER BY pair
+    """
+
+
+def q_lifted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-pair lifted arithmetic + comparison on the tfloat
+    `value` (temporal + and ×, `tnumber_mathfuncs.c`; #< with crossing
+    splits, `temporal_compops.c`): knot-sampled sums of a+b / a·b and
+    exact microseconds where a < b."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    paired = pts.withColumn("pair", (F.col("key") / 2).cast("bigint"))
+    got = ST.lifted_pair_stats(paired, pair="pair", member="key")
+    return got.select(
+        "pair", "n_sync",
+        F.round("sum_add", 4).alias("sum_add_r"),
+        F.round("sum_mult", 2).alias("sum_mult_r"),
+        "lt_total_us").orderBy("pair")
+
+
+def _oracle_lifted() -> str:
+    return f"""
+    WITH {_pair_sync_sql(("v",))},
+    seg AS (
+        SELECT pair, t0, t1, a_v0, b_v0, a_v1, b_v1,
+               (a_v0 - b_v0) AS d0, (a_v1 - b_v1) AS d1
+        FROM sq),
+    -- crossing r = -d0/dd strictly inside (0,1), cf. _crossing_ratio
+    cr AS (
+        SELECT pair, t0, t1, a_v0, b_v0, a_v1, b_v1,
+               CASE WHEN (d1 - d0) <> 0.0
+                         AND (-d0 / (d1 - d0)) > 0.0
+                         AND (-d0 / (d1 - d0)) < 1.0
+                    THEN (-d0 / (d1 - d0)) END AS r
+        FROM seg WHERE t1 IS NOT NULL),
+    tc AS (
+        SELECT pair, t0, t1, a_v0, b_v0, a_v1, b_v1, r,
+               CASE WHEN r IS NOT NULL
+                    THEN {_round_even_sql("t0 + (t1 - t0) * r")} END AS tcr
+        FROM cr),
+    -- lt truth on each (sub)segment via midpoint compare, exactly as
+    -- lift_comparison evaluates v_before / v_mid / v_after
+    contrib AS (
+        SELECT pair,
+               CASE WHEN tcr IS NULL OR tcr <= t0 OR tcr >= t1 THEN
+                    (CASE WHEN ((a_v0 + a_v1) / 2.0) < ((b_v0 + b_v1) / 2.0)
+                          THEN t1 - t0 ELSE 0 END)
+               ELSE
+                    (CASE WHEN ((a_v0 + (a_v0 + (a_v1 - a_v0)
+                           * (CAST(tcr - t0 AS DOUBLE) / (t1 - t0)))) / 2.0)
+                        < ((b_v0 + (b_v0 + (b_v1 - b_v0)
+                           * (CAST(tcr - t0 AS DOUBLE) / (t1 - t0)))) / 2.0)
+                          THEN tcr - t0 ELSE 0 END)
+                  + (CASE WHEN (((a_v0 + (a_v1 - a_v0)
+                           * (CAST(tcr - t0 AS DOUBLE) / (t1 - t0))) + a_v1)
+                           / 2.0)
+                        < (((b_v0 + (b_v1 - b_v0)
+                           * (CAST(tcr - t0 AS DOUBLE) / (t1 - t0))) + b_v1)
+                           / 2.0)
+                          THEN t1 - tcr ELSE 0 END)
+               END AS lt_us
+        FROM tc),
+    knot AS (
+        SELECT pair, COUNT(*) AS n_sync,
+               SUM(a_v0 + b_v0) AS sum_add,
+               SUM(a_v0 * b_v0) AS sum_mult
+        FROM sq GROUP BY pair)
+    SELECT k.pair, CAST(k.n_sync AS BIGINT) AS n_sync,
+           ROUND(k.sum_add, 4) AS sum_add_r,
+           ROUND(k.sum_mult, 2) AS sum_mult_r,
+           CAST(COALESCE(c.lt, 0) AS BIGINT) AS lt_total_us
+    FROM knot k
+    LEFT JOIN (SELECT pair, SUM(lt_us) AS lt FROM contrib GROUP BY pair) c
+      USING (pair)
+    ORDER BY k.pair
+    """
+
+
+_EXTRA7 = {
+    "at_period_clip": (q_at_period_clip, _ORACLE_AT_PERIOD),
+    "period_business": (q_period_business, _ORACLE_PERIOD_BUSINESS),
+    "wcount_probe": (q_wcount_probe, _ORACLE_WCOUNT),
+    "tagg_profile": (q_tagg_profile, _ORACLE_TAGG_PROFILE),
+    "at_box": (q_at_box, _oracle_at_box()),
+    "tdwithin_pairs": (q_tdwithin_pairs, _oracle_tdwithin()),
+    "nad_pairs": (q_nad_pairs, _oracle_nad()),
+    "lifted_pairs": (q_lifted_pairs, _oracle_lifted()),
+}
+
+_BASE_REGISTRY7 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY7()
+    out.update(_EXTRA7)
+    return out
+
 _BASE_REGISTRY6 = registry
 
 

@@ -113,6 +113,266 @@ def tnumber_twavg(points: DataFrame, key: str = "key", t: str = "t",
     return points.groupBy(key).applyInPandas(agg, schema)
 
 
+def temporal_agg_profile(points: DataFrame, probes_us: list[int],
+                         key: str = "key", t: str = "t", v: str = "v"
+                         ) -> DataFrame:
+    """Global tcount/tmin/tmax/tsum/tavg over per-key tfloats, sampled
+    at probe instants (`src/temporal_aggfuncs.c` tagg semantics: value
+    at an instant aggregates the members defined there).
+
+    One group → one kernel task; member count is expected to be small
+    (the caller pre-filters) because tmin/tmax insert pairwise segment
+    crossings per elementary interval — the reference's skiplist does
+    the same work."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from .aggs import tagg, _values_at_many
+    schema = ("t_us bigint, n_def bigint, vmin double, vmax double, "
+              "vsum double, vavg double")
+    probes = np.asarray(sorted(probes_us), dtype=np.int64)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = []
+        for _, mdf in pdf.groupby(key):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            members.append(temporal_from_pdf(mdf, t, (v,)))
+        out = {}
+        mask = None
+        for kind in ("count", "min", "max", "sum", "avg"):
+            tv = tagg(members, kind)
+            vals, m = _values_at_many(tv, probes)
+            out[kind] = vals[:, 0]
+            if kind == "count":
+                mask = m
+        sel = np.nonzero(mask)[0]
+        return pd.DataFrame({
+            "t_us": probes[sel],
+            "n_def": out["count"][sel].astype(np.int64),
+            "vmin": out["min"][sel], "vmax": out["max"][sel],
+            "vsum": out["sum"][sel], "vavg": out["avg"][sel]})
+
+    return (points.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+
+
+def restrict_period_clip(points: DataFrame, t1_us: int, t2_us: int,
+                         key: str = "key", t: str = "t",
+                         x: str = "x", y: str = "y") -> DataFrame:
+    """Per-key atPeriod restriction to the closed period [t1, t2]
+    (atPeriod, `src/temporal.c:2936`): instant count, exact duration,
+    and interpolated clip-bound values."""
+    import numpy as np
+    from .restrict import at_period
+    from .types import Period
+    schema = (f"{key} bigint, n_inst bigint, dur_us bigint, "
+              "x0 double, y0 double, x1 double, y1 double")
+    p = Period(int(t1_us), int(t2_us), True, True)
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tv = temporal_from_pdf(pdf, t, (x, y))
+        got = at_period(tv, p)
+        if got is None:
+            return pd.DataFrame(columns=[key, "n_inst", "dur_us",
+                                         "x0", "y0", "x1", "y1"])
+        first, last = got.seqs[0], got.seqs[-1]
+        return pd.DataFrame([{
+            key: kv, "n_inst": got.num_instants(),
+            "dur_us": got.duration_us(),
+            "x0": float(first.values[0, 0]), "y0": float(first.values[0, 1]),
+            "x1": float(last.values[-1, 0]), "y1": float(last.values[-1, 1]),
+        }])
+
+    return points.groupBy(key).applyInPandas(clip, schema)
+
+
+def at_box_stats(points: DataFrame, x0: float, y0: float,
+                 x1: float, y1: float, key: str = "key", t: str = "t",
+                 x: str = "x", y: str = "y") -> DataFrame:
+    """Per-key atGeometry restriction to a rectangle
+    (``tpointseq_at_geometry1``, `tpoint_spatialfuncs.c:1627`):
+    connected-component count, knots inside, exact total microseconds."""
+    import numpy as np
+    from . import geo, spatial
+    schema = f"{key} bigint, n_periods bigint, n_knots_in bigint, total_us bigint"
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+    box = geo.Geometry("Polygon", [ring])
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tv = temporal_from_pdf(pdf, t, (x, y))
+        ps = spatial.at_geometry_periods(tv, box)
+        xs = np.concatenate([s.values[:, 0] for s in tv.seqs])
+        ys = np.concatenate([s.values[:, 1] for s in tv.seqs])
+        n_in = int(((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)).sum())
+        return pd.DataFrame([{
+            key: kv, "n_periods": len(ps), "n_knots_in": n_in,
+            "total_us": int(sum(p.upper - p.lower for p in ps))}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
+def tdwithin_pair_stats(points: DataFrame, dist: float,
+                        pair: str = "pair", member: str = "key",
+                        t: str = "t", x: str = "x", y: str = "y"
+                        ) -> DataFrame:
+    """Per pair of tpoints: exact total microseconds and component
+    count where tdwithin(a, b, dist) is true
+    (`tpoint_tempspatialrels.c:952-1098` quadratic solver)."""
+    from . import spatial
+    from .restrict import at_value
+    schema = f"{pair} bigint, total_us bigint, n_periods bigint"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pv = pdf[pair].iloc[0]
+        groups = [g for _, g in pdf.groupby(member)]
+        if len(groups) != 2:
+            return pd.DataFrame(columns=[pair, "total_us", "n_periods"])
+        tvs = [temporal_from_pdf(
+            g.drop_duplicates(subset=[t]).sort_values(t), t, (x, y))
+            for g in groups]
+        tb = spatial.tdwithin(tvs[0], tvs[1], dist)
+        if tb is None:
+            return pd.DataFrame(columns=[pair, "total_us", "n_periods"])
+        hit = at_value(tb, 1.0)
+        ps = hit.get_time() if hit is not None else []
+        return pd.DataFrame([{
+            pair: pv, "total_us": int(sum(p.upper - p.lower for p in ps)),
+            "n_periods": len(ps)}])
+
+    return points.groupBy(pair).applyInPandas(stats, schema)
+
+
+def nearest_approach_pairs(points: DataFrame, pair: str = "pair",
+                           member: str = "key", t: str = "t",
+                           x: str = "x", y: str = "y") -> DataFrame:
+    """Per pair of tpoints: NAD + NAI (`tpoint_spatialfuncs.c:
+    2107-2506` via the temporal distance's turning points)."""
+    from . import spatial
+    schema = f"{pair} bigint, nad double, nai_us bigint"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pv = pdf[pair].iloc[0]
+        groups = [g for _, g in pdf.groupby(member)]
+        if len(groups) != 2:
+            return pd.DataFrame(columns=[pair, "nad", "nai_us"])
+        tvs = [temporal_from_pdf(
+            g.drop_duplicates(subset=[t]).sort_values(t), t, (x, y))
+            for g in groups]
+        try:
+            nai, nad = spatial.nearest_approach_instant(tvs[0], tvs[1])
+        except ValueError:  # no temporal overlap
+            return pd.DataFrame(columns=[pair, "nad", "nai_us"])
+        return pd.DataFrame([{pair: pv, "nad": float(nad),
+                              "nai_us": int(nai)}])
+
+    return points.groupBy(pair).applyInPandas(stats, schema)
+
+
+def wagg_count_profile(points: DataFrame, window_us: int,
+                       probes_us: list[int], key: str = "key",
+                       t: str = "t", v: str = "v") -> DataFrame:
+    """Global wcount over per-key instant sets, sampled at probes
+    (`src/temporal_waggfuncs.c:31-60`: each instant extends to
+    [t, t+w]; the aggregate counts active extensions)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from .aggs import wagg, _values_at_many
+    from .types import Temporal
+    schema = "t_us bigint, wcount bigint"
+    probes = np.asarray(sorted(probes_us), dtype=np.int64)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = []
+        for _, mdf in pdf.groupby(key):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            tt = mdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
+            members.append(Temporal.instant_set(
+                tt, mdf[[v]].to_numpy(dtype=np.float64)))
+        res = wagg(members, "count", window_us)
+        vals, mask = _values_at_many(res, probes)
+        sel = np.nonzero(mask)[0]
+        return pd.DataFrame({"t_us": probes[sel],
+                             "wcount": vals[sel, 0].astype(np.int64)})
+
+    return (points.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+
+
+def period_business_stats(points: DataFrame, windows: list[tuple[int, int]],
+                          key: str = "key", t: str = "t") -> DataFrame:
+    """Per-key period algebra vs a fixed window set (timeops.c union/
+    intersection/minus): the key's observation span [min_t, max_t]
+    intersected with / minus the half-open windows — exact integer
+    microsecond totals and piece counts."""
+    import numpy as np
+    from . import timeops
+    from .types import Period
+    schema = (f"{key} bigint, inter_us bigint, n_inter bigint, "
+              "minus_us bigint, n_minus bigint")
+    wins = [Period(int(a), int(b), True, False) for a, b in windows]
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        tt = pdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dom = [Period(int(tt.min()), int(tt.max()), True, True)]
+        inter = timeops.intersection(dom, wins)
+        mins = timeops.minus(dom, wins)
+        return pd.DataFrame([{
+            key: kv,
+            "inter_us": int(sum(p.upper - p.lower for p in inter)),
+            "n_inter": len(inter),
+            "minus_us": int(sum(p.upper - p.lower for p in mins)),
+            "n_minus": len(mins)}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
+def lifted_pair_stats(points: DataFrame, pair: str = "pair",
+                      member: str = "key", t: str = "t", v: str = "v"
+                      ) -> DataFrame:
+    """Per pair of tfloats: lifted arithmetic + comparison
+    (`src/temporal_compops.c`, `tnumber_mathfuncs.c`): a+b and a·b
+    sampled at the sync instants (sums), plus the exact microseconds
+    where a < b (crossing-split stepwise tbool)."""
+    import numpy as np
+    from .aggs import _values_at_many
+    from .lifting import lift_comparison, synchronize, tadd, tmult
+    from .restrict import at_value
+    schema = (f"{pair} bigint, n_sync bigint, sum_add double, "
+              "sum_mult double, lt_total_us bigint")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pv = pdf[pair].iloc[0]
+        groups = [g for _, g in pdf.groupby(member)]
+        if len(groups) != 2:
+            return pd.DataFrame(columns=[pair, "n_sync", "sum_add",
+                                         "sum_mult", "lt_total_us"])
+        a, b = [temporal_from_pdf(
+            g.drop_duplicates(subset=[t]).sort_values(t), t, (v,))
+            for g in groups]
+        pieces = synchronize(a, b)
+        if not pieces:
+            return pd.DataFrame(columns=[pair, "n_sync", "sum_add",
+                                         "sum_mult", "lt_total_us"])
+        ts = np.unique(np.concatenate([p[0] for p in pieces]))
+        add_v, _ = _values_at_many(tadd(a, b), ts)
+        mul_v, _ = _values_at_many(tmult(a, b), ts)
+        lt = lift_comparison("lt", a, b)
+        hit = at_value(lt, 1.0) if lt is not None else None
+        ps = hit.get_time() if hit is not None else []
+        return pd.DataFrame([{
+            pair: pv, "n_sync": len(ts),
+            "sum_add": float(add_v[:, 0].sum()),
+            "sum_mult": float(mul_v[:, 0].sum()),
+            "lt_total_us": int(sum(p.upper - p.lower for p in ps))}])
+
+    return points.groupBy(pair).applyInPandas(stats, schema)
+
+
 def extent(points: DataFrame, key: str = "key", t: str = "t",
            x: str = "x", y: str = "y") -> DataFrame:
     """Per-key STBOX extent — pure built-ins, no UDF (the `extent`
