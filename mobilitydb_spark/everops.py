@@ -98,6 +98,65 @@ def always(op: str, tv: Temporal, value) -> bool:
 # projected spatial relationships (trajectory-level, → bool/None)
 # ---------------------------------------------------------------------------
 
+def _traj_checked(tv: Temporal) -> geo.Geometry:
+    """Trajectory for relate: PostGIS errors on mixed point+line
+    collections ("Relate Operation called with a LWGEOMCOLLECTION",
+    `66_tpoint_spatialrels.test.out:6422`) — replicate."""
+    from .spatial import trajectory
+    g = trajectory(tv)
+    if g.kind == "MultiLineString":
+        lens = [len(p) for p in g.parts]
+        if any(n == 1 for n in lens) and any(n > 1 for n in lens):
+            raise ValueError(
+                "Relate Operation called with a LWGEOMCOLLECTION type. "
+                "This is unsupported.")
+        if all(n == 1 for n in lens):
+            g = geo.Geometry("MultiPoint", g.parts, g.srid)
+    return g
+
+
+def _sync_pair(a: Temporal, b: Temporal) -> tuple[Temporal, Temporal] | None:
+    """Restrict two temporal points to their synchronized instants
+    (``intersection_temporal_temporal`` before the trajectory relate,
+    `tpoint_spatialrels.c:1326-1345`)."""
+    from .lifting import synchronize, _result_dur
+    from .types import Seq
+    pieces = synchronize(a, b)
+    if not pieces:
+        return None
+    sa = [Seq(ts, va, lo, hi) for ts, va, _vb, lo, hi in pieces]
+    sb = [Seq(ts, vb, lo, hi) for ts, _va, vb, lo, hi in pieces]
+    dur = _result_dur(a, b, len(sa))
+    return (Temporal(dur, sa, a.linear, a.srid),
+            Temporal(dur, sb, b.linear, b.srid))
+
+
+def relate(a, b) -> str | None:
+    """DE-9IM matrix (text) — relate(geo, tpoint) / relate(tpoint, geo)
+    / relate(tpoint, tpoint) (`tpoint_spatialrels.c:1276-1345`).  The
+    reference passes the trajectory as the FIRST relate operand for
+    both mixed argument orders (dispatcher `:252-283` with
+    invert=false), so both orders yield the same matrix."""
+    from .de9im import relate_geoms
+    if isinstance(a, Temporal) and isinstance(b, Temporal):
+        got = _sync_pair(a, b)
+        if got is None:
+            return None
+        return relate_geoms(_traj_checked(got[0]), _traj_checked(got[1]))
+    tv, g = (a, b) if isinstance(a, Temporal) else (b, a)
+    if g.is_empty:
+        return None
+    return relate_geoms(_traj_checked(tv), g)
+
+
+def relate_pattern(a, b, pattern: str) -> bool | None:
+    """relate_pattern(…, text) → bool
+    (`tpoint_spatialrels.c:1348-1423`)."""
+    from .de9im import matches_pattern
+    m = relate(a, b)
+    return None if m is None else matches_pattern(m, pattern)
+
+
 def intersects(tv: Temporal, g: geo.Geometry) -> bool | None:
     """intersects(tpoint, geom): trajectory ∩ geom ≠ ∅
     (`tpoint_spatialrels.c:300+`); NULL on empty geometry."""

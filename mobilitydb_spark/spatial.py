@@ -294,6 +294,143 @@ def _tbool_from_periods(tv: Temporal, true_ps: list[Period]) -> Temporal:
     return Temporal(dur, seqs, False, tv.srid, True)
 
 
+def trelate(a, b, pattern: str | None = None):
+    """Temporal DE-9IM — trelate(geo, tpoint) / trelate(tpoint, geo) /
+    trelate(tpoint, tpoint) → ttext, or tbool with a pattern
+    (`tpoint_tempspatialrels.c:1456-2290`, goldens
+    `68_tpoint_tempspatialrels.test.out:1120+`).
+
+    The instantaneous matrix of a moving point against a fixed
+    geometry takes finitely many values (coincident / boundary /
+    inside / apart), so the result is the stepwise map of the point's
+    classification over time — built on the same period machinery as
+    tintersects, with the value crossings of at_values/at_geometry."""
+    from . import de9im
+    from .restrict import at_values
+    from .ttext import TText
+
+    if isinstance(a, Temporal) and isinstance(b, Temporal):
+        # per-instant relate of two points: coincident ⇔ teq
+        from .everops import _sync_pair
+        from .lifting import lift_comparison
+        got = _sync_pair(a, b)
+        if got is None:
+            return None
+        eq = lift_comparison("eq", got[0], got[1])
+        if eq is None:
+            return None
+        vocab = ["FF0FFF0F2", "0FFFFFFF2"]  # apart, coincident
+        tt = TText(eq, vocab)
+        return _trelate_finish(tt, pattern)
+
+    tv, g = (a, b) if isinstance(a, Temporal) else (b, a)
+    geom_first = not isinstance(a, Temporal)
+    if g.is_empty:
+        return None
+    point_g = g.kind in ("Point", "MultiPoint")
+    if point_g:
+        pts = np.unique(np.vstack(g.parts), axis=0)
+        hit = at_values(tv, pts)
+        true_ps = hit.get_time() if hit is not None else []
+        # matrix when the moving point (A) coincides with one geometry
+        # point: extra geometry points lie in A's exterior (EI)
+        extra = len(pts) > 1
+        coincide = "0FFFFF" + ("0" if extra else "F") + "F2"
+        apart = "FF0FFF0F2"
+        if geom_first:
+            coincide = de9im._transpose(coincide)
+            apart = de9im._transpose(apart)
+        tb = _tbool_from_periods(tv, normalize_periods(true_ps))
+        return _trelate_finish(TText(tb, [apart, coincide]), pattern)
+    # polygon geometry: inside / boundary / outside (boundary at the
+    # entry/exit instants; edge-sliding pieces are classified inside,
+    # like the at_geometry kernel)
+    inside_m, bnd_m, out_m = "0FFFFF212", "F0FFFF212", "FF0FFF212"
+    if geom_first:
+        inside_m = de9im._transpose(inside_m)
+        bnd_m = de9im._transpose(bnd_m)
+        out_m = de9im._transpose(out_m)
+    vocab = [out_m, inside_m, bnd_m]
+    ps = at_geometry_periods(tv, g)
+    ring_lines = [r for r, _ in g.rings()]
+
+    def on_ring(t: int) -> bool:
+        p = tv.value_at(t)
+        if p is None:
+            return False
+        return any(geo._on_segment(p[0], p[1], rl[j, 0], rl[j, 1],
+                                   rl[j + 1, 0], rl[j + 1, 1])
+                   for rl in ring_lines for j in range(len(rl) - 1))
+
+    # split inside periods at boundary-contact bound instants
+    code_ps: list[tuple[Period, float]] = []
+    for p in ps:
+        lo_b = on_ring(p.lower)
+        hi_b = on_ring(p.upper)
+        if p.lower == p.upper:
+            code_ps.append((p, 2.0 if lo_b else 1.0))
+            continue
+        if lo_b:
+            code_ps.append((Period(p.lower, p.lower), 2.0))
+        inner = Period(p.lower, p.upper, not lo_b and p.lower_inc,
+                       not hi_b and p.upper_inc)
+        code_ps.append((inner if (lo_b or hi_b) else p, 1.0))
+        if hi_b:
+            code_ps.append((Period(p.upper, p.upper), 2.0))
+    tb = _tcode_from_periods(tv, code_ps)
+    return _trelate_finish(TText(tb, vocab), pattern)
+
+
+def _tcode_from_periods(tv: Temporal,
+                        coded: list[tuple[Period, float]]) -> Temporal:
+    """Stepwise temporal over the domain of ``tv``: coded periods get
+    their code, the remaining domain gets 0 (generalizes
+    _tbool_from_periods to n-valued codes)."""
+    from .lifting import assemble_step_atoms
+    from .restrict import complement_periods
+    dom = tv.get_time()
+    pieces: list[tuple[Period, float]] = list(coded)
+    comp = complement_periods([p for p, _ in coded]) if coded else \
+        [Period(-2**62, 2**62)]
+    for c in comp:
+        for d in dom:
+            inter = c.intersection(d)
+            if inter is not None:
+                pieces.append((inter, 0.0))
+    atoms: list[tuple] = []
+    for p, v in pieces:
+        if p.lower == p.upper:
+            atoms.append((p.lower, p.lower, True, True, v))
+            continue
+        if p.lower_inc:
+            atoms.append((p.lower, p.lower, True, True, v))
+        atoms.append((p.lower, p.upper, False, False, v))
+        if p.upper_inc:
+            atoms.append((p.upper, p.upper, True, True, v))
+    atoms.sort(key=lambda at: (at[0], at[1]))
+    seqs = assemble_step_atoms(atoms)
+    dur = SEQUENCESET if tv.duration in (SEQUENCE, SEQUENCESET) \
+        else (INSTANT if tv.duration == INSTANT else INSTANTSET)
+    return Temporal(dur, seqs, False, tv.srid, True)
+
+
+def _trelate_finish(tt, pattern: str | None):
+    """Either the ttext itself, or the pattern-matched tbool."""
+    if pattern is None:
+        return tt
+    from . import de9im
+    from .lifting import lift_unary
+    match = [1.0 if de9im.matches_pattern(w, pattern) else 0.0
+             for w in tt.vocab]
+
+    def remap(v: np.ndarray) -> np.ndarray:
+        codes = np.rint(v[:, 0]).astype(int)
+        return np.array([match[c] for c in codes])
+
+    return lift_unary(remap, tt.temporal, result_linear=False,
+                      result_step_default=True)
+
+
 def tdwithin(a: Temporal, b: Temporal | np.ndarray, dist: float) -> Temporal | None:
     """tdwithin(tpoint, tpoint|point, d) → stepwise tbool: solves
     ‖Δp(t)‖ = d per synchronized segment (quadratic, 0/1/2 roots —
