@@ -23,13 +23,20 @@ from .types import Temporal
 
 @dataclass(frozen=True)
 class STBox:
-    """`include/temporal.h:118-129` (2D + time; Z deferred)."""
+    """`include/temporal.h:118-129` (2D/3D + time; zmin/zmax are None
+    for 2D boxes, mirroring the reference's MOBDB_FLAGS_GET_Z)."""
     xmin: float
     xmax: float
     ymin: float
     ymax: float
     tmin: int
     tmax: int
+    zmin: float | None = None
+    zmax: float | None = None
+
+    @property
+    def has_z(self) -> bool:
+        return self.zmin is not None
 
     @staticmethod
     def of(tv: Temporal) -> "STBox":
@@ -37,16 +44,26 @@ class STBox:
         return STBox(float(v[:, 0].min()), float(v[:, 0].max()),
                      float(v[:, 1].min()) if tv.dim > 1 else 0.0,
                      float(v[:, 1].max()) if tv.dim > 1 else 0.0,
-                     tv.start_timestamp(), tv.end_timestamp())
+                     tv.start_timestamp(), tv.end_timestamp(),
+                     float(v[:, 2].min()) if tv.dim > 2 else None,
+                     float(v[:, 2].max()) if tv.dim > 2 else None)
 
     def expand(self, d: float, dt_us: int = 0) -> "STBox":
         """expandSpatial/expandTemporal (`tpoint_boxops.c:440-538`)."""
         return STBox(self.xmin - d, self.xmax + d, self.ymin - d,
-                     self.ymax + d, self.tmin - dt_us, self.tmax + dt_us)
+                     self.ymax + d, self.tmin - dt_us, self.tmax + dt_us,
+                     None if self.zmin is None else self.zmin - d,
+                     None if self.zmax is None else self.zmax + d)
+
+
+def _both_z(a: STBox, b: STBox) -> bool:
+    return a.has_z and b.has_z
 
 
 def overlaps(a: STBox, b: STBox) -> bool:
     """&& — all shared dimensions intersect."""
+    if _both_z(a, b) and not (a.zmin <= b.zmax and b.zmin <= a.zmax):
+        return False
     return (a.xmin <= b.xmax and b.xmin <= a.xmax
             and a.ymin <= b.ymax and b.ymin <= a.ymax
             and a.tmin <= b.tmax and b.tmin <= a.tmax)
@@ -54,6 +71,8 @@ def overlaps(a: STBox, b: STBox) -> bool:
 
 def contains(a: STBox, b: STBox) -> bool:
     """@>"""
+    if _both_z(a, b) and not (a.zmin <= b.zmin and b.zmax <= a.zmax):
+        return False
     return (a.xmin <= b.xmin and b.xmax <= a.xmax
             and a.ymin <= b.ymin and b.ymax <= a.ymax
             and a.tmin <= b.tmin and b.tmax <= a.tmax)
@@ -100,6 +119,22 @@ def above(a: STBox, b: STBox) -> bool:      # |>>
 
 def overabove(a: STBox, b: STBox) -> bool:  # |&>
     return a.ymin >= b.ymin
+
+
+def front(a: STBox, b: STBox) -> bool:      # <</ (z axis)
+    return a.zmax < b.zmin
+
+
+def overfront(a: STBox, b: STBox) -> bool:  # &</
+    return a.zmax <= b.zmax
+
+
+def back(a: STBox, b: STBox) -> bool:       # />>
+    return a.zmin > b.zmax
+
+
+def overback(a: STBox, b: STBox) -> bool:   # /&>
+    return a.zmin >= b.zmin
 
 
 def before(a: STBox, b: STBox) -> bool:     # <<#

@@ -276,11 +276,20 @@ def _la(lines: list[np.ndarray], g: geo.Geometry) -> str:
 # dispatch
 # ---------------------------------------------------------------------------
 
+def _force2d(g: geo.Geometry) -> geo.Geometry:
+    """GEOS relate is 2D: project any z away (the reference's 3D
+    relate goldens show xy-only matrices)."""
+    if g.is_empty or g.parts[0].shape[1] == 2:
+        return g
+    return geo.Geometry(g.kind, [p[:, :2] for p in g.parts], g.srid)
+
+
 def relate_geoms(a: geo.Geometry, b: geo.Geometry) -> str | None:
     """DE-9IM matrix string of two geometries; None if either is empty
     (the reference's NULL convention)."""
     if a.is_empty or b.is_empty:
         return None
+    a, b = _force2d(a), _force2d(b)
     ka = "P" if a.kind in _POINTY else "L" if a.kind in _LINEY else "A"
     kb = "P" if b.kind in _POINTY else "L" if b.kind in _LINEY else "A"
     if ka == "P" and kb == "P":

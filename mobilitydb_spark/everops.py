@@ -146,6 +146,9 @@ def relate(a, b) -> str | None:
     tv, g = (a, b) if isinstance(a, Temporal) else (b, a)
     if g.is_empty:
         return None
+    if not g.is_empty and g.parts[0].shape[1] != tv.dim:
+        raise ValueError("The temporal point and the geometry must be "
+                         "of the same dimensionality")
     return relate_geoms(_traj_checked(tv), g)
 
 

@@ -379,6 +379,8 @@ class Temporal:
             if x == int(x):
                 return str(int(x))
             return repr(float(x))
+        if self.dim == 3:
+            return f"POINT Z ({num(v[0])} {num(v[1])} {num(v[2])})"
         if self.dim == 2:
             return f"POINT({num(v[0])} {num(v[1])})"
         return num(v[0])
@@ -416,8 +418,9 @@ class Temporal:
 # literal parser (fixture/golden-file use; temporal_parser.c:412-598)
 # ---------------------------------------------------------------------------
 
-_POINT_RE = re.compile(r"^\s*point\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$",
-                       re.IGNORECASE)
+_POINT_RE = re.compile(
+    r"^\s*point\s*(?:z\s*)?\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)"
+    r"(?:\s+([-\d.eE+]+))?\s*\)\s*$", re.IGNORECASE)
 
 
 def _parse_inst(tok: str, want_point: bool):
@@ -427,7 +430,10 @@ def _parse_inst(tok: str, want_point: bool):
     t = parse_ts(ts)
     m = _POINT_RE.match(val)
     if m:
-        return t, np.array([float(m.group(1)), float(m.group(2))])
+        coords = [float(m.group(1)), float(m.group(2))]
+        if m.group(3) is not None:
+            coords.append(float(m.group(3)))  # 3D (z), tpoint_parser.c
+        return t, np.array(coords)
     if want_point:
         raise ValueError(f"expected point value in {tok!r}")
     v = {"true": 1.0, "t": 1.0, "false": 0.0, "f": 0.0}.get(
