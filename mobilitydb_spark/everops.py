@@ -228,6 +228,88 @@ def transform(tv: Temporal, srid_to: int) -> Temporal:
     return Temporal(tv.duration, out, tv.linear, srid_to, tv.step_default)
 
 
+# -- Gauss-Krüger (Secondo/Hagen variant, `point/src/projection_gk.c`) ------
+# WGS84 geodetic → geocentric → 7-param Helmert to Bessel/Potsdam →
+# geodetic (fixed-point iteration) → Gauss-Krüger zone-2 easting/
+# northing.  Closed-form, no proj lib needed; vectorized re-expression
+# of the reference's per-point algorithm, constants `projection_gk.c:
+# 25-40`, goldens `56_tpoint_spatialfuncs.test.out:39-45`.
+_GK_AWGS, _GK_BWGS = 6378137.0, 6356752.314
+_GK_ABES, _GK_BBES = 6377397.155, 6356078.962
+_GK_CBES = 111120.6196
+_GK_DX, _GK_DY, _GK_DZ = -585.7, -87.0, -409.2
+_GK_ROTX, _GK_ROTY, _GK_ROTZ = 2.540423689e-6, 7.514612057e-7, -1.368144208e-5
+_GK_SC = 0.99999122
+_GK_MDC = 2.0  # zone 2 (Hagen)
+
+
+def _gk_np(vals: np.ndarray) -> np.ndarray:
+    lon = np.radians(vals[:, 0])
+    lat = np.radians(vals[:, 1])
+    eqwgs = (_GK_AWGS ** 2 - _GK_BWGS ** 2) / _GK_AWGS ** 2
+    eqbes = (_GK_ABES ** 2 - _GK_BBES ** 2) / _GK_ABES ** 2
+    # geodetic → geocentric on WGS84
+    N = _GK_AWGS / np.sqrt(1.0 - eqwgs * np.sin(lat) ** 2)
+    xq = N * np.cos(lat) * np.cos(lon)
+    yq = N * np.cos(lat) * np.sin(lon)
+    zq = (1.0 - eqwgs) * N * np.sin(lat)
+    # Helmert 7-parameter (small-angle) into the Bessel datum
+    x = _GK_DX + _GK_SC * (xq + _GK_ROTZ * yq - _GK_ROTY * zq)
+    y = _GK_DY + _GK_SC * (-_GK_ROTZ * xq + yq + _GK_ROTX * zq)
+    z = _GK_DZ + _GK_SC * (_GK_ROTY * xq - _GK_ROTX * yq + zq)
+    # geocentric → Bessel geodetic: fixed point on latitude
+    # (BLRauenberg, projection_gk.c:96-115; tolerance 1e-9)
+    rxy = np.sqrt(x * x + y * y)
+    p = z / rxy
+    f = np.full(len(vals), np.pi * 50.0 / 180.0)
+    while True:
+        zw = _GK_ABES / np.sqrt(1.0 - eqbes * np.sin(f) ** 2)
+        nnq = 1.0 - (eqbes * zw / (rxy / np.cos(f)))
+        f1 = np.arctan(p / nnq)
+        if np.abs(f - f1).max() < 10e-10:
+            f = f1
+            break
+        f = f1
+    b, ll = f, np.arctan(y / x)
+    # Bessel geodetic → Gauss-Krüger (BesselBLToGaussKrueger, :43-71)
+    l0 = np.pi * (3.0 * _GK_MDC) / 180.0
+    dl = ll - l0
+    k = np.cos(b)
+    t = np.sin(b) / k
+    vq = 1.0 + eqbes * k * k
+    ng = _GK_ABES ** 2 / (_GK_BBES * np.sqrt(vq))
+    nk = (_GK_ABES - _GK_BBES) / (_GK_ABES + _GK_BBES)
+    xx = (ng * t * k ** 2 * dl ** 2) / 2.0 \
+        + (ng * t * (9.0 * vq - t * t - 4.0) * k ** 4 * dl ** 4) / 24.0
+    gg = b + ((-3.0 * nk / 2.0 + 9.0 * nk ** 3 / 16.0) * np.sin(2.0 * b)
+              + 15.0 * nk ** 2 * np.sin(4.0 * b) / 16.0
+              - 35.0 * nk ** 3 * np.sin(6.0 * b) / 48.0)
+    ss = gg * 180.0 * _GK_CBES / np.pi
+    northing = ss + xx
+    yy = ng * k * dl + ng * (vq - t * t) * k ** 3 * dl ** 3 / 6.0 \
+        + ng * (5.0 - 18.0 * t * t + t ** 4) * k ** 5 * dl ** 5 / 120.0
+    easting = _GK_MDC * 1_000_000.0 + 500_000.0 + yy
+    return np.stack([easting, northing], axis=1)
+
+
+def transform_gk(tv: Temporal) -> Temporal:
+    """transform_gk(tgeompoint): WGS84 → Gauss-Krüger zone 2
+    (`projection_gk.c`, SQL `56_tpoint_spatialfuncs.in.sql`)."""
+    from .types import Seq
+    seqs = [Seq(s.times.copy(), _gk_np(s.values), s.lower_inc, s.upper_inc)
+            for s in tv.seqs]
+    return Temporal(tv.duration, seqs, tv.linear, 4326, tv.step_default)
+
+
+def transform_gk_geom(g: geo.Geometry) -> geo.Geometry:
+    """transform_gk(geometry) for Point/LineString operands
+    (`geometry_transform_gk_internal`)."""
+    if g.is_empty:
+        return g
+    return geo.Geometry(g.kind, [_gk_np(np.atleast_2d(p)) for p in g.parts],
+                        4326)
+
+
 # ---------------------------------------------------------------------------
 # tpoint ⇄ geometry-with-M codec (`tpoint_spatialfuncs.c:2766-3118`)
 # ---------------------------------------------------------------------------

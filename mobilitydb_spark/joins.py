@@ -223,6 +223,53 @@ def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
                     F.sqrt(d2).alias("dist_deg")))
 
 
+def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
+                      res: int = DEFAULT_RES, lat_max: float = 75.0,
+                      left_id: str = "l_id", right_id: str = "r_id"
+                      ) -> DataFrame:
+    """All (left, right) point pairs within ``dist_m`` great-circle
+    meters (geography mode, `tpoint_spatialrels.c:166-170`).
+
+    Same two-phase shape as ``dwithin_join``: a conservative planar
+    grid-disk prefilter (radius inflated by 1/cos(lat_max) so the
+    meter radius is covered at every latitude ≤ lat_max), then an
+    exact haversine refine that stays in whole-stage codegen via the
+    shared `geog.haversine_sql` expression."""
+    from .geog import haversine_sql
+    # 1° latitude ≈ 110 574 m; longitude degrees shrink by cos(lat)
+    deg = dist_m / (110574.0 * min(1.0, float(np.cos(np.radians(lat_max)))))
+    n = 1 << res
+    cell_h = 180.0 / n
+    k = int(np.ceil(deg / cell_h)) + 1
+
+    lpts = left.withColumn("cell",
+                           cells.cell_col(F.col("lon"), F.col("lat"), res))
+    disk_schema = StructType(list(lpts.schema.fields)
+                             + [StructField("jcell", LongType())])
+
+    def explode_disk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), k)
+            m = disk.shape[1]
+            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            rep["jcell"] = disk.ravel()
+            rep = rep.drop_duplicates(
+                subset=[left_id, "jcell"], ignore_index=True)
+            yield rep
+
+    lexp = lpts.mapInPandas(explode_disk, disk_schema)
+    rpts = right.select(
+        F.col(right_id), F.col("lon").alias("r_lon"),
+        F.col("lat").alias("r_lat")).withColumn(
+        "jcell", cells.cell_col(F.col("r_lon"), F.col("r_lat"), res))
+    cand = lexp.join(rpts, "jcell")
+    dist = F.expr(haversine_sql("lon", "lat", "r_lon", "r_lat"))
+    return (cand.where(dist <= F.lit(float(dist_m)))
+            .select(left_id, right_id, dist.alias("dist_m")))
+
+
 # ---------------------------------------------------------------------------
 # kNN join (ring expansion + guaranteed fallback)
 # ---------------------------------------------------------------------------

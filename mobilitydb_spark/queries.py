@@ -1596,7 +1596,41 @@ def _oracle_lifted() -> str:
     """
 
 
+def q_geog_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography-mode dwithin join: doc-point pairs within 25 km
+    great-circle meters (`tpoint_spatialrels.c:166-170` geog_dwithin;
+    haversine divergence policy per SURVEY §7).  Two-phase grid-disk
+    prefilter + JVM haversine refine; oracle recomputes ALL pairs
+    brute-force with the SAME SQL expression text."""
+    from . import joins
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+    l = pts.select(F.col("doc_id").alias("l_id"), "lon", "lat")
+    r = pts.select(F.col("doc_id").alias("r_id"), "lon", "lat")
+    out = joins.dwithin_join_geog(l, r, 25_000.0, res=7)
+    return (out.where(F.col("l_id") < F.col("r_id"))
+            .select(F.col("l_id").alias("id_i"), F.col("r_id").alias("id_j"),
+                    F.round("dist_m", 3).alias("dist_m_r"))
+            .orderBy("id_i", "id_j"))
+
+
+def _oracle_geog_dwithin() -> str:
+    from .geog import haversine_sql
+    h = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+        WITH pts AS (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat
+                     FROM documents)
+        SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+               ROUND({h}, 3) AS dist_m_r
+        FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+        WHERE {h} <= 25000.0
+        ORDER BY id_i, id_j
+    """
+
+
 _EXTRA7 = {
+    "geog_dwithin_join": (q_geog_dwithin, _oracle_geog_dwithin()),
     "at_period_clip": (q_at_period_clip, _ORACLE_AT_PERIOD),
     "period_business": (q_period_business, _ORACLE_PERIOD_BUSINESS),
     "wcount_probe": (q_wcount_probe, _ORACLE_WCOUNT),
