@@ -94,7 +94,9 @@ def main() -> None:
                  "geo_cells_tiles", "dedup_exact", "doc_stats",
                  "knn_cosine_brute", "traj_metrics", "twavg",
                  "minhash_dedup", "simhash_pairs", "ann_lsh_topk",
-                 "langid", "fingerprint_md5"]:
+                 "langid", "fingerprint_md5",
+                 "at_box", "tdwithin_pairs", "tagg_profile",
+                 "geog_dwithin_join"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: fn(spark, SF_DIR).count())
 

@@ -31,15 +31,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .select("keep_id", "n_dups"))
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles — same construction as the
-    DuckDB oracle (1-based element_at)."""
-    toks = F.split(F.col(text_col), " ")
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column.  ``toks`` must be an attribute from a previous projection:
+    interpreted lambda evaluation has no common-subexpression
+    elimination, so an inlined split(text) would re-tokenize the text
+    for every element_at — O(tokens²) per document."""
     return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(
                 "|", *[F.element_at(toks, i + j) for j in range(n)]))))
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles — same construction as the
+    DuckDB oracle (1-based element_at).  Prefer a two-step projection
+    (split → ``shingles_from_tokens``) in hot paths, see above."""
+    return shingles_from_tokens(F.split(F.col(text_col), " "), n)
+
+
+def _shingles_df(df: DataFrame, id_col: str, text_col: str,
+                 shingle_n: int) -> DataFrame:
+    """(id, sh) with the token array materialized between projections."""
+    tk = df.select(F.col(id_col).alias("id"),
+                   F.split(F.col(text_col), " ").alias("tk"))
+    return tk.select("id", shingles_from_tokens(F.col("tk"),
+                                                shingle_n).alias("sh"))
 
 
 def base_hash_col(shingles):
@@ -95,18 +113,39 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     against the brute-force oracle flaky at other scales).
     """
     rows = n_hashes // n_bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles_col(text_col, shingle_n).alias("sh"))
-    # two-step projection: hash every shingle ONCE, then take the 48
-    # permutation minima over the pre-hashed array
-    base = sh.select("id", "sh", base_hash_col(F.col("sh")).alias("hx"))
-    sig = base.select(
-        "id", "sh", minhash_from_base(F.col("hx"), n_hashes).alias("mh"))
+    # SIGNATURE path avoids shingle STRINGS entirely: hash each token
+    # once, combine consecutive triples numerically (xxhash64 over the
+    # hash pair), explode, then 48 MIN aggregates with map-side
+    # partial combine.  MIN is duplicate-insensitive, so the distinct
+    # step is skipped here (the exact-verify below still uses distinct
+    # string shingles).  Each array stage lives in its OWN projection:
+    # interpreted lambda eval has no CSE, so inlining would recompute
+    # the producer per element.
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MERSENNE31, n_hashes, dtype=np.int64)
+    b_ = rng.integers(0, MERSENNE31, n_hashes, dtype=np.int64)
+    tk = df.select(F.col(id_col).alias("id"),
+                   F.split(F.col(text_col), " ").alias("tk"))
+    th = tk.select("id", F.transform(
+        "tk", lambda t: F.xxhash64(t)).alias("th"))
+    m = F.size("th") - (shingle_n - 1)
+    comb = F.slice("th", 1, m)
+    for j in range(2, shingle_n + 1):
+        comb = F.zip_with(comb, F.slice("th", j, m),
+                          lambda x, y: F.xxhash64(x, y))
+    ex = (th.where(F.size("th") >= shingle_n)
+          .select("id", comb.alias("ch"))
+          .select("id", F.explode("ch").alias("ch"))
+          .select("id", F.pmod(F.col("ch"), F.lit(MERSENNE31)).alias("hx")))
+    sig = ex.groupBy("id").agg(*[
+        F.min(F.pmod(F.col("hx") * F.lit(int(a[j])) + F.lit(int(b_[j])),
+                     F.lit(MERSENNE31))).alias(f"m{j}")
+        for j in range(n_hashes)])
     bands = sig.select(
         "id",
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("mh", b * rows + r + 1).cast("string")
+                ",", *[F.col(f"m{b * rows + r}").cast("string")
                        for r in range(rows)]))
             for b in range(n_bands)])).alias("band", "bkey"))
     sizes = bands.groupBy("band", "bkey").count() \
@@ -117,12 +156,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = (l.join(r, ["band", "bkey"])
              .where(F.col("id_i") < F.col("id_j"))
              .select("id_i", "id_j").distinct())
-    # exact verify: shingle jaccard
-    cand = (cand
-            .join(sh.select(F.col("id").alias("id_i"),
-                            F.col("sh").alias("sh_i")), "id_i")
-            .join(sh.select(F.col("id").alias("id_j"),
-                            F.col("sh").alias("sh_j")), "id_j"))
+    # exact verify: distinct string-shingle jaccard, computed ONLY for
+    # the candidate rows (joining the full shingle arrays for every
+    # document would recompute them table-wide)
+    di = df.select(F.col(id_col).alias("id_i"),
+                   F.split(F.col(text_col), " ").alias("tk_i"))
+    dj = df.select(F.col(id_col).alias("id_j"),
+                   F.split(F.col(text_col), " ").alias("tk_j"))
+    cand = (cand.join(di, "id_i").join(dj, "id_j")
+            .select("id_i", "id_j",
+                    shingles_from_tokens(F.col("tk_i"), shingle_n)
+                    .alias("sh_i"),
+                    shingles_from_tokens(F.col("tk_j"), shingle_n)
+                    .alias("sh_j")))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     uni = F.size(F.array_union("sh_i", "sh_j"))
     jac = inter.cast("double") / F.greatest(uni, F.lit(1)).cast("double")
@@ -135,8 +181,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.8) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (the brute baseline
     the LSH path approximates; quadratic — small inputs only)."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles_col(text_col, shingle_n).alias("sh"))
+    sh = _shingles_df(df, id_col, text_col, shingle_n)
     l = sh.select(F.col("id").alias("id_i"), F.col("sh").alias("sh_i"))
     r = sh.select(F.col("id").alias("id_j"), F.col("sh").alias("sh_j"))
     cand = l.crossJoin(r).where(F.col("id_i") < F.col("id_j"))

@@ -65,18 +65,24 @@ def extract_features(media: DataFrame, n_dims: int = 16,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
+            # decode is inherently per-item; iterate with zip (iterrows
+            # materializes a Series per row — the slowest pandas path)
+            # and batch the pooling per item with vectorized numpy
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
                 try:
-                    samples = _decode_stub(bytes(row["payload"]), row["kind"])
-                    # frame-sample: split into frame_sample chunks, mean-pool
-                    frames = np.array_split(samples, frame_sample)
-                    pooled = np.array([f.mean() for f in frames])
+                    samples = _decode_stub(bytes(payload), kind)
+                    # frame-sample: split into frame_sample chunks,
+                    # mean-pool each chunk in one reduceat pass
+                    edges = np.linspace(0, len(samples), frame_sample + 1,
+                                        dtype=np.int64)[:-1]
+                    pooled = np.add.reduceat(samples, edges) \
+                        / np.diff(np.append(edges, len(samples)))
                     feat = np.resize(pooled, n_dims).astype(np.float32)
-                    out.append((row["media_id"], row["kind"],
-                                feat.tolist(), len(frames), True))
+                    out.append((mid, kind, feat.tolist(),
+                                frame_sample, True))
                 except Exception:
-                    out.append((row["media_id"], row["kind"],
-                                [0.0] * n_dims, 0, False))
+                    out.append((mid, kind, [0.0] * n_dims, 0, False))
             yield pd.DataFrame(out, columns=[
                 "media_id", "kind", "feat", "n_frames", "decode_ok"])
 

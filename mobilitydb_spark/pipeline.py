@@ -159,7 +159,7 @@ def run_partitioned(spark: SparkSession, pages: DataFrame,
 
 
 def pip_join_broadcast_jvm(points: DataFrame, polygons_pdf: pd.DataFrame,
-                           index_res: int = 7) -> DataFrame:
+                           index_res: int | None = None) -> DataFrame:
     """Broadcast PIP join with a FULLY-JVM refine (no Python at all).
 
     The even-odd ray cast runs as Catalyst expressions over a
@@ -176,30 +176,42 @@ def pip_join_broadcast_jvm(points: DataFrame, polygons_pdf: pd.DataFrame,
     this one scales with the scan.
     """
     import numpy as np
-    from pyspark.sql.types import Row
     from . import cells as C
 
     spark = points.sparkSession
-    cover_rows = []
-    edge_rows = []
+    geoms = []
     for pid, wkb in zip(polygons_pdf["poly_id"], polygons_pdf["geom_wkb"]):
         g = geo.from_wkb(wkb)
         b = g.bounds()
         if b is None:
             continue
+        geoms.append((int(pid), g, b))
+    if index_res is None:
+        # size the cover grid to the MEDIAN polygon dimension: a cell
+        # much larger than the polygons multiplies candidates per point
+        # (each point cell overlaps many polygons), a cell much smaller
+        # blows up the broadcast cover list
+        dims = sorted(min(b[2] - b[0], b[3] - b[1]) for _, _, b in geoms)
+        med = max(dims[len(dims) // 2], 1e-6)
+        index_res = int(np.clip(round(np.log2(180.0 / med)), 4, 12))
+    cover_rows = []
+    edge_rows = []
+    for pid, g, b in geoms:
         for c in C.cover_bbox_np(*b, res=index_res):
-            cover_rows.append((int(c), int(pid)))
+            cover_rows.append((int(c), pid))
         edges = []
         for ring, _ in g.rings():
             for i in range(len(ring) - 1):
                 edges.append({"x1": float(ring[i, 0]), "y1": float(ring[i, 1]),
                               "x2": float(ring[i + 1, 0]),
                               "y2": float(ring[i + 1, 1])})
-        edge_rows.append((int(pid), edges))
+        edge_rows.append((pid, edges, float(b[0]), float(b[1]),
+                          float(b[2]), float(b[3])))
     cover = spark.createDataFrame(cover_rows, "jcell bigint, poly_id bigint")
     edges_df = spark.createDataFrame(
         edge_rows, "poly_id bigint, edges array<struct<x1:double,y1:double,"
-                   "x2:double,y2:double>>")
+                   "x2:double,y2:double>>, bx0 double, by0 double, "
+                   "bx1 double, by1 double")
 
     out_parts = []
     res_list = sorted({c >> C.R_BITS for c, _ in cover_rows})
@@ -207,9 +219,14 @@ def pip_join_broadcast_jvm(points: DataFrame, polygons_pdf: pd.DataFrame,
         cov_r = cover.where(F.shiftright("jcell", C.R_BITS) == r)
         pts_r = points.withColumn(
             "jcell", C.cell_col(F.col("lon"), F.col("lat"), int(r)))
-        cand = (pts_r.join(F.broadcast(cov_r), "jcell")
-                .join(F.broadcast(edges_df), "poly_id"))
         px, py = F.col("lon"), F.col("lat")
+        # bbox prefilter FIRST: plain comparisons stay in whole-stage
+        # codegen and reject most candidates before the (interpreted)
+        # higher-order edge filter ever runs
+        cand = (pts_r.join(F.broadcast(cov_r), "jcell")
+                .join(F.broadcast(edges_df), "poly_id")
+                .where((px >= F.col("bx0")) & (px <= F.col("bx1"))
+                       & (py >= F.col("by0")) & (py <= F.col("by1"))))
         crossing = lambda e: (
             ((e["y1"] > py) != (e["y2"] > py))
             & (px < e["x1"] + (py - e["y1"]) / (e["y2"] - e["y1"])

@@ -55,12 +55,19 @@ def main() -> None:
         fixtures.polygons_pd("grid", 4096),
         "poly_id bigint, layer string, geom_wkb binary, srid int")
 
+    # dedup workload: MinHash+LSH over the pages' text column (the
+    # 100 TB pipeline's near-dup pass) — url-hashed doc ids
+    from pyspark.sql import functions as F
+    from mobilitydb_spark.datagen import dedup
+    docs = jpages.select(F.xxhash64("url").alias("doc_id"), "text")
+
     ops = {
         "flagship": lambda: pipeline.flagship(pages, admin, zoom=12).count(),
         "pyramid": lambda: tiles.build_pyramid(
             pipeline.extract_points(pages), max_zoom=12, min_zoom=0).count(),
         "pip_shuffle": lambda: joins.pip_join_shuffle(
             pipeline.extract_points(jpages), grid_df, res=10).count(),
+        "minhash": lambda: dedup.minhash_lsh_pairs(docs).count(),
     }
     for fn in ops.values():  # warm-up EVERY op untimed (JIT + workers)
         fn()
