@@ -1629,7 +1629,101 @@ def _oracle_geog_dwithin() -> str:
     """
 
 
+_EV_STATES = """
+    SELECT user_id AS key, ts AS t,
+           min_by(event_type, event_id) AS etype
+    FROM events GROUP BY user_id, ts
+"""
+
+
+def q_ttext_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ttext state machine over event_type (SURVEY §2.7
+    temporal text, `src/temporal_textfuncs.c` + stepwise semantics):
+    normalized instant count, exact microseconds in the 'error' state
+    (atValue on the stepwise ttext), ever_eq — oracle with lag/lead
+    window SQL in exact integer arithmetic."""
+    from . import spark_temporal as ST
+    ev = _load(spark, sf_dir, "events")
+    st = spark.sql(_EV_STATES.replace("FROM events", "FROM {ev}"), ev=ev)
+    return ST.ttext_state_stats(st, "error").orderBy("key")
+
+
+_ORACLE_TTEXT_STATES = f"""
+    WITH st AS ({_EV_STATES}),
+    seq AS (
+        SELECT key, t, etype,
+               lag(etype) OVER w AS pv, lead(t) OVER w AS nt,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n
+        FROM st WINDOW w AS (PARTITION BY key ORDER BY t))
+    SELECT key,
+           CAST(CASE WHEN MAX(n) = 1 THEN 1
+                ELSE 1 + SUM(CASE WHEN pv IS NOT NULL AND etype <> pv
+                                  THEN 1 ELSE 0 END)
+                     + MAX(CASE WHEN rn = n AND etype = pv
+                                THEN 1 ELSE 0 END) END AS BIGINT) AS n_inst,
+           CAST(SUM(CASE WHEN etype = 'error' AND nt IS NOT NULL
+                         THEN epoch_us(nt) - epoch_us(t)
+                         ELSE 0 END) AS BIGINT) AS target_us,
+           bool_or(etype = 'error') AS ever_target
+    FROM seq GROUP BY key ORDER BY key
+"""
+
+
+_EV_PTS3 = """
+    SELECT user_id AS key, ts AS t,
+           CAST(min_by(event_id % 1000, event_id) AS DOUBLE) / 10.0 AS x,
+           CAST(min_by((event_id * 7919) % 1000, event_id) AS DOUBLE) / 10.0
+               AS y,
+           CAST(min_by((event_id * 31) % 1000, event_id) AS DOUBLE) / 10.0
+               AS z
+    FROM events GROUP BY user_id, ts
+"""
+
+
+def q_traj3d_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3D trajectory length / max speed / z-extent — the 3D
+    branch of the distance solver and the STBOX z dimension
+    (`tpoint_distance.c:172-243`, `temporal.h:118-129`)."""
+    from . import spark_temporal as ST
+    ev = _load(spark, sf_dir, "events")
+    pts = spark.sql(_EV_PTS3.replace("FROM events", "FROM {ev}"), ev=ev)
+    got = ST.traj3d_stats(pts)
+    return got.select(
+        "key", F.round("length3d", 4).alias("len3d_r"),
+        F.round("speed_max", 6).alias("speed_max_r"),
+        "zmin", "zmax").orderBy("key")
+
+
+_ORACLE_TRAJ3D = f"""
+    WITH pts AS ({_EV_PTS3}),
+    seg AS (
+        SELECT key, t, x, y, z,
+               lead(t) OVER w AS nt, lead(x) OVER w AS nx,
+               lead(y) OVER w AS ny, lead(z) OVER w AS nz
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    segm AS (
+        SELECT key,
+               SQRT((nx - x) * (nx - x) + (ny - y) * (ny - y)
+                    + (nz - z) * (nz - z)) AS seglen,
+               (epoch_us(nt) - epoch_us(t)) / 1000000.0 AS dt
+        FROM seg WHERE nt IS NOT NULL)
+    SELECT p.key,
+           ROUND(COALESCE(s.len3d, 0.0), 4) AS len3d_r,
+           ROUND(COALESCE(s.vmax, 0.0), 6) AS speed_max_r,
+           p.zmin, p.zmax
+    FROM (SELECT key, MIN(z) AS zmin, MAX(z) AS zmax FROM pts
+          GROUP BY key) p
+    LEFT JOIN (SELECT key, SUM(seglen) AS len3d,
+                      MAX(seglen / dt) AS vmax
+               FROM segm GROUP BY key) s USING (key)
+    ORDER BY p.key
+"""
+
+
 _EXTRA7 = {
+    "ttext_states": (q_ttext_states, _ORACLE_TTEXT_STATES),
+    "traj3d_metrics": (q_traj3d_metrics, _ORACLE_TRAJ3D),
     "geog_dwithin_join": (q_geog_dwithin, _oracle_geog_dwithin()),
     "at_period_clip": (q_at_period_clip, _ORACLE_AT_PERIOD),
     "period_business": (q_period_business, _ORACLE_PERIOD_BUSINESS),

@@ -373,6 +373,70 @@ def lifted_pair_stats(points: DataFrame, pair: str = "pair",
     return points.groupBy(pair).applyInPandas(stats, schema)
 
 
+def ttext_state_stats(points: DataFrame, target: str,
+                      key: str = "key", t: str = "t", v: str = "etype"
+                      ) -> DataFrame:
+    """Per-key ttext state machine over a string column: build the
+    stepwise temporal text (vocab-coded, `ttext.TText`), then
+    normalized instant count, exact microseconds in the ``target``
+    state (atValue on the stepwise code), and ever_eq."""
+    import numpy as np
+    from .restrict import at_value
+    from .ttext import TText
+    from .types import Temporal
+    schema = (f"{key} bigint, n_inst bigint, target_us bigint, "
+              "ever_target boolean")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tt = pdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vocab: list[str] = []
+        codes = []
+        for w in pdf[v]:
+            if w not in vocab:
+                vocab.append(w)
+            codes.append(float(vocab.index(w)))
+        tv = Temporal.sequence(tt, np.array(codes)[:, None], linear=False)
+        tv.step_default = True
+        txt = TText(tv, vocab)
+        if target in vocab:
+            hit = at_value(tv, float(vocab.index(target)))
+            ps = hit.get_time() if hit is not None else []
+            tus = int(sum(p.upper - p.lower for p in ps))
+        else:
+            tus = 0
+        return pd.DataFrame([{
+            key: kv, "n_inst": tv.num_instants(), "target_us": tus,
+            "ever_target": bool(txt.ever_eq(target))}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
+def traj3d_stats(points: DataFrame, key: str = "key", t: str = "t",
+                 x: str = "x", y: str = "y", z: str = "z") -> DataFrame:
+    """Per-key 3D trajectory metrics: the dimension-agnostic length /
+    speed kernels over (x, y, z) plus the STBOX z extent
+    (`tpoint_distance.c:172-243` 3D forms; STBOX z `temporal.h:118`)."""
+    from . import spatial
+    from .boxops import STBox
+    schema = (f"{key} bigint, length3d double, speed_max double, "
+              "zmin double, zmax double")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tv = temporal_from_pdf(pdf, t, (x, y, z))
+        sp = spatial.speed(tv)
+        box = STBox.of(tv)
+        return pd.DataFrame([{
+            key: kv, "length3d": spatial.length(tv),
+            "speed_max": float(sp.max_value()[0]) if sp is not None else 0.0,
+            "zmin": box.zmin, "zmax": box.zmax}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
 def extent(points: DataFrame, key: str = "key", t: str = "t",
            x: str = "x", y: str = "y") -> DataFrame:
     """Per-key STBOX extent — pure built-ins, no UDF (the `extent`

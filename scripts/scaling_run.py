@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pages", type=int, default=4_000_000)
     ap.add_argument("--join-pages", type=int, default=1_000_000)
+    ap.add_argument("--ops", type=str, default="",
+                    help="comma list to restrict ops (e.g. minhash)")
+    ap.add_argument("--minhash-mod", type=int, default=5,
+                    help="keep docs with xxhash64(url) %% mod == 0")
     args = ap.parse_args()
 
     from mobilitydb_spark import fixtures, joins, pipeline, tiles
@@ -56,10 +60,13 @@ def main() -> None:
         "poly_id bigint, layer string, geom_wkb binary, srid int")
 
     # dedup workload: MinHash+LSH over the pages' text column (the
-    # 100 TB pipeline's near-dup pass) — url-hashed doc ids
+    # 100 TB pipeline's near-dup pass) — url-hashed doc ids; a
+    # deterministic hash filter (NOT limit(), which collapses
+    # parallelism) keeps the op inside the rep budget
     from pyspark.sql import functions as F
     from mobilitydb_spark.datagen import dedup
-    docs = jpages.select(F.xxhash64("url").alias("doc_id"), "text")
+    docs = jpages.select(F.xxhash64("url").alias("doc_id"), "text") \
+        .where(F.pmod(F.col("doc_id"), F.lit(args.minhash_mod)) == 0)
 
     ops = {
         "flagship": lambda: pipeline.flagship(pages, admin, zoom=12).count(),
@@ -69,6 +76,9 @@ def main() -> None:
             pipeline.extract_points(jpages), grid_df, res=10).count(),
         "minhash": lambda: dedup.minhash_lsh_pairs(docs).count(),
     }
+    if args.ops:
+        keep = set(args.ops.split(","))
+        ops = {k: v for k, v in ops.items() if k in keep}
     for fn in ops.values():  # warm-up EVERY op untimed (JIT + workers)
         fn()
 
@@ -84,7 +94,9 @@ def main() -> None:
     print(json.dumps({
         "cpus": args.cpus, "n_pages": args.pages, "reps": args.reps,
         "median_sec": med, "raw_sec": raw,
-        "flagship_pages_per_sec": round(args.pages / med["flagship"], 1),
+        **({"flagship_pages_per_sec":
+            round(args.pages / med["flagship"], 1)}
+           if "flagship" in med else {}),
     }))
     spark.stop()
 
