@@ -377,17 +377,66 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     per_q = ranked.groupBy(query_id).agg(
         F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"),
         F.max("guarantee").alias("g"))
-    bad = per_q.where((F.col("found") < k) | (F.col("dmax") > F.col("g"))) \
-               .select(query_id)
+    # bad = every query NOT proven satisfied (a query with ZERO
+    # candidates has no per_q row at all, so a found<k filter alone
+    # would silently drop it)
+    ok = per_q.where((F.col("found") >= k) & (F.col("dmax") <= F.col("g"))) \
+              .select(query_id)
+    bad = queries.select(query_id).distinct().join(ok, query_id, "left_anti")
     n_bad = bad.count()  # materializes `ranked` exactly once
     keep = ranked.select(query_id, cand_id, "dist", "rank")
     if n_bad == 0:
         return keep
     good = keep.join(bad, query_id, "left_anti")
-    redo_q = queries.join(bad, query_id)  # n_bad rows only
-    brute = (redo_q.crossJoin(cpts.select(cand_id, "c_lon", "c_lat"))
+
+    # widened-ring RETRY before brute (a single under-guaranteed query
+    # must not trigger a full candidate scan at scale): re-search the
+    # failed queries at the coarsest resolution with a 4× ring radius,
+    # and only queries that STILL miss the guarantee fall through to
+    # the brute pass.
+    coarse = resolutions[-1]
+    retry_rings = rings * 4
+    redo_q = queries.join(bad, query_id).select(
+        query_id, "lon", "lat",
+        cells.cell_col(F.col("lon"), F.col("lat"), coarse).alias("cell"))
+    retry_schema = StructType(list(redo_q.schema.fields)
+                              + [StructField("jcell", LongType())])
+
+    def explode_retry(batches: Iterator[pd.DataFrame],
+                      ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), retry_rings)
+            m = disk.shape[1]
+            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            rep["jcell"] = disk.ravel()
+            rep = rep.drop_duplicates(subset=[query_id, "jcell"],
+                                      ignore_index=True)
+            yield rep
+
+    rcand = (redo_q.mapInPandas(explode_retry, retry_schema)
+             .join(cpts.withColumnRenamed(f"cell{coarse}", "jcell")
+                   .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell")
+             .where(F.col(query_id) != F.col(cand_id)))
+    rguar = retry_rings * 180.0 / (1 << coarse)
+    ranked2 = (rcand.select(query_id, cand_id, dist.alias("dist"))
+               .withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)).persist()
+    per_q2 = ranked2.groupBy(query_id).agg(
+        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"))
+    ok2 = per_q2.where((F.col("found") >= k)
+                       & (F.col("dmax") <= F.lit(rguar))).select(query_id)
+    bad2 = bad.join(ok2, query_id, "left_anti")
+    n_bad2 = bad2.count()
+    keep2 = ranked2.select(query_id, cand_id, "dist", "rank")
+    if n_bad2 == 0:
+        return good.unionByName(keep2)
+    good2 = keep2.join(bad2, query_id, "left_anti")
+    brute_q = queries.join(bad2, query_id)  # still-failing rows only
+    brute = (brute_q.crossJoin(cpts.select(cand_id, "c_lon", "c_lat"))
              .where(F.col(query_id) != F.col(cand_id))
              .select(query_id, cand_id, dist.alias("dist"))
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= k))
-    return good.unionByName(brute)
+    return good.unionByName(good2).unionByName(brute)

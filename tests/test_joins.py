@@ -111,3 +111,32 @@ def test_knn_join_matches_bruteforce(spark, pts):
         got_ids = got[got["q_id"] == qrow["q_id"]] \
             .sort_values("rank")["c_id"].tolist()
         assert got_ids == want_ids, qrow["q_id"]
+
+
+def test_knn_widened_ring_retry_and_brute(spark):
+    """Outlier queries: one whose kNN lies within the 4x widened retry
+    radius (retry pass), one whose kNN is beyond it (brute pass) —
+    both must still return the exact brute-force answer."""
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    cl_lon = 10.0 + rng.uniform(0, 0.2, 60)
+    cl_lat = 50.0 + rng.uniform(0, 0.2, 60)
+    cpdf = pd.DataFrame({"c_id": [f"c{i}" for i in range(60)],
+                         "lon": cl_lon, "lat": cl_lat})
+    qpdf = pd.DataFrame({
+        "q_id": ["near_retry", "far_brute"],
+        # ~1.5 deg away: outside 1 ring at res 8 (0.70 deg) but inside
+        # the 4-ring retry radius (2.8 deg); ~15 deg away: beyond both
+        "lon": [10.1 + 1.5, 10.1 + 15.0],
+        "lat": [50.1, 50.1]})
+    q = spark.createDataFrame(qpdf)
+    c = spark.createDataFrame(cpdf)
+    got = joins.knn_join(q, c, 3, resolutions=(12, 10, 8),
+                         rings=1, target_cands=8).toPandas()
+    for _, qrow in qpdf.iterrows():
+        d = np.sqrt((cpdf["lon"] - qrow["lon"]) ** 2
+                    + (cpdf["lat"] - qrow["lat"]) ** 2)
+        want = [cid for _, cid in sorted(zip(d, cpdf["c_id"]))[:3]]
+        got_ids = got[got["q_id"] == qrow["q_id"]] \
+            .sort_values("rank")["c_id"].tolist()
+        assert got_ids == want, qrow["q_id"]
