@@ -36,3 +36,67 @@ def test_stream_equals_batch(spark, tmp_path):
                            for r in rows}
     assert to_set(got) == to_set(batch)
     assert len(got) > 0
+
+
+def test_stateful_sessionize_stream_consistent_with_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted CLOSED session
+    must exactly match a session computed by the batch gaps-and-islands
+    logic over the same data; sessions ending well before the final
+    watermark must all have been emitted."""
+    import numpy as np
+    import pandas as pd
+    from mobilitydb_spark.streaming.sessionize_stream import (
+        EVENTS_SCHEMA, stream_sessions)
+
+    landing = str(tmp_path / "ev_landing")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two time-ordered files so availableNow runs >= 2 micro-batches
+    # and the watermark advances between them (firing timeouts)
+    mid = "2024-01-15 00:00:00"
+    ev.where(F.col("ts") < mid).coalesce(1).write.parquet(
+        landing + "/p1")
+    ev.where(F.col("ts") >= mid).coalesce(1).write.parquet(
+        landing + "/p2")
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(landing + "/p*"))
+    q = (stream_sessions(stream, gap_min=30, watermark="1 hour")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("memory").queryName("sessions").start())
+    q.awaitTermination(180)
+    got = spark.table("sessions").toPandas()
+
+    # batch truth: gaps-and-islands per user
+    pdf = ev.select("user_id", "ts").toPandas()
+    want = {}
+    gap = np.timedelta64(30 * 60, "s")
+    for uid, g in pdf.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]"))
+        start = ts[0]
+        prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                want[(uid, start, prev)] = n
+                start, n = t, 0
+            prev = t
+            n += 1
+        want[(uid, start, prev)] = n  # final open session
+
+    emitted = {(r.user_id, np.datetime64(r.session_start, "us"),
+                np.datetime64(r.session_end, "us")): r.n_events
+               for r in got.itertuples(index=False)}
+    # every emitted session is a real batch session with the same count
+    for key, n in emitted.items():
+        assert key in want and want[key] == n, key
+    assert len(emitted) > 0
+    # sessions that ended before the first file's watermark must have
+    # been closed by timeout or gap split
+    wm1 = pdf[pdf["ts"] < np.datetime64(mid)]["ts"].max().to_datetime64().astype("datetime64[us]") - np.timedelta64(3600, "s")
+    must_emit = {k for k in want
+                 if k[2] < wm1 - np.timedelta64(30 * 60, "s")}
+    assert must_emit <= set(emitted.keys())
