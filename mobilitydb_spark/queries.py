@@ -1721,7 +1721,110 @@ _ORACLE_TRAJ3D = f"""
 """
 
 
+_CUMLEN_T = "2024-01-15 12:00:00"
+
+
+def q_azimuth_cumlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user azimuth + cumulativeLength
+    (`tpoint_spatialfuncs.c:942-1070, :1520-1595`): time-weighted mean
+    bearing over moving segments and running length lerped at a fixed
+    probe instant — oracle with atan2/lag window SQL."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    got = ST.azimuth_cumlen_stats(pts, _us_of(_CUMLEN_T))
+    return got.select(
+        "key", F.round("tw_azimuth", 6).alias("twaz_r"),
+        F.round("cumlen_at", 4).alias("cumlen_r")).orderBy("key")
+
+
+_ORACLE_AZ_CUMLEN = f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, t, x, y, lead(t) OVER w AS nt,
+               lead(x) OVER w AS nx, lead(y) OVER w AS ny
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    m AS (
+        SELECT key, t, nt, (nx - x) AS dx, (ny - y) AS dy,
+               SQRT((nx - x) * (nx - x) + (ny - y) * (ny - y)) AS seglen,
+               (epoch_us(nt) - epoch_us(t)) / 1000000.0 AS dt
+        FROM seg WHERE nt IS NOT NULL),
+    azs AS (
+        SELECT key,
+               SUM((CASE WHEN atan2(dx, dy) < 0
+                         THEN atan2(dx, dy) + 2 * pi()
+                         ELSE atan2(dx, dy) END) * dt) / SUM(dt) AS twaz
+        FROM m WHERE dx <> 0 OR dy <> 0 GROUP BY key),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    cum AS (
+        SELECT m.key,
+               SUM(CASE WHEN m.nt <= TIMESTAMP '{_CUMLEN_T}' THEN m.seglen
+                        WHEN m.t < TIMESTAMP '{_CUMLEN_T}'
+                             AND m.nt > TIMESTAMP '{_CUMLEN_T}'
+                        THEN m.seglen *
+                             (CAST(epoch_us(TIMESTAMP '{_CUMLEN_T}')
+                                   - epoch_us(m.t) AS DOUBLE)
+                              / (epoch_us(m.nt) - epoch_us(m.t)))
+                        ELSE 0 END) AS cl
+        FROM m JOIN dom d ON d.key = m.key
+             AND d.t0 <= TIMESTAMP '{_CUMLEN_T}'
+             AND d.t1 >= TIMESTAMP '{_CUMLEN_T}'
+        GROUP BY m.key)
+    SELECT a.key, ROUND(a.twaz, 6) AS twaz_r, ROUND(c.cl, 4) AS cumlen_r
+    FROM azs a JOIN cum c USING (key) ORDER BY a.key
+"""
+
+
+def q_tcentroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcentroid aggregation of the users-0-9 tpoints sampled at
+    6-hourly probes (`tpoint_aggfuncs.c:285-489`) — oracle: per-probe
+    AVG of the lerped coordinates of every user defined there."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir).where(F.col("key") < 10)
+    got = ST.temporal_centroid_profile(pts, [_us_of(p) for p in _WPROBES])
+    return got.select(
+        "t_us", "n_def",
+        F.round("cx", 6).alias("cx_r"),
+        F.round("cy", 6).alias("cy_r")).orderBy("t_us")
+
+
+_ORACLE_TCENTROID = f"""
+    WITH pts0 AS ({_EV_PTS}),
+    pts AS (SELECT * FROM pts0 WHERE key < 10),
+    probes AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:30:00',
+                                      TIMESTAMP '2024-01-30 18:30:00',
+                                      INTERVAL 6 HOUR)) AS pt),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    grid AS (SELECT d.key, p.pt FROM dom d
+             JOIN probes p ON p.pt >= d.t0 AND p.pt <= d.t1),
+    prev AS (SELECT g.key, g.pt, MAX(s.t) AS kt FROM grid g
+             JOIN pts s ON s.key = g.key AND s.t <= g.pt
+             GROUP BY g.key, g.pt),
+    nxt AS (SELECT g.key, g.pt, MIN(s.t) AS kt FROM grid g
+            JOIN pts s ON s.key = g.key AND s.t >= g.pt
+            GROUP BY g.key, g.pt),
+    lv AS (
+        SELECT pr.key, pr.pt,
+               CASE WHEN pr.kt = nx.kt THEN a.x
+                    ELSE a.x + (b.x - a.x) *
+                         (CAST(epoch_us(pr.pt) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS x,
+               CASE WHEN pr.kt = nx.kt THEN a.y
+                    ELSE a.y + (b.y - a.y) *
+                         (CAST(epoch_us(pr.pt) - epoch_us(pr.kt) AS DOUBLE)
+                          / (epoch_us(nx.kt) - epoch_us(pr.kt))) END AS y
+        FROM prev pr JOIN nxt nx ON nx.key = pr.key AND nx.pt = pr.pt
+        JOIN pts a ON a.key = pr.key AND a.t = pr.kt
+        JOIN pts b ON b.key = nx.key AND b.t = nx.kt)
+    SELECT CAST(epoch_us(pt) AS BIGINT) AS t_us, COUNT(*) AS n_def,
+           ROUND(AVG(x), 6) AS cx_r, ROUND(AVG(y), 6) AS cy_r
+    FROM lv GROUP BY pt ORDER BY t_us
+"""
+
+
 _EXTRA7 = {
+    "tcentroid_profile": (q_tcentroid_profile, _ORACLE_TCENTROID),
+    "azimuth_cumlen": (q_azimuth_cumlen, _ORACLE_AZ_CUMLEN),
     "ttext_states": (q_ttext_states, _ORACLE_TTEXT_STATES),
     "traj3d_metrics": (q_traj3d_metrics, _ORACLE_TRAJ3D),
     "geog_dwithin_join": (q_geog_dwithin, _oracle_geog_dwithin()),

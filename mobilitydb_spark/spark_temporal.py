@@ -155,6 +155,37 @@ def temporal_agg_profile(points: DataFrame, probes_us: list[int],
             .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
 
 
+def temporal_centroid_profile(points: DataFrame, probes_us: list[int],
+                              key: str = "key", t: str = "t",
+                              x: str = "x", y: str = "y") -> DataFrame:
+    """Global tcentroid aggregate of per-key tpoints sampled at probe
+    instants (`point/src/tpoint_aggfuncs.c:285-489`: per-instant mean
+    of the members defined there)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from .aggs import tagg, _values_at_many
+    schema = "t_us bigint, n_def bigint, cx double, cy double"
+    probes = np.asarray(sorted(probes_us), dtype=np.int64)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = []
+        for _, mdf in pdf.groupby(key):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            members.append(temporal_from_pdf(mdf, t, (x, y)))
+        cen = tagg(members, "centroid")
+        cnt = tagg(members, "count")
+        cvals, cmask = _values_at_many(cen, probes)
+        nvals, _ = _values_at_many(cnt, probes)
+        sel = np.nonzero(cmask)[0]
+        return pd.DataFrame({
+            "t_us": probes[sel],
+            "n_def": nvals[sel, 0].astype(np.int64),
+            "cx": cvals[sel, 0], "cy": cvals[sel, 1]})
+
+    return (points.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+
+
 def restrict_period_clip(points: DataFrame, t1_us: int, t2_us: int,
                          key: str = "key", t: str = "t",
                          x: str = "x", y: str = "y") -> DataFrame:
@@ -433,6 +464,33 @@ def traj3d_stats(points: DataFrame, key: str = "key", t: str = "t",
             key: kv, "length3d": spatial.length(tv),
             "speed_max": float(sp.max_value()[0]) if sp is not None else 0.0,
             "zmin": box.zmin, "zmax": box.zmax}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
+def azimuth_cumlen_stats(points: DataFrame, at_us: int,
+                         key: str = "key", t: str = "t",
+                         x: str = "x", y: str = "y") -> DataFrame:
+    """Per-key azimuth + cumulativeLength kernels
+    (`tpoint_spatialfuncs.c:942-1070, :1520-1595`): time-weighted
+    average bearing over moving segments and the running length
+    interpolated at one probe instant."""
+    import numpy as np
+    from . import spatial
+    schema = f"{key} bigint, tw_azimuth double, cumlen_at double"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tv = temporal_from_pdf(pdf, t, (x, y))
+        az = spatial.azimuth(tv)
+        cl = spatial.cumulative_length(tv)
+        v = cl.value_at(int(at_us))
+        if az is None or v is None:
+            return pd.DataFrame(columns=[key, "tw_azimuth", "cumlen_at"])
+        return pd.DataFrame([{key: kv,
+                              "tw_azimuth": spatial.twavg(az),
+                              "cumlen_at": float(v[0])}])
 
     return points.groupBy(key).applyInPandas(stats, schema)
 
