@@ -65,6 +65,67 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec: str,
     return df.select(id_col, vec).mapInPandas(kernel, out_schema)
 
 
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             q_id: str = "qid", c_id: str = "cid",
+             vec: str = "embedding", n_centroids: int = 16,
+             nprobe: int = 8, seed: int = 42) -> DataFrame:
+    """IVF-flat ANN top-k: k-means coarse quantizer (Spark ML, seeded)
+    → candidates partitioned by nearest centroid → each query probes
+    its ``nprobe`` nearest centroid lists → exact rerank → brute
+    fallback for under-filled queries (exact-k guarantee).
+
+    The 100 TB shape: centroid table is tiny (broadcast), candidate
+    lists shuffle once on cluster id, per-query work is bounded by
+    nprobe list sizes.  Embeddings are ~unit-norm so euclidean
+    assignment order ≡ cosine order.  Recall depends on cluster
+    structure: the synthetic near-uniform fixture needs nprobe=8/16
+    centroids for ~0.9 recall@5; real embedding corpora cluster far
+    more strongly."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cvec = candidates.select(F.col(c_id).alias("_id"), F.col(vec)) \
+        .withColumn("_fv", array_to_vector(F.col(vec)))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv",
+                predictionCol="_cluster")
+    model = km.fit(cvec)
+    cass = model.transform(cvec).select(
+        F.col("_id").alias(c_id), F.col(vec).alias("ce"),
+        F.col("_cluster").alias("cluster"))
+
+    spark = queries.sparkSession
+    cent_rows = [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    cents = spark.createDataFrame(cent_rows,
+                                  "cluster int, centroid array<double>")
+    # nprobe nearest centroids per query (centroid table broadcast)
+    qv = queries.select(F.col(q_id), F.col(vec).alias("qe"))
+    d2 = F.aggregate(
+        F.zip_with("qe", "centroid",
+                   lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy(q_id).orderBy(F.asc("cd2"), F.asc("cluster"))
+    probes = (qv.crossJoin(F.broadcast(cents))
+              .select(q_id, "qe", "cluster", d2.alias("cd2"))
+              .withColumn("crank", F.row_number().over(wq))
+              .where(F.col("crank") <= nprobe)
+              .select(q_id, "qe", "cluster"))
+    cand = probes.join(cass, "cluster") \
+        .where(F.col(q_id) != F.col(c_id))
+    scored = cand.select(q_id, c_id,
+                         F.round(_dot(F.col("qe"), F.col("ce")), 6)
+                         .alias("score"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+    full = (ranked.groupBy(q_id).count().where(F.col("count") >= k)
+            .select(q_id))
+    good = ranked.join(full, q_id, "left_semi")
+    redo = queries.join(full, q_id, "left_anti")
+    brute = brute_topk(redo, candidates, k, q_id, c_id, vec)
+    return good.unionByName(brute)
+
+
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
              q_id: str = "qid", c_id: str = "cid",
              vec: str = "embedding", n_planes: int = 16, dim: int = 64,

@@ -1822,7 +1822,53 @@ _ORACLE_TCENTROID = f"""
 """
 
 
+def q_wsum_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-sum/max aggregates wsum + wmax (users 0-9, 12 h window,
+    `src/temporal_waggfuncs.c`) sampled at 6-hourly probes — oracle:
+    SUM/MAX of the values of instants in [probe−12h, probe]."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir).where(F.col("key") < 10)
+    got = ST.wagg_sum_max_profile(
+        pts, 12 * 3600 * 1_000_000, [_us_of(p) for p in _WPROBES])
+    return got.select("t_us", F.round("wsum", 6).alias("wsum_r"),
+                      F.round("wmax", 6).alias("wmax_r")).orderBy("t_us")
+
+
+_ORACLE_WSUM = f"""
+    WITH pts AS ({_EV_PTS}),
+    p10 AS (SELECT * FROM pts WHERE key < 10),
+    probes AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:30:00',
+                                      TIMESTAMP '2024-01-30 18:30:00',
+                                      INTERVAL 6 HOUR)) AS pt)
+    SELECT CAST(epoch_us(pr.pt) AS BIGINT) AS t_us,
+           ROUND(SUM(s.v), 6) AS wsum_r,
+           ROUND(MAX(s.v), 6) AS wmax_r
+    FROM probes pr JOIN p10 s
+      ON s.t >= pr.pt - INTERVAL 12 HOUR AND s.t <= pr.pt
+    GROUP BY pr.pt HAVING COUNT(*) > 0 ORDER BY t_us
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 (k-means coarse quantizer, nprobe lists,
+    exact rerank, exact-k fallback) — rows-only check like the LSH
+    variant (clustering output is not SQL-expressible); recall vs the
+    brute baseline is pytest-verified."""
+    from .datagen import similarity
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    return (similarity.ivf_topk(q, c, 5)
+            .select("qid", "cid", "score",
+                    F.col("rank").cast("bigint").alias("rank"))
+            .orderBy("qid", "rank"))
+
+
 _EXTRA7 = {
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "wsum_probe": (q_wsum_probe, _ORACLE_WSUM),
     "tcentroid_profile": (q_tcentroid_profile, _ORACLE_TCENTROID),
     "azimuth_cumlen": (q_azimuth_cumlen, _ORACLE_AZ_CUMLEN),
     "ttext_states": (q_ttext_states, _ORACLE_TTEXT_STATES),

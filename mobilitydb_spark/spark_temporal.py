@@ -333,6 +333,38 @@ def wagg_count_profile(points: DataFrame, window_us: int,
             .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
 
 
+def wagg_sum_max_profile(points: DataFrame, window_us: int,
+                         probes_us: list[int], key: str = "key",
+                         t: str = "t", v: str = "v") -> DataFrame:
+    """Global wsum + wmax over per-key instant sets, sampled at probes
+    (`src/temporal_waggfuncs.c`: every instant extends to [t, t+w];
+    the aggregate combines the active extensions)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from .aggs import wagg, _values_at_many
+    from .types import Temporal
+    schema = "t_us bigint, wsum double, wmax double"
+    probes = np.asarray(sorted(probes_us), dtype=np.int64)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        members = []
+        for _, mdf in pdf.groupby(key):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            tt = mdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
+            members.append(Temporal.instant_set(
+                tt, mdf[[v]].to_numpy(dtype=np.float64)))
+        ws = wagg(members, "sum", window_us)
+        wm = wagg(members, "max", window_us)
+        sv, mask = _values_at_many(ws, probes)
+        mv, _ = _values_at_many(wm, probes)
+        sel = np.nonzero(mask)[0]
+        return pd.DataFrame({"t_us": probes[sel],
+                             "wsum": sv[sel, 0], "wmax": mv[sel, 0]})
+
+    return (points.withColumn("_g", F.lit(0))
+            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+
+
 def period_business_stats(points: DataFrame, windows: list[tuple[int, int]],
                           key: str = "key", t: str = "t") -> DataFrame:
     """Per-key period algebra vs a fixed window set (timeops.c union/

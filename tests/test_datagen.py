@@ -132,3 +132,17 @@ def test_multimodal_stub_pipeline(spark):
     a = [tuple(map(float, f)) for f in feats.sort_values("media_id")["feat"]]
     b = [tuple(map(float, f)) for f in feats2.sort_values("media_id")["feat"]]
     assert a == b
+
+
+def test_ivf_topk_recall_and_exact_k(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    ivf = similarity.ivf_topk(q, c, 5).toPandas()
+    brute = similarity.brute_topk(q, c, 5).toPandas()
+    # exact-k guarantee: every query returns exactly k ranked rows
+    assert (ivf.groupby("qid").size() == 5).all()
+    iv = {(r.qid, r.cid) for r in ivf.itertuples()}
+    br = {(r.qid, r.cid) for r in brute.itertuples()}
+    assert len(iv & br) / len(br) >= 0.8
