@@ -96,7 +96,8 @@ def main() -> None:
                  "minhash_dedup", "simhash_pairs", "ann_lsh_topk",
                  "langid", "fingerprint_md5",
                  "at_box", "tdwithin_pairs", "tagg_profile",
-                 "geog_dwithin_join"]:
+                 "geog_dwithin_join", "azimuth_cumlen", "ttext_states",
+                 "traj3d_metrics", "ann_ivf_topk"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: fn(spark, SF_DIR).count())
 

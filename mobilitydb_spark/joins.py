@@ -390,43 +390,52 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     good = keep.join(bad, query_id, "left_anti")
 
     # widened-ring RETRY before brute (a single under-guaranteed query
-    # must not trigger a full candidate scan at scale): re-search the
-    # failed queries at the coarsest resolution with a 4× ring radius,
-    # and only queries that STILL miss the guarantee fall through to
-    # the brute pass.
-    coarse = resolutions[-1]
+    # must not trigger a full candidate scan at scale): re-search each
+    # failed query at its OWN chosen resolution with a 4× ring radius
+    # (retrying at the coarsest resolution would pull a Zipf hot cell's
+    # whole population into every nearby retry); only queries that
+    # STILL miss the widened guarantee fall through to the brute pass.
     retry_rings = rings * 4
-    redo_q = queries.join(bad, query_id).select(
-        query_id, "lon", "lat",
-        cells.cell_col(F.col("lon"), F.col("lat"), coarse).alias("cell"))
-    retry_schema = StructType(list(redo_q.schema.fields)
-                              + [StructField("jcell", LongType())])
+    redo_base = qpts.join(bad, query_id)
+    rparts = []
+    for r in resolutions:
+        q_r = redo_base.where(F.col("res") == r) \
+            .select(query_id, "lon", "lat",
+                    F.col(f"cell{r}").alias("cell"))
+        retry_schema = StructType(list(q_r.schema.fields)
+                                  + [StructField("jcell", LongType())])
 
-    def explode_retry(batches: Iterator[pd.DataFrame],
-                      ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), retry_rings)
-            m = disk.shape[1]
-            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
-            rep["jcell"] = disk.ravel()
-            rep = rep.drop_duplicates(subset=[query_id, "jcell"],
-                                      ignore_index=True)
-            yield rep
+        def explode_retry(batches: Iterator[pd.DataFrame],
+                          ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                disk = cells.grid_disk_np(pdf["cell"].to_numpy(),
+                                          retry_rings)
+                m = disk.shape[1]
+                rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+                rep["jcell"] = disk.ravel()
+                rep = rep.drop_duplicates(subset=[query_id, "jcell"],
+                                          ignore_index=True)
+                yield rep
 
-    rcand = (redo_q.mapInPandas(explode_retry, retry_schema)
-             .join(cpts.withColumnRenamed(f"cell{coarse}", "jcell")
-                   .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell")
-             .where(F.col(query_id) != F.col(cand_id)))
-    rguar = retry_rings * 180.0 / (1 << coarse)
-    ranked2 = (rcand.select(query_id, cand_id, dist.alias("dist"))
-               .withColumn("rank", F.row_number().over(w))
+        rc = (q_r.mapInPandas(explode_retry, retry_schema)
+              .join(cpts.withColumnRenamed(f"cell{r}", "jcell")
+                    .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell")
+              .where(F.col(query_id) != F.col(cand_id)))
+        rguar = retry_rings * 180.0 / (1 << r)
+        rparts.append(rc.select(query_id, cand_id, dist.alias("dist"),
+                                F.lit(rguar).alias("guarantee")))
+    rall = rparts[0]
+    for p in rparts[1:]:
+        rall = rall.unionByName(p)
+    ranked2 = (rall.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= k)).persist()
     per_q2 = ranked2.groupBy(query_id).agg(
-        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"))
+        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"),
+        F.max("guarantee").alias("g"))
     ok2 = per_q2.where((F.col("found") >= k)
-                       & (F.col("dmax") <= F.lit(rguar))).select(query_id)
+                       & (F.col("dmax") <= F.col("g"))).select(query_id)
     bad2 = bad.join(ok2, query_id, "left_anti")
     n_bad2 = bad2.count()
     keep2 = ranked2.select(query_id, cand_id, "dist", "rank")
