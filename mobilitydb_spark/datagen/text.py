@@ -98,6 +98,30 @@ def rolling_fingerprints_col(text: Column, k: int = 5,
         F.filter(grams, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)))
 
 
+def rolling_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5,
+                         keep_mod: int = 8) -> DataFrame:
+    """(id, fps): md5-based mod-sampled k-gram fingerprint sets —
+    deterministic across engines (md5 is shared with DuckDB, unlike
+    xxhash64's seed), so the sketch itself is oracle-checkable.
+
+    The token array is materialized in its own projection: interpreted
+    lambda eval has no CSE, so an inlined split(text) would re-tokenize
+    per element (O(tokens²) per document)."""
+    tk = df.select(F.col(id_col).alias("id"),
+                   F.split(F.col(text_col), " ").alias("tk"))
+    n = F.size("tk")
+    gram = lambda i: F.concat_ws(
+        "\x1f", *[F.element_at("tk", i + j) for j in range(k)])
+    h = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10) \
+        .cast("bigint")
+    grams = F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), h))
+    fps = F.sort_array(F.array_distinct(
+        F.filter(grams, lambda x: F.pmod(x, F.lit(keep_mod)) == 0)))
+    return tk.select("id", fps.alias("fps"))
+
+
 def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols = quality_cols(F.col(text_col))
     out = df

@@ -1866,7 +1866,49 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("qid", "rank"))
 
 
+def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprints (5-token
+    grams, md5-based 32-bit hash, keep ≡0 mod 8): per-doc fingerprint
+    count + exact integer checksum — oracle rebuilds the same sketch
+    in DuckDB (md5 shared across engines)."""
+    from .datagen import text as dtext
+    docs = _load(spark, sf_dir, "documents")
+    fps = dtext.rolling_fingerprints(docs)
+    return (fps.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.aggregate("fps", F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v).alias("fp_sum"))
+        .orderBy("doc_id"))
+
+
+_ORACLE_ROLLING_FP = """
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 5 THEN []
+                    ELSE list_transform(range(1, len(t) - 3),
+                        i -> array_to_string(t[i:i+4], chr(31))) END AS grams
+        FROM tk),
+    h AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   list_transform(grams, s ->
+                       CAST(list_sum(list_transform(range(1, 9),
+                           j -> CAST(strpos('0123456789abcdef',
+                                     substr(md5(s), j, 1)) - 1 AS BIGINT)
+                                << (4 * (8 - j)))) AS BIGINT)),
+                   x -> x % 8 = 0))) AS fps
+        FROM g)
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+    FROM h ORDER BY doc_id
+"""
+
+
 _EXTRA7 = {
+    "rolling_fp": (q_rolling_fp, _ORACLE_ROLLING_FP),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "wsum_probe": (q_wsum_probe, _ORACLE_WSUM),
     "tcentroid_profile": (q_tcentroid_profile, _ORACLE_TCENTROID),
