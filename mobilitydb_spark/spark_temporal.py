@@ -57,14 +57,15 @@ def trajectory_metrics(points: DataFrame, key: str = "key",
         pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
         tv = temporal_from_pdf(pdf, t, (x, y))
         sp = spatial.speed(tv)
+        cen = spatial.twcentroid(tv)
         return pd.DataFrame([{
             key: kv,
             "length": spatial.length(tv),
             "speed_max": float(sp.max_value()[0]) if sp is not None else 0.0,
             "speed_twavg": (spatial.twavg(sp)
                             if sp is not None and tv.num_instants() > 1 else 0.0),
-            "centroid_x": float(spatial.twcentroid(tv)[0]),
-            "centroid_y": float(spatial.twcentroid(tv)[1]),
+            "centroid_x": float(cen[0]),
+            "centroid_y": float(cen[1]),
             "duration_sec": tv.duration_us() / 1e6,
             "n_points": tv.num_instants(),
         }])
