@@ -1907,7 +1907,45 @@ _ORACLE_ROLLING_FP = """
 """
 
 
+def q_tile_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster tiles over the derived doc points (zoom 6, 16 px):
+    per tile, non-zero pixel count / total points / max pixel density —
+    oracle reproduces the pixel binning with the SAME tile SQL text at
+    zoom 6+4 (exact integers)."""
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select(F.expr(_LON).alias("lon"), F.expr(_LAT).alias("lat"))
+    ras = tiles.rasterize_tiles(pts, zoom=6, px=16)
+    nz = F.size(F.filter("raster", lambda v: v > 0))
+    tot = F.aggregate("raster", F.lit(0).cast("long"), lambda a, v: a + v)
+    return (ras.select("tile_x", "tile_y",
+                       nz.cast("bigint").alias("n_pix"),
+                       tot.alias("n_total"),
+                       F.array_max("raster").alias("pix_max"))
+            .orderBy("tile_x", "tile_y"))
+
+
+def _oracle_tile_raster() -> str:
+    # pixel grid = tile coordinates at zoom 6+log2(16)=10 (same text)
+    gx, gy = tiles.tile_sql(_LON, _LAT, 10)
+    return f"""
+        WITH px AS (
+            SELECT ({gx}) // 16 AS tile_x, ({gy}) // 16 AS tile_y,
+                   (({gy}) % 16) * 16 + (({gx}) % 16) AS pix
+            FROM documents),
+        cnt AS (
+            SELECT tile_x, tile_y, pix, COUNT(*) AS n
+            FROM px GROUP BY tile_x, tile_y, pix)
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pix,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(MAX(n) AS BIGINT) AS pix_max
+        FROM cnt GROUP BY tile_x, tile_y
+        ORDER BY tile_x, tile_y
+    """
+
+
 _EXTRA7 = {
+    "tile_raster": (q_tile_raster, _oracle_tile_raster()),
     "rolling_fp": (q_rolling_fp, _ORACLE_ROLLING_FP),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "wsum_probe": (q_wsum_probe, _ORACLE_WSUM),

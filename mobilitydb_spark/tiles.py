@@ -95,6 +95,55 @@ def build_pyramid(points: DataFrame, lon: str = "lon", lat: str = "lat",
     return base.unionByName(coarser)
 
 
+def rasterize_tiles(points: DataFrame, lon: str = "lon", lat: str = "lat",
+                    zoom: int = 8, px: int = 64) -> DataFrame:
+    """Vector→raster: per tile, a px×px density grid of point counts
+    as a flattened row-major array (north rule: raster↔vector tile
+    pyramids).  Pure Catalyst: pixel = the tile coordinates at zoom
+    zoom+log2(px) masked to the tile, one groupBy, dense array
+    assembly via a map lookup over the pixel sequence."""
+    p = px.bit_length() - 1
+    assert 1 << p == px, "px must be a power of two"
+    gx = tile_x_col(F.col(lon), zoom + p)
+    gy = tile_y_col(F.col(lat), zoom + p)
+    binned = points.select(
+        F.shiftright(gx, p).alias("tile_x"),
+        F.shiftright(gy, p).alias("tile_y"),
+        ((gy.bitwiseAND(F.lit(px - 1))) * F.lit(px)
+         + gx.bitwiseAND(F.lit(px - 1))).alias("pix"))
+    counts = binned.groupBy("tile_x", "tile_y", "pix").count()
+    dense = (counts.groupBy("tile_x", "tile_y")
+             .agg(F.map_from_arrays(F.collect_list("pix"),
+                                    F.collect_list("count")).alias("m"))
+             .select("tile_x", "tile_y",
+                     F.transform(F.sequence(F.lit(0), F.lit(px * px - 1)),
+                                 lambda i: F.coalesce(
+                                     F.element_at("m", i),
+                                     F.lit(0).cast("long")))
+                     .alias("raster")))
+    return dense.withColumn("zoom", F.lit(zoom)).withColumn("px", F.lit(px))
+
+
+def vectorize_raster(raster: DataFrame, zoom: int = 8, px: int = 64
+                     ) -> DataFrame:
+    """Raster→vector: non-zero pixels back to weighted center points
+    (lon, lat, n) — the inverse of ``rasterize_tiles`` (pixel centers
+    re-rasterize into the same pixel)."""
+    p = px.bit_length() - 1
+    n_g = float(1 << (zoom + p))
+    ex = (raster.select("tile_x", "tile_y",
+                        F.posexplode("raster").alias("pix", "n"))
+          .where(F.col("n") > 0))
+    gx = (F.col("tile_x") * px + F.pmod(F.col("pix"), F.lit(px))).cast("double")
+    gy = (F.col("tile_y") * px
+          + F.floor(F.col("pix") / px).cast("long")).cast("double")
+    lon = (gx + F.lit(0.5)) / F.lit(n_g) * F.lit(360.0) - F.lit(180.0)
+    lat = F.degrees(F.atan(F.sinh(
+        F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (gy + F.lit(0.5))
+                          / F.lit(n_g)))))
+    return ex.select(lon.alias("lon"), lat.alias("lat"), F.col("n"))
+
+
 def write_pyramid(pyramid: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize partitioned by zoom (Iceberg-style layout on parquet).
 

@@ -124,3 +124,32 @@ def test_segment_crosses_polygon():
         np.array([-1.0, 1.0, 5.0]), np.array([2.0, 1.0, 5.0]),
         np.array([2.0, 2.0, 6.0]), np.array([2.0, 2.0, 6.0]), g)
     assert got.tolist() == [True, False, False]
+
+
+def test_raster_vector_roundtrip(spark):
+    """rasterize → vectorize → rasterize is a fixed point, and total
+    counts are conserved (north rule raster↔vector tiles)."""
+    import numpy as np
+    import pandas as pd
+    from mobilitydb_spark import tiles
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"lon": rng.uniform(-10, 35, 4000),
+                        "lat": rng.uniform(32, 72, 4000)})
+    pts = spark.createDataFrame(pdf)
+    ras = tiles.rasterize_tiles(pts, zoom=6, px=16).cache()
+    total = ras.select(
+        F.aggregate("raster", F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("s")) \
+        .agg(F.sum("s")).collect()[0][0]
+    assert total == 4000
+    vec = tiles.vectorize_raster(ras, zoom=6, px=16)
+    # re-rasterizing the weighted pixel centers reproduces the raster
+    ras2 = tiles.rasterize_tiles(
+        vec.withColumn("w", F.col("n"))
+           .selectExpr("lon", "lat", "explode(sequence(1, n)) AS _i")
+           .select("lon", "lat"),
+        zoom=6, px=16)
+    a = {(r.tile_x, r.tile_y): tuple(r.raster) for r in ras.collect()}
+    b = {(r.tile_x, r.tile_y): tuple(r.raster) for r in ras2.collect()}
+    assert a == b and len(a) > 0
