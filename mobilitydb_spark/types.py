@@ -223,6 +223,25 @@ def normalize_instants(times: np.ndarray, values: np.ndarray,
     n = len(times)
     if n <= 2:
         return times, values
+    # vectorized no-drop fast path: if NO instant is collinear with /
+    # equal to its immediate neighbours, the sequential pass below
+    # (whose reference point only moves when a drop happens) keeps
+    # everything — skip the per-instant Python loop entirely.  This is
+    # the overwhelmingly common case for measured trajectories.
+    t0 = times[:-2].astype(np.float64)
+    t1 = times[1:-1].astype(np.float64)
+    t2 = times[2:].astype(np.float64)
+    if linear:
+        dt = t2 - t0
+        ratio = np.where(dt != 0.0, (t1 - t0) / np.where(dt == 0, 1.0, dt),
+                         np.nan)
+        interp = values[:-2] + (values[2:] - values[:-2]) * ratio[:, None]
+        cand = (dt != 0.0) & np.all(np.abs(interp - values[1:-1]) <= EPSILON,
+                                    axis=1)
+    else:
+        cand = np.all(np.abs(values[1:-1] - values[:-2]) <= EPSILON, axis=1)
+    if not cand.any():
+        return times, values
     keep = np.ones(n, dtype=bool)
     j = 0  # last kept index
     for i in range(1, n - 1):
