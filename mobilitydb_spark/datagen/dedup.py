@@ -292,7 +292,12 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via pigeonhole
     banding: split 64 bits into max_hamming+1 chunks — any pair within
-    the radius shares ≥1 exact chunk."""
+    the radius shares ≥1 exact chunk (exact, not probabilistic).
+
+    Scale note: exact-duplicate documents share the full signature and
+    pair quadratically (that is the correct output, not a bucket
+    artifact) — at 100 TB run ``exact_dedup`` first so each distinct
+    text appears once, which bounds every chunk bucket."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunks = F.posexplode(F.array(*[
