@@ -262,10 +262,16 @@ def _gk_np(vals: np.ndarray) -> np.ndarray:
     rxy = np.sqrt(x * x + y * y)
     p = z / rxy
     f = np.full(len(vals), np.pi * 50.0 / 180.0)
-    while True:
+    # iteration cap + NaN bail: a degenerate coordinate (rxy == 0 at a
+    # geocentric pole) would make the convergence test permanently
+    # False and hang the executor task otherwise
+    for _ in range(100):
         zw = _GK_ABES / np.sqrt(1.0 - eqbes * np.sin(f) ** 2)
         nnq = 1.0 - (eqbes * zw / (rxy / np.cos(f)))
         f1 = np.arctan(p / nnq)
+        if np.isnan(f1).any():
+            f = f1
+            break
         if np.abs(f - f1).max() < 10e-10:
             f = f1
             break

@@ -224,23 +224,24 @@ def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
 
 
 def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
-                      res: int = DEFAULT_RES, lat_max: float = 75.0,
+                      res: int = DEFAULT_RES,
                       left_id: str = "l_id", right_id: str = "r_id"
                       ) -> DataFrame:
     """All (left, right) point pairs within ``dist_m`` great-circle
     meters (geography mode, `tpoint_spatialrels.c:166-170`).
 
     Same two-phase shape as ``dwithin_join``: a conservative planar
-    grid-disk prefilter (radius inflated by 1/cos(lat_max) so the
-    meter radius is covered at every latitude ≤ lat_max), then an
-    exact haversine refine that stays in whole-stage codegen via the
-    shared `geog.haversine_sql` expression."""
+    grid-disk prefilter whose radius is sized PER ROW from the row's
+    own latitude (the longitude shrink 1/cos(φ) is evaluated at the
+    highest latitude a match could sit at, |lat|+dist, so high-latitude
+    rows get the wider disk they need instead of silently dropping
+    pairs), then an exact haversine refine that stays in whole-stage
+    codegen via the shared `geog.haversine_sql` expression."""
     from .geog import haversine_sql
-    # 1° latitude ≈ 110 574 m; longitude degrees shrink by cos(lat)
-    deg = dist_m / (110574.0 * min(1.0, float(np.cos(np.radians(lat_max)))))
     n = 1 << res
     cell_h = 180.0 / n
-    k = int(np.ceil(deg / cell_h)) + 1
+    # 1° latitude ≈ 110 574 m; longitude degrees shrink by cos(lat)
+    lat_pad = dist_m / 110574.0
 
     lpts = left.withColumn("cell",
                            cells.cell_col(F.col("lon"), F.col("lat"), res))
@@ -251,13 +252,18 @@ def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
         for pdf in batches:
             if not len(pdf):
                 continue
-            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), k)
-            m = disk.shape[1]
-            rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
-            rep["jcell"] = disk.ravel()
-            rep = rep.drop_duplicates(
-                subset=[left_id, "jcell"], ignore_index=True)
-            yield rep
+            phi = np.minimum(np.abs(pdf["lat"].to_numpy()) + lat_pad, 89.9)
+            deg = dist_m / (110574.0 * np.cos(np.radians(phi)))
+            ks = np.minimum(np.ceil(deg / cell_h).astype(np.int64) + 1, n)
+            for k in np.unique(ks):
+                sub = pdf.loc[ks == k]
+                disk = cells.grid_disk_np(sub["cell"].to_numpy(), int(k))
+                m = disk.shape[1]
+                rep = sub.loc[sub.index.repeat(m)].reset_index(drop=True)
+                rep["jcell"] = disk.ravel()
+                rep = rep.drop_duplicates(
+                    subset=[left_id, "jcell"], ignore_index=True)
+                yield rep
 
     lexp = lpts.mapInPandas(explode_disk, disk_schema)
     rpts = right.select(

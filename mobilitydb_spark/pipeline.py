@@ -186,6 +186,13 @@ def pip_join_broadcast_jvm(points: DataFrame, polygons_pdf: pd.DataFrame,
         if b is None:
             continue
         geoms.append((int(pid), g, b))
+    if not geoms:
+        # every polygon empty → empty join, not an IndexError in the
+        # auto index_res median computation
+        from pyspark.sql.types import LongType, StructField, StructType
+        empty_schema = StructType(list(points.schema.fields)
+                                  + [StructField("poly_id", LongType())])
+        return spark.createDataFrame([], empty_schema)
     if index_res is None:
         # size the cover grid to the MEDIAN polygon dimension: a cell
         # much larger than the polygons multiplies candidates per point

@@ -334,23 +334,25 @@ def at_range(tv: Temporal, lo: float, hi: float,
                 return t0 + (c - v0) / (v1 - v0) * (t1 - t0)
             # A clip bound produced by a RANGE-BOUND crossing inherits
             # the range bound's inclusivity (exclusive range bound →
-            # exclusive period bound); a bound that is the segment
-            # endpoint itself stays closed (the endpoint lies strictly
-            # inside the range).  cf. tnumberseq_at_range.
+            # exclusive period bound); a segment endpoint whose value
+            # sits strictly inside the range stays closed, but one that
+            # equals a range bound ALSO inherits that bound's
+            # inclusivity (the reference ANDs lower_incl with
+            # lower_inc(intersect), tnumberseq_at_range1).
             if v0 < v1:
                 a, a_inc = ((max(t0, int(np.ceil(t_of(lo)))), True)
                             if lo_inc else (int(round(t_of(lo))), False)) \
-                    if v0 < lo else (t0, True)
+                    if v0 < lo else (t0, lo_inc if v0 == lo else True)
                 b, b_inc = ((min(t1, int(np.floor(t_of(hi)))), True)
                             if hi_inc else (int(round(t_of(hi))), False)) \
-                    if v1 > hi else (t1, True)
+                    if v1 > hi else (t1, hi_inc if v1 == hi else True)
             else:
                 a, a_inc = ((max(t0, int(np.ceil(t_of(hi)))), True)
                             if hi_inc else (int(round(t_of(hi))), False)) \
-                    if v0 > hi else (t0, True)
+                    if v0 > hi else (t0, hi_inc if v0 == hi else True)
                 b, b_inc = ((min(t1, int(np.floor(t_of(lo)))), True)
                             if lo_inc else (int(round(t_of(lo))), False)) \
-                    if v1 < lo else (t1, True)
+                    if v1 < lo else (t1, lo_inc if v1 == lo else True)
             if a < b or (a == b and a_inc and b_inc):
                 periods.append(Period(a, b, a_inc, b_inc))
     if not periods:

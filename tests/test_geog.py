@@ -93,3 +93,26 @@ def test_dwithin_join_geog_matches_brute(spark):
     ii, jj = np.nonzero(d <= 300_000.0)
     want = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
     assert got_pairs == want and len(want) > 0
+
+
+def test_dwithin_join_geog_high_latitude(spark):
+    """Pairs above the old 75° prefilter assumption must not be
+    dropped: the disk radius is now sized per row from the row's own
+    latitude (ADVICE r2)."""
+    import pandas as pd
+    from mobilitydb_spark import joins
+    pdf = pd.DataFrame({"pid": [0, 1, 2, 3],
+                        "lon": [0.0, 25.0, 120.0, 122.0],
+                        "lat": [84.0, 84.0, 86.5, 86.5]})
+    df = spark.createDataFrame(pdf)
+    l = df.selectExpr("pid AS l_id", "lon", "lat")
+    r = df.selectExpr("pid AS r_id", "lon", "lat")
+    got = joins.dwithin_join_geog(l, r, 300_000.0, res=6).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got["l_id"], got["r_id"]) if a < b}
+    d = geo.haversine_m(pdf["lon"].to_numpy()[:, None],
+                        pdf["lat"].to_numpy()[:, None],
+                        pdf["lon"].to_numpy()[None, :],
+                        pdf["lat"].to_numpy()[None, :])
+    ii, jj = np.nonzero(d <= 300_000.0)
+    want = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    assert got_pairs == want and len(want) > 0

@@ -114,3 +114,21 @@ def test_resumable_run_skips_done_buckets(spark, pages_df, tmp_path):
     assert s2["buckets_skipped"] == 4 and s2["rows_out"] == 0
     total = spark.read.parquet(out).count()
     assert total == s1["rows_out"] > 0
+
+
+def test_pip_jvm_all_empty_polygons(spark):
+    """ADVICE r2: every polygon empty → empty join result, not an
+    IndexError in the auto index_res median computation."""
+    import struct
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mobilitydb_spark import pipeline
+    # POLYGON EMPTY wkb: byte order + type + 0 rings
+    empty_wkb = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 0)
+    polys = pd.DataFrame({"poly_id": [1, 2],
+                          "geom_wkb": [empty_wkb, empty_wkb]})
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [1.0, 2.0], "lat": [3.0, 4.0]}))
+    out = pipeline.pip_join_broadcast_jvm(pts, polys)
+    assert out.count() == 0
+    assert out.columns == ["lon", "lat", "poly_id"]

@@ -205,3 +205,20 @@ def test_intersects_predicates():
     assert not R.intersects_period(v, p)
     p2 = T.parse_period("[2000-01-02, 2000-01-04]")
     assert R.intersects_period(v, p2)
+
+
+def test_atrange_exclusive_bound_at_segment_endpoint():
+    """ADVICE r2: when a segment endpoint value equals an EXCLUSIVE
+    range bound, the clip period inherits the exclusive bound
+    (reference ANDs lower_incl with lower_inc(intersect),
+    tnumberseq_at_range1)."""
+    v = tf("[10@2000-01-01, 20@2000-01-02]")
+    assert out(R.at_range(v, 10, 20, lo_inc=False)) == \
+        "{(10@2000-01-01 00:00:00+00, 20@2000-01-02 00:00:00+00]}"
+    assert out(R.at_range(v, 10, 20, hi_inc=False)) == \
+        "{[10@2000-01-01 00:00:00+00, 20@2000-01-02 00:00:00+00)}"
+    w = tf("[20@2000-01-01, 10@2000-01-02]")
+    assert out(R.at_range(w, 10, 20, lo_inc=False)) == \
+        "{[20@2000-01-01 00:00:00+00, 10@2000-01-02 00:00:00+00)}"
+    assert out(R.at_range(w, 10, 20, hi_inc=False)) == \
+        "{(20@2000-01-01 00:00:00+00, 10@2000-01-02 00:00:00+00]}"

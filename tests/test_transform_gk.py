@@ -55,3 +55,13 @@ def test_gk_geometry_operand():
     lout = transform_gk_geom(line)
     assert lout.parts[0].shape == (2, 2)
     assert lout.parts[0][1, 1] == pytest.approx(5835397.42546224, abs=1e-6)
+
+
+def test_gk_iteration_terminates_on_nan():
+    """ADVICE r2: the Bessel fixed-point loop must not hang when a
+    coordinate produces NaN — capped iterations + NaN bail."""
+    import numpy as np
+    from mobilitydb_spark.everops import _gk_np
+    out = _gk_np(np.array([[np.nan, np.nan], [7.5, 51.5]]))
+    assert out.shape == (2, 2)
+    assert np.isfinite(out[1]).all()
