@@ -53,7 +53,7 @@ def _combine(kind: str, vals: np.ndarray) -> np.ndarray:
     if kind == "max":
         return np.array([vals[:, 0].max()])
     if kind == "sum":
-        return np.array([vals[:, 0].sum()])
+        return vals.sum(axis=0)
     if kind == "avg":
         return np.array([vals[:, 0].mean()])
     if kind == "centroid":
@@ -338,6 +338,162 @@ def wagg(values: list[Temporal], kind: str, window_us: int) -> Temporal | None:
 # ---------------------------------------------------------------------------
 # Spark integration
 # ---------------------------------------------------------------------------
+
+# The reference parallelizes ungrouped temporal aggregation with a
+# transfn/combinefn pair over skiplist partial states
+# (`src/sql/36_temporal_aggfuncs.in.sql:23-76`).  The Spark analog is
+# TWO-LEVEL: a per-partition partial `tagg` (mapInPandas over
+# member-co-partitioned rows — rows never funnel through one task)
+# followed by ONE cheap merge of the partial piece-lists, whose size is
+# bounded by knot/probe counts, not row counts.
+
+def partial_profile_rows(points: DataFrame, partial_kinds: tuple[str, ...],
+                         member: str = "mkey", t: str = "t",
+                         value_cols: tuple[str, ...] = ("v",),
+                         linear: bool = True, discrete: bool = False,
+                         window_us: int | None = None) -> DataFrame:
+    """Stage 1 (transfn analog): per-partition partial temporal
+    aggregates as long-form piece rows.
+
+    Rows are co-partitioned by ``member`` (one shuffle — a member's
+    instants must land in one task so its segments stay whole), then
+    each task runs the sweep-line kernel over ITS members only and
+    emits its partial result pieces (pid, kind, seq_idx, bounds, t, v).
+    """
+    from pyspark import TaskContext
+    from .spark_temporal import temporal_from_pdf
+    schema = ("pid int, kind string, seq_idx int, lower_inc boolean, "
+              "upper_inc boolean, t_us bigint, vals array<double>")
+    cols = [member, t, *value_cols]
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pid = TaskContext.get().partitionId()
+        members = []
+        for _, mdf in pdf.groupby(member):
+            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
+            if discrete:
+                tt = mdf[t].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                members.append(Temporal.instant_set(
+                    tt, mdf[list(value_cols)].to_numpy(dtype=np.float64)))
+            else:
+                members.append(temporal_from_pdf(mdf, t, value_cols,
+                                                 linear=linear))
+        rows = []
+        for kind in partial_kinds:
+            res = (wagg(members, kind, window_us) if window_us is not None
+                   else tagg(members, kind))
+            if res is None:
+                continue
+            for si, s in enumerate(res.seqs):
+                for i in range(len(s.times)):
+                    rows.append((pid, kind, si, bool(s.lower_inc),
+                                 bool(s.upper_inc), int(s.times[i]),
+                                 [float(xv) for xv in s.values[i]]))
+        if rows:
+            yield pd.DataFrame(rows, columns=["pid", "kind", "seq_idx",
+                                              "lower_inc", "upper_inc",
+                                              "t_us", "vals"])
+
+    return (points.select(*cols).repartition(n_parts, member)
+            .mapInPandas(kernel, schema))
+
+
+def temporal_from_partial_rows(g: pd.DataFrame, linear: bool,
+                               step_default: bool) -> Temporal:
+    """Rebuild one partial-aggregate Temporal from its piece rows
+    (inverse of the partial_profile_rows emission)."""
+    seqs = []
+    for _, sg in g.groupby("seq_idx"):
+        sg = sg.sort_values("t_us")
+        ts = sg["t_us"].to_numpy(dtype=np.int64)
+        vs = np.vstack(sg["vals"].to_numpy())
+        seqs.append(Seq(ts, vs, bool(sg["lower_inc"].iloc[0]),
+                        bool(sg["upper_inc"].iloc[0])))
+    seqs.sort(key=lambda s: int(s.times[0]))
+    dur = SEQUENCE if len(seqs) == 1 else SEQUENCESET
+    return Temporal(dur, seqs, linear, 0, step_default)
+
+
+def rebuild_partials(pdf: pd.DataFrame, linear_of, step_of) -> dict:
+    """Group partial piece rows by (pid, kind) → {kind: [Temporal]}.
+    ``linear_of``/``step_of`` map a kind to the partial's interp."""
+    by: dict[str, list[Temporal]] = {}
+    for (pid, kind), g in pdf.groupby(["pid", "kind"]):
+        by.setdefault(kind, []).append(
+            temporal_from_partial_rows(g, linear_of(kind), step_of(kind)))
+    return by
+
+
+def tcount_instants(points: DataFrame, member: str = "mkey",
+                    t: str = "t") -> DataFrame:
+    """Ungrouped tcount over DISCRETE instant sets — pure Catalyst
+    (`temporal_aggfuncs.c:1739`): the value at each instant is the
+    number of members defined there.  groupBy(t) gets map-side partial
+    aggregation; no single-task stage anywhere."""
+    from pyspark.sql import functions as F
+    return points.groupBy(t).agg(
+        F.countDistinct(member).alias("n_defined"))
+
+
+def tcount_sequences(points: DataFrame, member: str = "mkey",
+                     t: str = "t", n_buckets: int = 64) -> DataFrame:
+    """Ungrouped tcount over per-member SEQUENCE domains as a
+    (t, ±delta) stream + bucketed parallel prefix sum — pure Catalyst.
+
+    Each member contributes +1 at its domain start and −1 after its
+    domain end; the running sum over event time is the stepwise count
+    profile (`temporal_aggfuncs.c` tcount over sequences).  The prefix
+    sum is two-phase: per-bucket window cumsum (parallel) + a tiny
+    bucket-offset table (n_buckets rows) — no row-level single-task
+    exchange at any point.
+
+    Output: (t_us, n) — the count on [t_us, next boundary).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    # cast covers TIMESTAMP_NTZ inputs (session tz is UTC — lossless)
+    dom = points.groupBy(member).agg(
+        F.unix_micros(F.min(t).cast("timestamp")).alias("t0"),
+        F.unix_micros(F.max(t).cast("timestamp")).alias("t1"))
+    # delta stream: +1 at t0; −1 just AFTER t1 (closed upper bound)
+    ev = (dom.select(F.col("t0").alias("t_us"), F.lit(1).alias("d"))
+          .unionAll(dom.select((F.col("t1") + 1).alias("t_us"),
+                               F.lit(-1).alias("d"))))
+    per_t = ev.groupBy("t_us").agg(F.sum("d").alias("d"))
+    lo_hi = per_t.agg(F.min("t_us").alias("lo"),
+                      F.max("t_us").alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:
+        return per_t.select("t_us", F.lit(0).cast("long").alias("n")) \
+            .where(F.lit(False))
+    span = max(int(hi) - int(lo), 1)
+    bucket = F.least(
+        F.floor((F.col("t_us") - F.lit(int(lo))) * n_buckets / F.lit(span)),
+        F.lit(n_buckets - 1)).cast("int")
+    bt = per_t.withColumn("b", bucket)
+    # phase 1: per-bucket running sum (parallel window per bucket)
+    w_in = Window.partitionBy("b").orderBy("t_us") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = bt.withColumn("cum_in", F.sum("d").over(w_in))
+    # phase 2: bucket offsets — n_buckets rows, trivially small
+    w_b = Window.orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    totals = bt.groupBy("b").agg(F.sum("d").alias("tot"))
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("off"))
+    out = local.join(F.broadcast(offsets), "b")
+    # drop the sentinel boundary after the global max (count 0 there)
+    return (out.select("t_us",
+                       (F.col("cum_in") + F.col("off")).cast("long")
+                       .alias("n"))
+            .where(F.col("n") > 0))
+
 
 def temporal_aggregate(points: DataFrame, kind: str, group: str = "gkey",
                        member: str = "mkey", t: str = "t",

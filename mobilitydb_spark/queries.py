@@ -800,14 +800,17 @@ def registry():  # noqa: F811
 def q_tagg_tcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal COUNT aggregate over discrete per-user instant sets
     (`temporal_aggfuncs.c:1739` tcount): the value at each instant is
-    the number of users defined there — oracle: per-timestamp COUNT."""
+    the number of users defined there — pure Catalyst groupBy(t) with
+    map-side partial aggregation (no single-task stage; the r2 version
+    funneled every row through one kernel task via gkey=1).  Oracle:
+    per-timestamp COUNT."""
     from . import aggs
     pts = _ev_points(spark, sf_dir).select(
-        F.lit(1).alias("gkey"), F.col("key").alias("mkey"), "t", "v")
-    out = aggs.temporal_aggregate(pts, "count", discrete=True)
+        F.col("key").alias("mkey"), "t")
+    out = aggs.tcount_instants(pts)
     return (out.select(
-                F.unix_micros("t").alias("t_epoch"),
-                F.col("v").cast("bigint").alias("n_defined"))
+                F.unix_micros(F.col("t").cast("timestamp")).alias("t_epoch"),
+                F.col("n_defined").cast("bigint").alias("n_defined"))
             .orderBy("t_epoch"))
 
 
@@ -818,8 +821,37 @@ _ORACLE_TAGG_TCOUNT = f"""
     FROM pts GROUP BY t ORDER BY t_epoch
 """
 
+
+def q_tagg_tcount_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcount over per-user SEQUENCE domains via the (t, ±delta)
+    stream + bucketed parallel prefix sum (`temporal_aggfuncs.c`
+    tcount over sequences; the transfn/combinefn-parallel shape) —
+    oracle: per boundary instant, count of users whose [min_t, max_t]
+    domain covers it."""
+    from . import aggs
+    pts = _ev_points(spark, sf_dir).select(
+        F.col("key").alias("mkey"), "t")
+    return aggs.tcount_sequences(pts).orderBy("t_us")
+
+
+_ORACLE_TAGG_TCOUNT_SEQ = f"""
+    WITH pts AS ({_EV_PTS}),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    bounds AS (
+        SELECT DISTINCT t_us FROM (
+            SELECT CAST(epoch_us(t0) AS BIGINT) AS t_us FROM dom
+            UNION ALL
+            SELECT CAST(epoch_us(t1) + 1 AS BIGINT) AS t_us FROM dom))
+    SELECT b.t_us, COUNT(*) AS n
+    FROM bounds b JOIN dom d
+      ON CAST(epoch_us(d.t0) AS BIGINT) <= b.t_us
+     AND CAST(epoch_us(d.t1) AS BIGINT) >= b.t_us
+    GROUP BY b.t_us ORDER BY t_us
+"""
+
 _EXTRA4 = {
     "tagg_tcount": (q_tagg_tcount, _ORACLE_TAGG_TCOUNT),
+    "tagg_tcount_seq": (q_tagg_tcount_seq, _ORACLE_TAGG_TCOUNT_SEQ),
 }
 
 _BASE_REGISTRY4 = registry

@@ -121,39 +121,48 @@ def temporal_agg_profile(points: DataFrame, probes_us: list[int],
     at probe instants (`src/temporal_aggfuncs.c` tagg semantics: value
     at an instant aggregates the members defined there).
 
-    One group → one kernel task; member count is expected to be small
-    (the caller pre-filters) because tmin/tmax insert pairwise segment
-    crossings per elementary interval — the reference's skiplist does
-    the same work."""
+    TWO-LEVEL (the reference's transfn/combinefn split,
+    `36_temporal_aggfuncs.in.sql:23-76`): per-partition partial `tagg`
+    over member-co-partitioned rows, then one cheap merge of partial
+    piece-lists — count merges by sum, min/max by min/max (with
+    cross-partition crossing insertion), sum by sum; avg finalizes as
+    sum/count.  Row data never funnels through a single task; only the
+    bounded partial pieces do."""
     import numpy as np
     from pyspark.sql import functions as F
-    from .aggs import tagg, _values_at_many
+    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
+                       _values_at_many)
     schema = ("t_us bigint, n_def bigint, vmin double, vmax double, "
               "vsum double, vavg double")
     probes = np.asarray(sorted(probes_us), dtype=np.int64)
+    kinds = ("count", "min", "max", "sum")
+    merge_kind = {"count": "sum", "min": "min", "max": "max", "sum": "sum"}
+    partials = partial_profile_rows(points, kinds, member=key, t=t,
+                                    value_cols=(v,))
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        members = []
-        for _, mdf in pdf.groupby(key):
-            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
-            members.append(temporal_from_pdf(mdf, t, (v,)))
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t_us", "n_def", "vmin", "vmax", "vsum", "vavg"]
+        by = rebuild_partials(pdf, linear_of=lambda k: k != "count",
+                              step_of=lambda k: k == "count")
         out = {}
         mask = None
-        for kind in ("count", "min", "max", "sum", "avg"):
-            tv = tagg(members, kind)
+        for kind in kinds:
+            tv = tagg(by.get(kind, []), merge_kind[kind])
+            if tv is None:
+                return pd.DataFrame(columns=cols)
             vals, m = _values_at_many(tv, probes)
             out[kind] = vals[:, 0]
             if kind == "count":
                 mask = m
         sel = np.nonzero(mask)[0]
+        n = out["count"][sel]
         return pd.DataFrame({
-            "t_us": probes[sel],
-            "n_def": out["count"][sel].astype(np.int64),
+            "t_us": probes[sel], "n_def": n.astype(np.int64),
             "vmin": out["min"][sel], "vmax": out["max"][sel],
-            "vsum": out["sum"][sel], "vavg": out["avg"][sel]})
+            "vsum": out["sum"][sel], "vavg": out["sum"][sel] / n})
 
-    return (points.withColumn("_g", F.lit(0))
-            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
 
 
 def temporal_centroid_profile(points: DataFrame, probes_us: list[int],
@@ -161,30 +170,39 @@ def temporal_centroid_profile(points: DataFrame, probes_us: list[int],
                               x: str = "x", y: str = "y") -> DataFrame:
     """Global tcentroid aggregate of per-key tpoints sampled at probe
     instants (`point/src/tpoint_aggfuncs.c:285-489`: per-instant mean
-    of the members defined there)."""
+    of the members defined there).
+
+    TWO-LEVEL like ``temporal_agg_profile``: the partial state is the
+    reference's tdouble3-style (Σx, Σy, n) — a vector-sum partial plus
+    a count partial, both merged by sum, finalize divide."""
     import numpy as np
     from pyspark.sql import functions as F
-    from .aggs import tagg, _values_at_many
+    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
+                       _values_at_many)
     schema = "t_us bigint, n_def bigint, cx double, cy double"
     probes = np.asarray(sorted(probes_us), dtype=np.int64)
+    partials = partial_profile_rows(points, ("count", "sum"), member=key,
+                                    t=t, value_cols=(x, y))
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        members = []
-        for _, mdf in pdf.groupby(key):
-            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
-            members.append(temporal_from_pdf(mdf, t, (x, y)))
-        cen = tagg(members, "centroid")
-        cnt = tagg(members, "count")
-        cvals, cmask = _values_at_many(cen, probes)
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t_us", "n_def", "cx", "cy"]
+        by = rebuild_partials(pdf, linear_of=lambda k: k != "count",
+                              step_of=lambda k: k == "count")
+        cnt = tagg(by.get("count", []), "sum")
+        sm = tagg(by.get("sum", []), "sum")
+        if cnt is None or sm is None:
+            return pd.DataFrame(columns=cols)
+        svals, smask = _values_at_many(sm, probes)
         nvals, _ = _values_at_many(cnt, probes)
-        sel = np.nonzero(cmask)[0]
+        sel = np.nonzero(smask)[0]
+        n = nvals[sel, 0]
         return pd.DataFrame({
             "t_us": probes[sel],
-            "n_def": nvals[sel, 0].astype(np.int64),
-            "cx": cvals[sel, 0], "cy": cvals[sel, 1]})
+            "n_def": n.astype(np.int64),
+            "cx": svals[sel, 0] / n, "cy": svals[sel, 1] / n})
 
-    return (points.withColumn("_g", F.lit(0))
-            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
 
 
 def restrict_period_clip(points: DataFrame, t1_us: int, t2_us: int,
@@ -309,29 +327,33 @@ def wagg_count_profile(points: DataFrame, window_us: int,
                        t: str = "t", v: str = "v") -> DataFrame:
     """Global wcount over per-key instant sets, sampled at probes
     (`src/temporal_waggfuncs.c:31-60`: each instant extends to
-    [t, t+w]; the aggregate counts active extensions)."""
+    [t, t+w]; the aggregate counts active extensions).
+
+    TWO-LEVEL: partial `wagg` per member-co-partitioned task, partial
+    count profiles merged by sum."""
     import numpy as np
     from pyspark.sql import functions as F
-    from .aggs import wagg, _values_at_many
-    from .types import Temporal
+    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
+                       _values_at_many)
     schema = "t_us bigint, wcount bigint"
     probes = np.asarray(sorted(probes_us), dtype=np.int64)
+    partials = partial_profile_rows(points, ("count",), member=key, t=t,
+                                    value_cols=(v,), discrete=True,
+                                    window_us=window_us)
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        members = []
-        for _, mdf in pdf.groupby(key):
-            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
-            tt = mdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
-            members.append(Temporal.instant_set(
-                tt, mdf[[v]].to_numpy(dtype=np.float64)))
-        res = wagg(members, "count", window_us)
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        by = rebuild_partials(pdf, linear_of=lambda k: False,
+                              step_of=lambda k: True)
+        res = tagg(by.get("count", []), "sum")
+        if res is None:
+            return pd.DataFrame(columns=["t_us", "wcount"])
         vals, mask = _values_at_many(res, probes)
         sel = np.nonzero(mask)[0]
         return pd.DataFrame({"t_us": probes[sel],
                              "wcount": vals[sel, 0].astype(np.int64)})
 
-    return (points.withColumn("_g", F.lit(0))
-            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
 
 
 def wagg_sum_max_profile(points: DataFrame, window_us: int,
@@ -339,31 +361,36 @@ def wagg_sum_max_profile(points: DataFrame, window_us: int,
                          t: str = "t", v: str = "v") -> DataFrame:
     """Global wsum + wmax over per-key instant sets, sampled at probes
     (`src/temporal_waggfuncs.c`: every instant extends to [t, t+w];
-    the aggregate combines the active extensions)."""
+    the aggregate combines the active extensions).
+
+    TWO-LEVEL: partial `wagg` per task; wsum merges by sum, wmax by
+    max (window pieces are member-local, so the extension step
+    distributes across partitions)."""
     import numpy as np
     from pyspark.sql import functions as F
-    from .aggs import wagg, _values_at_many
-    from .types import Temporal
+    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
+                       _values_at_many)
     schema = "t_us bigint, wsum double, wmax double"
     probes = np.asarray(sorted(probes_us), dtype=np.int64)
+    partials = partial_profile_rows(points, ("sum", "max"), member=key,
+                                    t=t, value_cols=(v,), discrete=True,
+                                    window_us=window_us)
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        members = []
-        for _, mdf in pdf.groupby(key):
-            mdf = mdf.drop_duplicates(subset=[t]).sort_values(t)
-            tt = mdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
-            members.append(Temporal.instant_set(
-                tt, mdf[[v]].to_numpy(dtype=np.float64)))
-        ws = wagg(members, "sum", window_us)
-        wm = wagg(members, "max", window_us)
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        by = rebuild_partials(pdf, linear_of=lambda k: False,
+                              step_of=lambda k: True)
+        ws = tagg(by.get("sum", []), "sum")
+        wm = tagg(by.get("max", []), "max")
+        if ws is None or wm is None:
+            return pd.DataFrame(columns=["t_us", "wsum", "wmax"])
         sv, mask = _values_at_many(ws, probes)
         mv, _ = _values_at_many(wm, probes)
         sel = np.nonzero(mask)[0]
         return pd.DataFrame({"t_us": probes[sel],
                              "wsum": sv[sel, 0], "wmax": mv[sel, 0]})
 
-    return (points.withColumn("_g", F.lit(0))
-            .groupBy("_g").applyInPandas(lambda pdf: agg(pdf), schema))
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
 
 
 def period_business_stats(points: DataFrame, windows: list[tuple[int, int]],

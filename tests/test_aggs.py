@@ -159,3 +159,60 @@ def test_wcount_single_input_overlap():
     assert got.value_at(ts("2000-01-02 12:00:00"))[0] == 2.0
     assert got.value_at(ts("2000-01-01 12:00:00"))[0] == 1.0
     assert got.value_at(ts("2000-01-03 12:00:00"))[0] == 1.0
+
+
+def test_two_level_profile_matches_single_level(spark):
+    """The transfn/combinefn analog (partial tagg per partition + one
+    merge) must equal the single-sweep kernel result."""
+    import pandas as pd
+    from mobilitydb_spark import spark_temporal as ST
+    from mobilitydb_spark.aggs import tagg, _values_at_many
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(12):
+        ts = pd.date_range("2024-01-01", periods=10, freq="h") \
+            + pd.Timedelta(minutes=int(rng.integers(0, 120)))
+        for t, v in zip(ts, rng.uniform(0, 100, 10)):
+            rows.append((k, t, float(v)))
+    pdf = pd.DataFrame(rows, columns=["key", "t", "v"])
+    probes = [int(pd.Timestamp(f"2024-01-01 {h:02d}:45:00").value // 1000)
+              for h in range(0, 12)]
+    got = ST.temporal_agg_profile(spark.createDataFrame(pdf), probes) \
+        .toPandas().sort_values("t_us").reset_index(drop=True)
+    # single-level reference: one sweep over all members
+    members = [temporal_from_pdf(g.sort_values("t"), "t", ("v",))
+               for _, g in pdf.groupby("key")]
+    pr = np.asarray(sorted(probes), dtype=np.int64)
+    want = {}
+    for kind in ("count", "min", "max", "sum", "avg"):
+        vals, mask = _values_at_many(tagg(members, kind), pr)
+        want[kind] = vals[:, 0]
+        if kind == "count":
+            sel = np.nonzero(mask)[0]
+    assert (got["t_us"].to_numpy() == pr[sel]).all()
+    assert (got["n_def"].to_numpy() == want["count"][sel]).all()
+    for col, kind in (("vmin", "min"), ("vmax", "max"),
+                      ("vsum", "sum"), ("vavg", "avg")):
+        assert np.allclose(got[col].to_numpy(), want[kind][sel],
+                           rtol=1e-9, atol=1e-9), (col, kind)
+
+
+def test_tcount_sequences_delta_stream(spark):
+    """tcount over sequence domains via the (t, ±delta) bucketed
+    prefix sum: count at each boundary equals the number of member
+    domains covering it."""
+    import pandas as pd
+    rows = []
+    # staggered domains incl. a gap: [0,4], [2,6], [10,12] hours
+    spans = [(0, 4), (2, 6), (10, 12)]
+    for k, (a, b) in enumerate(spans):
+        for h in range(a, b + 1):
+            rows.append((k, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["mkey", "t"]))
+    got = aggs.tcount_sequences(df, n_buckets=4).toPandas() \
+        .sort_values("t_us").reset_index(drop=True)
+    us = lambda h: int((pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(hours=h)).value // 1000)
+    want = [(us(0), 1), (us(2), 2), (us(4) + 1, 1), (us(10), 1)]
+    assert list(zip(got["t_us"], got["n"])) == want

@@ -85,3 +85,41 @@ def test_pyramid_is_two_shuffles(spark, pages_path):
     # (final AQE reads may add coalesces but no extra wide shuffles)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, f"pyramid plan has {n_exchanges} shuffles"
+
+
+def test_tagg_profile_two_level_plan(spark):
+    """The global temporal aggregate must NOT funnel raw rows through a
+    single task: rows shuffle by member into the partial kernel
+    (MapInPandas); only bounded partial piece rows reach the
+    single-group merge (the transfn/combinefn analog)."""
+    import pandas as pd
+    import numpy as np
+    from mobilitydb_spark import spark_temporal as ST
+    pdf = pd.DataFrame({
+        "key": np.repeat(np.arange(4), 5),
+        "t": list(pd.date_range("2024-01-01", periods=5, freq="h")) * 4,
+        "v": np.arange(20.0)})
+    probes = [int(pd.Timestamp("2024-01-01 02:30").value // 1000)]
+    for df in (ST.temporal_agg_profile(spark.createDataFrame(pdf), probes),
+               ST.temporal_centroid_profile(
+                   spark.createDataFrame(pdf.rename(columns={"v": "x"})
+                                         .assign(y=1.0)), probes)):
+        plan = _plan(df)
+        assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+        # the single-group exchange (merge) sits ABOVE the partial
+        # kernel; the exchange feeding raw rows keys on the member
+        assert plan.index("hashpartitioning(_g") < plan.index("MapInPandas")
+        assert plan.index("hashpartitioning(key") > plan.index("MapInPandas")
+
+
+def test_tcount_instants_no_single_task(spark):
+    import pandas as pd
+    import numpy as np
+    from mobilitydb_spark import aggs
+    pdf = pd.DataFrame({
+        "mkey": np.repeat(np.arange(4), 5),
+        "t": list(pd.date_range("2024-01-01", periods=5, freq="h")) * 4})
+    df = aggs.tcount_instants(spark.createDataFrame(pdf))
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # pure Catalyst
