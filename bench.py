@@ -49,11 +49,27 @@ def main() -> None:
     grid = fixtures.polygons_pd("grid", 4096)
 
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
 
     def run(name, fn):
+        """Warm median-of-3 per query (noise robustness on a shared
+        host: single cold runs flapped 2-3x between rounds with zero
+        code change).  Expensive queries trim reps to bound the suite:
+        first rep <= 20 s -> 3 reps (median), <= 60 s -> 2 reps (min of
+        the two: the slower one is the straggler), else 1 rep."""
+        reps = []
         t0 = time.time()
         fn()
-        timings[name] = round(time.time() - t0, 3)
+        reps.append(time.time() - t0)
+        max_reps = 3 if reps[0] <= 20.0 else (2 if reps[0] <= 60.0 else 1)
+        while len(reps) < max_reps:
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        reps_s = sorted(reps)
+        val = reps_s[1] if len(reps_s) == 3 else reps_s[0]
+        timings[name] = round(val, 3)
+        raw_reps[name] = [round(r, 3) for r in reps]
 
     # JVM/JIT + Arrow warm-up (untimed): the first query in a fresh
     # session otherwise absorbs codegen/JIT cost and skews per-core
@@ -63,7 +79,14 @@ def main() -> None:
     # headline: flagship spatial join + tile assignment (pages/sec basis)
     run("flagship_pip_tiles",
         lambda: pipeline.flagship(pages, admin, zoom=12).count())
+    # the JVM ray-cast refine is the default broadcast path (r2
+    # verdict: bench it under this name); the pandas PolygonIndex
+    # kernel is kept as a parity entry for its boundary-eps semantics
     run("pip_broadcast_4096",
+        lambda: pipeline.pip_join_broadcast_jvm(
+            pipeline.with_cell(pipeline.extract_points(pages)), grid,
+            index_res=7).count())
+    run("pip_broadcast_pandas_4096",
         lambda: pipeline.pip_join_broadcast(
             pipeline.with_cell(pipeline.extract_points(pages)), grid,
             index_res=7).count())
@@ -97,7 +120,7 @@ def main() -> None:
                  "langid", "fingerprint_md5",
                  "at_box", "tdwithin_pairs", "tagg_profile",
                  "geog_dwithin_join", "azimuth_cumlen", "ttext_states",
-                 "traj3d_metrics", "ann_ivf_topk"]:
+                 "traj3d_metrics", "ann_ivf_topk", "tagg_tcount_seq"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: fn(spark, SF_DIR).count())
 
@@ -108,6 +131,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": raw_reps,
+        "rep_policy": "median-of-3 warm; 2 reps (min) if first >20s; "
+                      "1 rep if >60s",
         "sf": sf_name,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / flagship_sec, 1),
