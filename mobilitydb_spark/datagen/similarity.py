@@ -68,11 +68,18 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec: str,
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
              q_id: str = "qid", c_id: str = "cid",
              vec: str = "embedding", n_centroids: int = 16,
-             nprobe: int = 8, seed: int = 42) -> DataFrame:
-    """IVF-flat ANN top-k: k-means coarse quantizer (Spark ML, seeded)
-    → candidates partitioned by nearest centroid → each query probes
-    its ``nprobe`` nearest centroid lists → exact rerank → brute
-    fallback for under-filled queries (exact-k guarantee).
+             nprobe: int = 8, seed: int = 42,
+             quantizer: str = "kmeans") -> DataFrame:
+    """IVF-flat ANN top-k: coarse quantizer → candidates partitioned by
+    nearest centroid → each query probes its ``nprobe`` nearest
+    centroid lists → exact rerank → brute fallback for under-filled
+    queries (exact-k guarantee).
+
+    Quantizers: ``kmeans`` (Spark ML, seeded — the default; better
+    cells on clustered corpora) or ``sample`` (centroids = the first
+    ``n_centroids`` candidates by id — a 0-iteration sampling init,
+    fully deterministic AND SQL-expressible, so the driver oracle can
+    replicate the whole query end-to-end).
 
     The 100 TB shape: centroid table is tiny (broadcast), candidate
     lists shuffle once on cluster id, per-query work is bounded by
@@ -81,21 +88,41 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     structure: the synthetic near-uniform fixture needs nprobe=8/16
     centroids for ~0.9 recall@5; real embedding corpora cluster far
     more strongly."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    cvec = candidates.select(F.col(c_id).alias("_id"), F.col(vec)) \
-        .withColumn("_fv", array_to_vector(F.col(vec)))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv",
-                predictionCol="_cluster")
-    model = km.fit(cvec)
-    cass = model.transform(cvec).select(
-        F.col("_id").alias(c_id), F.col(vec).alias("ce"),
-        F.col("_cluster").alias("cluster"))
-
     spark = queries.sparkSession
-    cent_rows = [(i, [float(x) for x in c])
-                 for i, c in enumerate(model.clusterCenters())]
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cvec = candidates.select(F.col(c_id).alias("_id"), F.col(vec)) \
+            .withColumn("_fv", array_to_vector(F.col(vec)))
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv",
+                    predictionCol="_cluster")
+        model = km.fit(cvec)
+        cass = model.transform(cvec).select(
+            F.col("_id").alias(c_id), F.col(vec).alias("ce"),
+            F.col("_cluster").alias("cluster"))
+        cent_rows = [(i, [float(x) for x in c])
+                     for i, c in enumerate(model.clusterCenters())]
+    elif quantizer == "sample":
+        sample = candidates.select(F.col(c_id).alias("_id"), F.col(vec)) \
+            .orderBy("_id").limit(n_centroids).collect()
+        cent_rows = [(i, [float(x) for x in r[vec]])
+                     for i, r in enumerate(sample)]
+        cents0 = spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>")
+        cv = candidates.select(F.col(c_id), F.col(vec).alias("ce"))
+        cd2 = F.aggregate(
+            F.zip_with("ce", "centroid",
+                       lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0), lambda acc, v: acc + v)
+        wc = Window.partitionBy(c_id).orderBy(F.asc("cd2"), F.asc("cluster"))
+        cass = (cv.crossJoin(F.broadcast(cents0))
+                .select(c_id, "ce", "cluster", cd2.alias("cd2"))
+                .withColumn("crn", F.row_number().over(wc))
+                .where(F.col("crn") == 1)
+                .select(c_id, "ce", "cluster"))
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     cents = spark.createDataFrame(cent_rows,
                                   "cluster int, centroid array<double>")
     # nprobe nearest centroids per query (centroid table broadcast)

@@ -659,8 +659,11 @@ def _simhash_oracle() -> str:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-5 for query vectors (rows-only check;
-    recall vs the brute baseline is pytest-verified)."""
+    """Hyperplane-LSH ANN top-5 for query vectors.  The seeded plane
+    matrix is a fixed constant, so the whole pipeline — signature sign
+    bits, hamming-≤1 multi-probe bucket join, exact rerank, brute
+    fallback for under-filled queries — is replicated end-to-end by
+    the DuckDB oracle (full hash-match, no longer rows-only)."""
     from .datagen import similarity
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
@@ -672,13 +675,75 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("qid", "rank"))
 
 
+def _lsh_planes(n_planes: int = 16, dim: int = 64, seed: int = 42):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def _lsh_sig_sql(vec_expr: str, planes) -> str:
+    """DuckDB expression reproducing hyperplane_signatures' sign-bit
+    signature: bit j = (v · plane_j) > 0."""
+    terms = []
+    for j in range(planes.shape[1]):
+        lits = ", ".join(repr(float(x)) for x in planes[:, j])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_ann_lsh(k: int = 5) -> str:
+    planes = _lsh_planes()
+    sig = _lsh_sig_sql("ve", planes)
+    return f"""
+    WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings WHERE vec_id < 10),
+    c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ve
+           FROM embeddings),
+    qs AS (SELECT qid, ve AS qe, {sig} AS sig FROM q0),
+    cs AS (SELECT cid, ve AS ce, {sig} AS csig FROM c0),
+    -- multi-probe (probe_bits=1): exact bucket + every single-bit flip
+    -- == hamming(sig, csig) <= 1
+    cand AS (
+        SELECT qid, cid, qe, ce FROM qs JOIN cs
+          ON bit_count(xor(qs.sig, cs.csig)) <= 1 AND qid != cid),
+    scored AS (
+        SELECT qid, cid, ROUND(list_dot_product(qe, ce), 6) AS score
+        FROM cand),
+    ranked AS (
+        SELECT qid, cid, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid ASC) AS BIGINT) AS rank
+        FROM scored),
+    kept AS (SELECT * FROM ranked WHERE rank <= {k}),
+    full_q AS (SELECT qid FROM kept GROUP BY qid HAVING COUNT(*) >= {k}),
+    good AS (SELECT kept.* FROM kept JOIN full_q USING (qid)),
+    -- brute fallback for queries without k bucket-verified neighbours
+    redo AS (SELECT qid, qe FROM qs
+             WHERE qid NOT IN (SELECT qid FROM full_q)),
+    bscored AS (
+        SELECT r.qid, c.cid, ROUND(list_dot_product(r.qe, c.ve), 6) AS score
+        FROM redo r CROSS JOIN c0 c WHERE r.qid != c.cid),
+    branked AS (
+        SELECT qid, cid, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid ASC) AS BIGINT) AS rank
+        FROM bscored)
+    SELECT qid, cid, score, rank FROM good
+    UNION ALL
+    SELECT qid, cid, score, rank FROM branked WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
+
+
 _EXTRA2 = {
     "minhash_dedup": (q_minhash_dedup, _ORACLE_MINHASH),
     "langid": (q_langid, _oracle_langid()),
     "doc_quality": (q_doc_quality, _ORACLE_DOC_QUALITY),
     "fingerprint_md5": (q_fingerprint_md5, _ORACLE_FP),
     "simhash_pairs": (q_simhash_pairs, _simhash_oracle()),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, _oracle_ann_lsh()),
 }
 
 _BASE_REGISTRY2 = registry
@@ -1883,19 +1948,80 @@ _ORACLE_WSUM = f"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-5 (k-means coarse quantizer, nprobe lists,
-    exact rerank, exact-k fallback) — rows-only check like the LSH
-    variant (clustering output is not SQL-expressible); recall vs the
-    brute baseline is pytest-verified."""
+    """IVF-flat ANN top-5 with the SAMPLE coarse quantizer (centroids
+    = first 16 candidates by id — a 0-iteration sampling init):
+    deterministic and SQL-expressible, so the DuckDB oracle replicates
+    the whole pipeline (assignment, nprobe=8 probing, exact rerank,
+    exact-k brute fallback) end-to-end — full hash-match.  The k-means
+    quantizer stays the API default; its recall is pytest-gated."""
     from .datagen import similarity
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), "embedding")
     c = emb.select(F.col("vec_id").alias("cid"), "embedding")
-    return (similarity.ivf_topk(q, c, 5)
+    return (similarity.ivf_topk(q, c, 5, quantizer="sample")
             .select("qid", "cid", "score",
                     F.col("rank").cast("bigint").alias("rank"))
             .orderBy("qid", "rank"))
+
+
+def _oracle_ann_ivf(k: int = 5, n_centroids: int = 16,
+                    nprobe: int = 8) -> str:
+    # squared euclidean as an explicit fold would be ideal; ordering by
+    # list_distance (monotone in d2) matches the Spark argmin/top-n
+    # order, with cluster id as the deterministic tie-break both sides
+    return f"""
+    WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10),
+    c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings),
+    cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT)
+                   AS cluster, ce AS centroid
+        FROM (SELECT cid, ce FROM c0 ORDER BY cid LIMIT {n_centroids})),
+    cass AS (
+        SELECT cid, ce, cluster FROM (
+            SELECT c.cid, c.ce, ct.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY c.cid
+                        ORDER BY list_distance(c.ce, ct.centroid) ASC,
+                                 ct.cluster ASC) AS crn
+            FROM c0 c CROSS JOIN cents ct)
+        WHERE crn = 1),
+    probes AS (
+        SELECT qid, qe, cluster FROM (
+            SELECT q.qid, q.qe, ct.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                        ORDER BY list_distance(q.qe, ct.centroid) ASC,
+                                 ct.cluster ASC) AS qrn
+            FROM q0 q CROSS JOIN cents ct)
+        WHERE qrn <= {nprobe}),
+    scored AS (
+        SELECT p.qid, a.cid,
+               ROUND(list_dot_product(p.qe, a.ce), 6) AS score
+        FROM probes p JOIN cass a USING (cluster) WHERE p.qid != a.cid),
+    ranked AS (
+        SELECT qid, cid, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid ASC) AS BIGINT) AS rank
+        FROM scored),
+    kept AS (SELECT * FROM ranked WHERE rank <= {k}),
+    full_q AS (SELECT qid FROM kept GROUP BY qid HAVING COUNT(*) >= {k}),
+    good AS (SELECT kept.* FROM kept JOIN full_q USING (qid)),
+    redo AS (SELECT qid, qe FROM q0
+             WHERE qid NOT IN (SELECT qid FROM full_q)),
+    bscored AS (
+        SELECT r.qid, c.cid, ROUND(list_dot_product(r.qe, c.ce), 6) AS score
+        FROM redo r CROSS JOIN c0 c WHERE r.qid != c.cid),
+    branked AS (
+        SELECT qid, cid, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY score DESC, cid ASC) AS BIGINT) AS rank
+        FROM bscored)
+    SELECT qid, cid, score, rank FROM good
+    UNION ALL
+    SELECT qid, cid, score, rank FROM branked WHERE rank <= {k}
+    ORDER BY qid, rank
+    """
 
 
 def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1979,7 +2105,7 @@ def _oracle_tile_raster() -> str:
 _EXTRA7 = {
     "tile_raster": (q_tile_raster, _oracle_tile_raster()),
     "rolling_fp": (q_rolling_fp, _ORACLE_ROLLING_FP),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
     "wsum_probe": (q_wsum_probe, _ORACLE_WSUM),
     "tcentroid_profile": (q_tcentroid_profile, _ORACLE_TCENTROID),
     "azimuth_cumlen": (q_azimuth_cumlen, _ORACLE_AZ_CUMLEN),

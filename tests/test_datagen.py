@@ -146,3 +146,18 @@ def test_ivf_topk_recall_and_exact_k(spark):
     iv = {(r.qid, r.cid) for r in ivf.itertuples()}
     br = {(r.qid, r.cid) for r in brute.itertuples()}
     assert len(iv & br) / len(br) >= 0.8
+
+
+def test_ivf_sample_quantizer_recall_and_exact_k(spark):
+    """The sample-centroid quantizer (the driver-oracled variant) must
+    hold the same exact-k guarantee and a usable recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    c = emb.select(F.col("vec_id").alias("cid"), "embedding")
+    ivf = similarity.ivf_topk(q, c, 5, quantizer="sample").toPandas()
+    brute = similarity.brute_topk(q, c, 5).toPandas()
+    assert (ivf.groupby("qid").size() == 5).all()
+    iv = {(r.qid, r.cid) for r in ivf.itertuples()}
+    br = {(r.qid, r.cid) for r in brute.itertuples()}
+    assert len(iv & br) / len(br) >= 0.8
