@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .types import Temporal
@@ -182,3 +182,43 @@ def left_col(a: Column, b: Column) -> Column:
 
 def before_col(a: Column, b: Column) -> Column:
     return a["tmax"] < b["tmin"]
+
+
+def position_ops_table(points: DataFrame, box: STBox, key: str = "key",
+                       t: str = "t", x: str = "x", y: str = "y"
+                       ) -> DataFrame:
+    """Per-key STBOX position/topology predicates against a fixed box
+    (`point/src/tpoint_posops.c:38-1974` + boxops && @> <@): one
+    aggregation builds each key's box, an Arrow batch evaluates the
+    operator set — no per-row Python, no shuffle beyond the groupBy."""
+    import pandas as pd
+    agg = points.groupBy(key).agg(
+        F.min(x).alias("xmin"), F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"), F.max(y).alias("ymax"),
+        F.unix_micros(F.min(t).cast("timestamp")).alias("tmin"),
+        F.unix_micros(F.max(t).cast("timestamp")).alias("tmax"))
+    schema = (f"{key} bigint, b_overlaps boolean, b_contains boolean, "
+              "b_contained boolean, b_left boolean, b_right boolean, "
+              "b_below boolean, b_above boolean, b_before boolean, "
+              "b_after boolean")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                kb = STBox(float(r.xmin), float(r.xmax), float(r.ymin),
+                           float(r.ymax), int(r.tmin), int(r.tmax))
+                rows.append({
+                    key: getattr(r, key),
+                    "b_overlaps": overlaps(kb, box),
+                    "b_contains": contains(kb, box),
+                    "b_contained": contains(box, kb),
+                    "b_left": left(kb, box), "b_right": right(kb, box),
+                    "b_below": below(kb, box), "b_above": above(kb, box),
+                    "b_before": before(kb, box),
+                    "b_after": after(kb, box)})
+            yield pd.DataFrame(rows)
+
+    return agg.mapInPandas(kernel, schema)

@@ -1426,16 +1426,25 @@ def _oracle_at_box() -> str:
 _TDW_DIST = 30.0
 
 
-def _pair_sync_sql(cols: tuple[str, ...] = ("x", "y")) -> str:
+def _pair_sync_sql(cols: tuple[str, ...] = ("x", "y"),
+                   derived: dict[str, str] | None = None) -> str:
     """Shared oracle scaffold: pair users (2k, 2k+1), build the
     synchronized instant set over the common time domain, and lerp
     BOTH members at every sync instant from their ORIGINAL knots —
     the same float operations as `lifting.synchronize`/`_sample`.
 
+    ``derived`` adds computed knot columns (name → SQL over the pts
+    columns) that lerp like base columns — knot-level derivation keeps
+    the float op order identical to an engine that builds its
+    Temporal from the derived values.
+
     Exposes CTE ``sq`` with columns pair, t0, t1 (BIGINT epoch µs) and
     a_<col>0 / b_<col>0 / a_<col>1 / b_<col>1 per value column."""
+    derived = derived or {}
     sel = ", ".join(["key // 2 AS pair", "key % 2 AS side", "t"]
-                    + list(cols))
+                    + list(cols)
+                    + [f"{expr} AS {name}" for name, expr in derived.items()])
+    cols = tuple(cols) + tuple(derived.keys())
     lerp_lines = ",\n               ".join(
         f"""CASE WHEN pr.kt = nx.kt THEN a.{c}
                     ELSE a.{c} + (b.{c} - a.{c}) *
@@ -2136,4 +2145,343 @@ _BASE_REGISTRY6 = registry
 def registry():  # noqa: F811
     out = _BASE_REGISTRY6()
     out.update(_EXTRA6)
+    return out
+
+
+# --------------------------------------------------------------------------
+# batch 8 (round 3): oracles for the remaining pytest-only families —
+# tand/tor aggregation, position/bbox ops, relate/relate_pattern,
+# timeops operand matrix, temporal ×/÷ turning points
+# --------------------------------------------------------------------------
+
+def q_tbool_tand_tor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global tand/tor aggregation of per-user stepwise tbools
+    (v > 50, `src/temporal_aggfuncs.c:1351-1428`) sampled at 6-hourly
+    probes via the two-level partial/merge path — oracle: bool_and /
+    bool_or of each user's step value at the probe."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir).where(F.col("key") < 10)
+    got = ST.tbool_agg_profile(pts, [_us_of(p) for p in _WPROBES], 50.0)
+    return got.orderBy("t_us")
+
+
+_ORACLE_TBOOL = f"""
+    WITH pts0 AS ({_EV_PTS}),
+    pts AS (SELECT * FROM pts0 WHERE key < 10),
+    probes AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:30:00',
+                                      TIMESTAMP '2024-01-30 18:30:00',
+                                      INTERVAL 6 HOUR)) AS pt),
+    dom AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1 FROM pts GROUP BY key),
+    grid AS (SELECT d.key, p.pt FROM dom d
+             JOIN probes p ON p.pt >= d.t0 AND p.pt <= d.t1),
+    -- STEP semantics: the value at a probe is the last knot <= probe
+    prev AS (SELECT g.key, g.pt, MAX(s.t) AS kt FROM grid g
+             JOIN pts s ON s.key = g.key AND s.t <= g.pt
+             GROUP BY g.key, g.pt),
+    val AS (SELECT pr.key, pr.pt, a.v FROM prev pr
+            JOIN pts a ON a.key = pr.key AND a.t = pr.kt)
+    SELECT CAST(epoch_us(pt) AS BIGINT) AS t_us,
+           COUNT(*) AS n_def,
+           bool_and(v > 50.0) AS tand,
+           bool_or(v > 50.0) AS tor
+    FROM val GROUP BY pt ORDER BY t_us
+"""
+
+
+# box chosen so user boxes mix every predicate outcome; bounds are not
+# multiples of 0.05 (trajectory knots are exact tenths — no boundary
+# ambiguity, same convention as _BOX2)
+_PBOX = (30.33, 30.11, 60.33, 70.11,
+         "2024-01-01 12:00:00", "2024-01-02 06:00:00")
+
+
+def q_posops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user STBOX vs a fixed STBOX: topology (&& @> <@) and
+    position (<< >> <<| |>> <<# #>>) predicates
+    (`point/src/tpoint_posops.c:38-1974`, `tpoint_boxops.c:246-957`).
+    Each user's box covers only its first 3 instants so the boxes are
+    small and every directional predicate takes both truth values —
+    oracle: MIN/MAX comparisons in SQL."""
+    from pyspark.sql import Window
+    from .boxops import STBox, position_ops_table
+    pts = _ev_points(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("t")
+    pts3 = (pts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 3).drop("_rn"))
+    x0, y0, x1, y1, ta, tb = _PBOX
+    box = STBox(x0, x1, y0, y1, _us_of(ta), _us_of(tb))
+    return position_ops_table(pts3, box).orderBy("key")
+
+
+def _oracle_posops() -> str:
+    x0, y0, x1, y1, ta, tb = _PBOX
+    t0, t1 = _us_of(ta), _us_of(tb)
+    return f"""
+    WITH pts0 AS ({_EV_PTS}),
+    pts AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY t) AS rn
+        FROM pts0) WHERE rn <= 3),
+    b AS (SELECT key, MIN(x) AS xmin, MAX(x) AS xmax,
+                 MIN(y) AS ymin, MAX(y) AS ymax,
+                 CAST(epoch_us(MIN(t)) AS BIGINT) AS tmin,
+                 CAST(epoch_us(MAX(t)) AS BIGINT) AS tmax
+          FROM pts GROUP BY key)
+    SELECT key,
+           (xmin <= {x1} AND {x0} <= xmax AND ymin <= {y1} AND {y0} <= ymax
+            AND tmin <= {t1} AND {t0} <= tmax) AS b_overlaps,
+           (xmin <= {x0} AND xmax >= {x1} AND ymin <= {y0} AND ymax >= {y1}
+            AND tmin <= {t0} AND tmax >= {t1}) AS b_contains,
+           ({x0} <= xmin AND {x1} >= xmax AND {y0} <= ymin AND {y1} >= ymax
+            AND {t0} <= tmin AND {t1} >= tmax) AS b_contained,
+           (xmax < {x0}) AS b_left, (xmin > {x1}) AS b_right,
+           (ymax < {y0}) AS b_below, (ymin > {y1}) AS b_above,
+           (tmax < {t0}) AS b_before, (tmin > {t1}) AS b_after
+    FROM b ORDER BY key
+"""
+
+
+def q_relate_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relate / relate_pattern of derived doc points vs a rectangle
+    (`point/src/tpoint_spatialrels.c:1276-1423` via the DE-9IM
+    kernel): the raw 9-char matrix plus the OGC 'within' pattern match
+    — oracle classifies inside/boundary/outside in SQL."""
+    from typing import Iterator
+    import numpy as np
+    import pandas as pd
+    from . import geo as G
+    from .de9im import matches_pattern, relate_geoms
+    x0, y0, x1, y1 = _BOX
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+    rect = G.Geometry("Polygon", [ring])
+    docs = _load(spark, sf_dir, "documents")
+    pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
+                      F.expr(_LAT).alias("lat"))
+
+    def kernel(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ms, wi = [], []
+            for lon, lat in zip(pdf["lon"].to_numpy(),
+                                pdf["lat"].to_numpy()):
+                p = G.Geometry("Point",
+                               [np.array([[lon, lat]], dtype=np.float64)])
+                m = relate_geoms(p, rect)
+                ms.append(m)
+                wi.append(matches_pattern(m, "T*F**F***"))
+            out = pdf[["doc_id"]].copy()
+            out["de9im"] = ms
+            out["within"] = wi
+            yield out
+
+    return (pts.mapInPandas(kernel,
+                            "doc_id bigint, de9im string, within boolean")
+            .orderBy("doc_id"))
+
+
+def _oracle_relate_rect() -> str:
+    x0, y0, x1, y1 = _BOX
+    inside = (f"{_LON} > {x0} AND {_LON} < {x1} "
+              f"AND {_LAT} > {y0} AND {_LAT} < {y1}")
+    closed = (f"{_LON} >= {x0} AND {_LON} <= {x1} "
+              f"AND {_LAT} >= {y0} AND {_LAT} <= {y1}")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {inside} THEN '0FFFFF212'
+                WHEN {closed} THEN 'F0FFFF212'
+                ELSE 'FF0FFF212' END AS de9im,
+           ({inside}) AS within
+    FROM documents ORDER BY doc_id
+"""
+
+
+# timeops operand matrix: fixed periodset (one window outside the data
+# span so the non-merging union arm is exercised) + fixed timestampset
+_TWINS = [("2024-01-03 00:00:00", "2024-01-06 00:00:00"),
+          ("2024-01-10 00:00:00", "2024-01-14 00:00:00"),
+          ("2024-02-05 00:00:00", "2024-02-10 00:00:00")]
+_TINSTANTS = ["2023-12-25 00:00:00", "2024-01-07 12:00:00",
+              "2024-01-16 06:30:00", "2024-01-21 18:00:00",
+              "2024-01-28 03:00:00"]
+
+
+def q_timeops_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user period-algebra operand matrix (`src/timeops.c:
+    2468-4081`): span ∪ fixed periodset (piece count + exact µs),
+    span ∩ fixed timestampset (instant count), span − timestampset
+    (piece count) — the operand combos period_business leaves out."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    wins = [(_us_of(a), _us_of(b)) for a, b in _TWINS]
+    inst = [_us_of(p) for p in _TINSTANTS]
+    return ST.timeops_matrix_stats(pts, wins, inst).orderBy("key")
+
+
+def _oracle_timeops_matrix() -> str:
+    wins = [(_us_of(a), _us_of(b)) for a, b in _TWINS]
+    inst = [_us_of(p) for p in _TINSTANTS]
+    win_rows = ", ".join(f"({a}, {b})" for a, b in wins)
+    inst_rows = ", ".join(f"({p})" for p in inst)
+    total_win_us = sum(b - a for a, b in wins)
+    return f"""
+    WITH pts AS ({_EV_PTS}),
+    dom AS (SELECT key, CAST(epoch_us(MIN(t)) AS BIGINT) AS d0,
+                 CAST(epoch_us(MAX(t)) AS BIGINT) AS d1
+            FROM pts GROUP BY key),
+    win(w0, w1) AS (VALUES {win_rows}),
+    ts(p) AS (VALUES {inst_rows}),
+    -- windows are half-open [w0, w1), the span closed: they merge into
+    -- one union piece iff w0 <= d1 AND d0 <= w1 (adjacency included,
+    -- matching normalize_periods)
+    mrg AS (SELECT d.key, d.d0, d.d1, w.w0, w.w1
+            FROM dom d JOIN win w ON w.w0 <= d.d1 AND d.d0 <= w.w1),
+    ma AS (SELECT key, COUNT(*) AS n_merge,
+                  CAST(SUM(w1 - w0) AS BIGINT) AS merged_us,
+                  MIN(w0) AS mw0, MAX(w1) AS mw1
+           FROM mrg GROUP BY key),
+    ua AS (SELECT d.key,
+                  (GREATEST(d.d1, COALESCE(m.mw1, d.d1))
+                   - LEAST(d.d0, COALESCE(m.mw0, d.d0)))
+                  + ({total_win_us} - COALESCE(m.merged_us, 0)) AS u_us,
+                  1 + ({len(wins)} - COALESCE(m.n_merge, 0)) AS n_u
+           FROM dom d LEFT JOIN ma m USING (key)),
+    ia AS (SELECT d.key,
+                  COUNT(CASE WHEN t.p >= d.d0 AND t.p <= d.d1 THEN 1 END)
+                      AS n_i,
+                  COUNT(CASE WHEN t.p > d.d0 AND t.p < d.d1 THEN 1 END)
+                      AS n_strict
+           FROM dom d CROSS JOIN ts t GROUP BY d.key)
+    SELECT d.key, CAST(u.u_us AS BIGINT) AS u_ps_us,
+           CAST(u.n_u AS BIGINT) AS n_u_ps,
+           CAST(i.n_i AS BIGINT) AS n_i_ts,
+           CAST(1 + i.n_strict AS BIGINT) AS n_m_ts
+    FROM dom d JOIN ua u USING (key) JOIN ia i USING (key)
+    ORDER BY d.key
+"""
+
+
+def q_tmath_turning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-pair temporal × and ÷ with turning points
+    (`tnumber_mathfuncs.c:127-160`): inserted-vertex counts and the
+    vertex-exact extrema of a·b and a/(b+1000) — oracle recomputes the
+    quadratic-vertex instants and lerps both operands at them from the
+    ORIGINAL knots with the kernel's float op order."""
+    from . import spark_temporal as ST
+    pts = _ev_points(spark, sf_dir)
+    paired = pts.withColumn("pair", (F.col("key") / 2).cast("bigint"))
+    got = ST.tmath_turning_pairs(paired, pair="pair", member="key")
+    return got.select(
+        "pair", "n_turn_mult",
+        F.round("mult_max", 6).alias("mult_max_r"),
+        F.round("mult_min", 6).alias("mult_min_r"),
+        "n_turn_div",
+        F.round("div_max", 6).alias("div_max_r"),
+        F.round("div_min", 6).alias("div_min_r")).orderBy("pair")
+
+
+def _oracle_tmath_turning() -> str:
+    re_m = _round_even_sql("t0 + (t1 - t0) * rm")
+    re_d = _round_even_sql("t0 + (t1 - t0) * rd")
+    return f"""
+    WITH {_pair_sync_sql(("v",), derived={"w": "v + 1000.0"})},
+    seg AS (SELECT pair, t0, t1, a_v0, a_v1, b_v0, b_v1, b_w0, b_w1
+            FROM sq WHERE t1 IS NOT NULL),
+    -- quadratic vertex r = -(a0*db + b0*da) / (2*da*db), strict (0,1)
+    rr AS (
+        SELECT pair, t0, t1,
+               CASE WHEN (2.0 * (a_v1 - a_v0) * (b_v1 - b_v0)) <> 0.0
+                    THEN (-(a_v0 * (b_v1 - b_v0) + b_v0 * (a_v1 - a_v0)))
+                         / (2.0 * (a_v1 - a_v0) * (b_v1 - b_v0)) END AS rm,
+               CASE WHEN (2.0 * (a_v1 - a_v0) * (b_w1 - b_w0)) <> 0.0
+                    THEN (-(a_v0 * (b_w1 - b_w0) + b_w0 * (a_v1 - a_v0)))
+                         / (2.0 * (a_v1 - a_v0) * (b_w1 - b_w0)) END AS rd
+        FROM seg),
+    ti0 AS (
+        SELECT pair, 'm' AS op, t0, t1,
+               CASE WHEN rm > 0.0 AND rm < 1.0 THEN {re_m} END AS tt
+        FROM rr
+        UNION ALL
+        SELECT pair, 'd', t0, t1,
+               CASE WHEN rd > 0.0 AND rd < 1.0 THEN {re_d} END
+        FROM rr),
+    ti AS (SELECT pair, op, tt FROM ti0
+           WHERE tt IS NOT NULL AND tt > t0 AND tt < t1),
+    -- lerp BOTH members at each turning instant from ORIGINAL knots
+    tprv AS (SELECT ti.pair, ti.op, ti.tt, p.side,
+                    MAX(CAST(epoch_us(p.t) AS BIGINT)) AS kt
+             FROM ti JOIN pp p ON p.pair = ti.pair
+                  AND CAST(epoch_us(p.t) AS BIGINT) <= ti.tt
+             GROUP BY ti.pair, ti.op, ti.tt, p.side),
+    tnxt AS (SELECT ti.pair, ti.op, ti.tt, p.side,
+                    MIN(CAST(epoch_us(p.t) AS BIGINT)) AS kt
+             FROM ti JOIN pp p ON p.pair = ti.pair
+                  AND CAST(epoch_us(p.t) AS BIGINT) >= ti.tt
+             GROUP BY ti.pair, ti.op, ti.tt, p.side),
+    tlv AS (
+        SELECT pr.pair, pr.op, pr.tt, pr.side,
+               CASE WHEN pr.kt = nx.kt THEN a.v
+                    ELSE a.v + (b.v - a.v) *
+                         (CAST(pr.tt - pr.kt AS DOUBLE) / (nx.kt - pr.kt))
+               END AS v,
+               CASE WHEN pr.kt = nx.kt THEN a.w
+                    ELSE a.w + (b.w - a.w) *
+                         (CAST(pr.tt - pr.kt AS DOUBLE) / (nx.kt - pr.kt))
+               END AS w
+        FROM tprv pr
+        JOIN tnxt nx ON nx.pair = pr.pair AND nx.op = pr.op
+             AND nx.tt = pr.tt AND nx.side = pr.side
+        JOIN pp a ON a.pair = pr.pair AND a.side = pr.side
+             AND CAST(epoch_us(a.t) AS BIGINT) = pr.kt
+        JOIN pp b ON b.pair = nx.pair AND b.side = nx.side
+             AND CAST(epoch_us(b.t) AS BIGINT) = nx.kt),
+    tvals AS (
+        SELECT pair, op, tt,
+               MAX(CASE WHEN side = 0 THEN v END) AS av,
+               MAX(CASE WHEN side = 1 THEN v END) AS bv,
+               MAX(CASE WHEN side = 1 THEN w END) AS bw
+        FROM tlv GROUP BY pair, op, tt),
+    -- candidate values: every sync knot + every turning instant
+    mc AS (
+        SELECT pair, a_v0 * b_v0 AS val FROM sq
+        UNION ALL
+        SELECT pair, av * bv FROM tvals WHERE op = 'm'),
+    dc AS (
+        SELECT pair, a_v0 / b_w0 AS val FROM sq
+        UNION ALL
+        SELECT pair, av / bw FROM tvals WHERE op = 'd'),
+    tn AS (
+        SELECT pair,
+               COUNT(CASE WHEN op = 'm' THEN 1 END) AS n_m,
+               COUNT(CASE WHEN op = 'd' THEN 1 END) AS n_d
+        FROM ti GROUP BY pair),
+    magg AS (SELECT pair, MAX(val) AS mmax, MIN(val) AS mmin
+             FROM mc GROUP BY pair),
+    dagg AS (SELECT pair, MAX(val) AS dmax, MIN(val) AS dmin
+             FROM dc GROUP BY pair)
+    SELECT m.pair,
+           CAST(COALESCE(t.n_m, 0) AS BIGINT) AS n_turn_mult,
+           ROUND(m.mmax, 6) AS mult_max_r, ROUND(m.mmin, 6) AS mult_min_r,
+           CAST(COALESCE(t.n_d, 0) AS BIGINT) AS n_turn_div,
+           ROUND(d.dmax, 6) AS div_max_r, ROUND(d.dmin, 6) AS div_min_r
+    FROM magg m JOIN dagg d USING (pair) LEFT JOIN tn t USING (pair)
+    ORDER BY m.pair
+"""
+
+
+_EXTRA8 = {
+    "tbool_tand_tor": (q_tbool_tand_tor, _ORACLE_TBOOL),
+    "posops_boxes": (q_posops_boxes, _oracle_posops()),
+    "relate_rect": (q_relate_rect, _oracle_relate_rect()),
+    "timeops_matrix": (q_timeops_matrix, _oracle_timeops_matrix()),
+    "tmath_turning": (q_tmath_turning, _oracle_tmath_turning()),
+}
+
+_BASE_REGISTRY8 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8()
+    out.update(_EXTRA8)
     return out

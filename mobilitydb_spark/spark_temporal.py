@@ -564,3 +564,132 @@ def extent(points: DataFrame, key: str = "key", t: str = "t",
         F.min(x).alias("xmin"), F.max(x).alias("xmax"),
         F.min(y).alias("ymin"), F.max(y).alias("ymax"),
         F.min(t).alias("tmin"), F.max(t).alias("tmax"))
+
+
+def tbool_agg_profile(points: DataFrame, probes_us: list[int],
+                      threshold: float, key: str = "key", t: str = "t",
+                      v: str = "v") -> DataFrame:
+    """Global tand/tor over per-key STEPWISE tbools (v > threshold),
+    sampled at probes (`src/temporal_aggfuncs.c:1351-1428`
+    tbool_tand/tbool_tor).
+
+    TWO-LEVEL like the numeric profiles: partial tand/tor per
+    member-co-partitioned task, partials merged by and/or (both
+    associative); n_def from a count partial merged by sum."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
+                       _values_at_many)
+    schema = "t_us bigint, n_def bigint, tand boolean, tor boolean"
+    probes = np.asarray(sorted(probes_us), dtype=np.int64)
+    flags = points.select(
+        key, t, (F.col(v) > F.lit(threshold)).cast("double").alias("b"))
+    partials = partial_profile_rows(flags, ("count", "and", "or"),
+                                    member=key, t=t, value_cols=("b",),
+                                    linear=False)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["t_us", "n_def", "tand", "tor"]
+        by = rebuild_partials(pdf, linear_of=lambda k: False,
+                              step_of=lambda k: True)
+        cnt = tagg(by.get("count", []), "sum")
+        ta = tagg(by.get("and", []), "and")
+        to = tagg(by.get("or", []), "or")
+        if cnt is None or ta is None or to is None:
+            return pd.DataFrame(columns=cols)
+        nv, mask = _values_at_many(cnt, probes)
+        av, _ = _values_at_many(ta, probes)
+        ov, _ = _values_at_many(to, probes)
+        sel = np.nonzero(mask)[0]
+        return pd.DataFrame({
+            "t_us": probes[sel],
+            "n_def": nv[sel, 0].astype(np.int64),
+            "tand": av[sel, 0] > 0.5, "tor": ov[sel, 0] > 0.5})
+
+    from pyspark.sql import functions as F
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
+
+
+def timeops_matrix_stats(points: DataFrame, windows: list[tuple[int, int]],
+                         instants_us: list[int], key: str = "key",
+                         t: str = "t") -> DataFrame:
+    """Per-key period-algebra operand matrix (timeops.c:2468-4081):
+    the key's observation span against a fixed PERIODSET (union piece
+    count + exact µs) and a fixed TIMESTAMPSET (intersection instant
+    count, minus piece count) — the operand combos period_business
+    does not cover."""
+    import numpy as np
+    from . import timeops
+    from .types import Period
+    schema = (f"{key} bigint, u_ps_us bigint, n_u_ps bigint, "
+              "n_i_ts bigint, n_m_ts bigint")
+    wins = [Period(int(a), int(b), True, False) for a, b in windows]
+    tset = [Period(int(p), int(p), True, True) for p in sorted(instants_us)]
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        tt = pdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dom = [Period(int(tt.min()), int(tt.max()), True, True)]
+        u = timeops.union(dom, wins)
+        i_ts = timeops.intersection(dom, tset)
+        m_ts = timeops.minus(dom, tset)
+        return pd.DataFrame([{
+            key: kv,
+            "u_ps_us": int(sum(p.upper - p.lower for p in u)),
+            "n_u_ps": len(u),
+            "n_i_ts": len(i_ts),
+            "n_m_ts": len(m_ts)}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
+
+
+def tmath_turning_pairs(points: DataFrame, div_shift: float = 1000.0,
+                        pair: str = "pair", member: str = "key",
+                        t: str = "t", v: str = "v") -> DataFrame:
+    """Per pair of tfloats: temporal × and ÷ with TURNING POINTS
+    (`tnumber_mathfuncs.c:127-160`
+    ``tnumberseq_mult_maxmin_at_timestamp``): count of inserted
+    quadratic-vertex instants and the vertex-exact extrema of a·b and
+    a/(b+shift) (the divisor is shifted positive so the quotient stays
+    bounded — the turning-point kernel is exercised identically)."""
+    import numpy as np
+    from .lifting import synchronize, tdiv, tmult, turn_product
+    schema = (f"{pair} bigint, n_turn_mult bigint, mult_max double, "
+              "mult_min double, n_turn_div bigint, div_max double, "
+              "div_min double")
+
+    def n_turns(a, b) -> int:
+        n = 0
+        for ts, va, vb, _, _ in synchronize(a, b):
+            for i in range(len(ts) - 1):
+                n += len(turn_product(va[i], va[i + 1], vb[i], vb[i + 1],
+                                      int(ts[i]), int(ts[i + 1])))
+        return n
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [pair, "n_turn_mult", "mult_max", "mult_min",
+                "n_turn_div", "div_max", "div_min"]
+        pv = pdf[pair].iloc[0]
+        groups = [g for _, g in pdf.groupby(member)]
+        if len(groups) != 2:
+            return pd.DataFrame(columns=cols)
+        prepped = [g.drop_duplicates(subset=[t]).sort_values(t)
+                   for g in groups]
+        a, b = [temporal_from_pdf(g, t, (v,)) for g in prepped]
+        bs = temporal_from_pdf(
+            prepped[1].assign(**{v: prepped[1][v] + div_shift}), t, (v,))
+        m = tmult(a, b)
+        d = tdiv(a, bs)
+        if m is None or d is None:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame([{
+            pair: pv,
+            "n_turn_mult": n_turns(a, b),
+            "mult_max": float(m.max_value()[0]),
+            "mult_min": float(m.min_value()[0]),
+            "n_turn_div": n_turns(a, bs),
+            "div_max": float(d.max_value()[0]),
+            "div_min": float(d.min_value()[0])}])
+
+    return points.groupBy(pair).applyInPandas(stats, schema)

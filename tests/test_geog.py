@@ -116,3 +116,17 @@ def test_dwithin_join_geog_high_latitude(spark):
     ii, jj = np.nonzero(d <= 300_000.0)
     want = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
     assert got_pairs == want and len(want) > 0
+
+
+def test_geog_covers_nonpoint_documented_exclusion():
+    """Operand-domain guard (COVERAGE §2.8): geography covers beyond
+    Point/MultiPoint operands is a documented exclusion."""
+    import pytest
+    from mobilitydb_spark import types as T
+    from mobilitydb_spark.geog import geog_covers
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                     [0.0, 0.0]])
+    poly = geo.Geometry("Polygon", [ring])
+    tv = T.parse_temporal("SRID=4326;[Point(0.5 0.5)@2000-01-01]")
+    with pytest.raises(NotImplementedError, match="point geographies only"):
+        geog_covers(poly, tv)

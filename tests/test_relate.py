@@ -193,3 +193,18 @@ def test_trelate_polygon_classification():
     tt2 = trelate(poly, tv)
     t4 = np.datetime64("2000-01-04").astype("datetime64[us]").astype(int)
     assert tt2.value_at(int(t4)) == "0F2FF1FF2"
+
+
+def test_relate_areal_areal_documented_exclusion():
+    """Operand-domain guard (COVERAGE §2.9): areal×areal relate is a
+    documented exclusion — a tpoint trajectory is never areal; the
+    reference delegates that case to GEOS."""
+    import numpy as np
+    import pytest
+    from mobilitydb_spark import geo
+    from mobilitydb_spark.de9im import relate_geoms
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                     [0.0, 0.0]])
+    poly = geo.Geometry("Polygon", [ring])
+    with pytest.raises(NotImplementedError, match="areal"):
+        relate_geoms(poly, poly)
