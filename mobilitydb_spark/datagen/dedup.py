@@ -209,10 +209,17 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
     """64-bit SimHash per document — pure Catalyst, no Python kernel.
 
     Token hash = md5(token)'s 128 bits truncated to 64 (two 32-bit
-    halves parsed from hex); the per-bit ±1 vote is an explode +
-    hash-aggregate with 64 map-side-combinable SUMs.  md5 is identical
-    across engines, so the signature is deterministic across runs AND
+    halves parsed from hex).  The per-bit vote is LANE-PACKED: four
+    16-bit counters per 64-bit SUM, so the explode + hash-aggregate
+    carries 16 map-side-combinable SUMs + one COUNT instead of 64
+    SUMs (bit b of the signature is set iff 2·Σbit_b > n_tokens —
+    algebraically identical to the previous ±1 vote sign).  md5 is
+    identical across engines, so the signature is deterministic AND
     SQL-expressible (the DuckDB oracle reproduces it bit-for-bit).
+
+    Lane-width constraint: per-document token count must stay below
+    2¹⁵ (a 16-bit lane); typical LLM-pipeline documents are chunked
+    far below that — split longer texts upstream.
 
     100 TB shape: tokenize-explode (like wordcount) → partial-agg
     groupBy(doc_id) — no UDF, no skew beyond token-count variance.
@@ -231,12 +238,26 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
         src = F.col("lo") if b < 32 else F.col("hi")
         return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
 
-    votes = hv.groupBy(id_col).agg(*[
-        F.sum(bit(b) * 2 - F.lit(1)).alias(f"s{b}") for b in range(64)])
+    def packed(j: int):
+        # lanes L=0..3 of SUM j hold bits 4j+L at 16-bit offsets
+        e = F.shiftleft(bit(4 * j), 0)
+        for L in range(1, 4):
+            e = e + F.shiftleft(bit(4 * j + L), 16 * L)
+        return e
+
+    votes = hv.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("ntok"),
+        *[F.sum(packed(j)).alias(f"p{j}") for j in range(16)])
+
+    def lane(b: int):
+        return F.shiftrightunsigned(
+            F.col(f"p{b // 4}"), 16 * (b % 4)).bitwiseAND(F.lit(0xFFFF))
+
     # two's-complement reassembly: bit 63 contributes -2^63
-    sig_expr = F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    sig_expr = F.when(lane(63) * 2 > F.col("ntok"),
+                      F.lit(-(1 << 63))).otherwise(F.lit(0))
     for b in range(63):
-        sig_expr = sig_expr + F.when(F.col(f"s{b}") > 0,
+        sig_expr = sig_expr + F.when(lane(b) * 2 > F.col("ntok"),
                                      F.lit(1 << b)).otherwise(F.lit(0))
     sig = votes.select(id_col, sig_expr.cast("long").alias("simhash"))
     # docs with zero tokens get signature 0

@@ -324,12 +324,23 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             f"cell{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
 
     # per-query resolution choice: finest level whose own cell already
-    # holds >= target_cands candidates (counts broadcast — tiny)
-    chosen = F.lit(resolutions[-1])
+    # holds >= target_cands candidates (counts broadcast — tiny).
+    # ONE counts-only aggregation over the candidates at the finest
+    # resolution; coarser levels roll up from those distinct-cell
+    # counts by parent-cell prefix (cells, not rows — the rollup input
+    # is orders of magnitude smaller than cpts at scale)
+    cnt_fine = (cpts.groupBy(F.col(f"cell{finest}").alias("fcell"))
+                .agg(F.count(F.lit(1)).alias("n")))
     for r in resolutions[:-1]:
-        cnt = (cpts.groupBy(F.col(f"cell{r}").alias("cell"))
-               .count().where(F.col("count") >= target_cands)
-               .withColumnRenamed("count", f"cnt{r}"))
+        if r == finest:
+            cnt = cnt_fine.select(F.col("fcell").alias("cell"),
+                                  F.col("n").alias(f"cnt{r}"))
+        else:
+            cnt = (cnt_fine.groupBy(
+                       cells.cell_parent_col(F.col("fcell"), finest, r)
+                       .alias("cell"))
+                   .agg(F.sum("n").alias(f"cnt{r}")))
+        cnt = cnt.where(F.col(f"cnt{r}") >= target_cands)
         qpts = qpts.join(F.broadcast(cnt),
                          qpts[f"cell{r}"] == cnt["cell"], "left") \
                    .drop("cell")

@@ -132,3 +132,24 @@ def test_pip_jvm_all_empty_polygons(spark):
     out = pipeline.pip_join_broadcast_jvm(pts, polys)
     assert out.count() == 0
     assert out.columns == ["lon", "lat", "poly_id"]
+
+
+def test_run_partitioned_buckets_overlap_in_time(spark, pages_df, tmp_path):
+    """Concurrent bucket submission: with parallelism=2 the two bucket
+    executions must overlap in wall-clock time (wall ≈ max, not sum)."""
+    import json
+    import os
+    polys = fixtures.polygons_pd("admin", 8)
+    out = str(tmp_path / "par_out")
+    s = pipeline.run_partitioned(spark, pages_df, polys, out,
+                                 n_buckets=2, parallelism=2)
+    assert s["buckets_skipped"] == 0 and s["rows_out"] > 0
+    rows = []
+    ldir = os.path.join(out, "_lineage")
+    for f in sorted(os.listdir(ldir)):
+        with open(os.path.join(ldir, f)) as fh:
+            rows.append(json.loads(fh.read()))
+    assert len(rows) == 2
+    (a, b) = sorted(rows, key=lambda r: r["started_epoch"])
+    # interval overlap: the second bucket starts before the first ends
+    assert b["started_epoch"] < a["finished_epoch"], rows
