@@ -51,6 +51,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
 
+    def force(df):
+        """Evaluate EVERY output column — a bare .count() lets
+        Catalyst prune unused projections, so a pure-Catalyst query
+        would be timed hollow (kernel-backed queries are opaque to
+        pruning either way)."""
+        cols = [F.col(c) for c in df.columns]
+        return df.select(F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64(*cols)).alias("chk")).collect()
+
     def run(name, fn):
         """Warm median-of-3 per query (noise robustness on a shared
         host: single cold runs flapped 2-3x between rounds with zero
@@ -61,7 +70,9 @@ def main() -> None:
         t0 = time.time()
         fn()
         reps.append(time.time() - t0)
-        max_reps = 3 if reps[0] <= 20.0 else (2 if reps[0] <= 60.0 else 1)
+        # a cold first rep on this host can spike 2-10x, so even slow
+        # queries get a second (warm) rep before we trust the number
+        max_reps = 3 if reps[0] <= 20.0 else (2 if reps[0] <= 90.0 else 1)
         while len(reps) < max_reps:
             t0 = time.time()
             fn()
@@ -86,9 +97,14 @@ def main() -> None:
         lambda: pipeline.pip_join_broadcast_jvm(
             pipeline.with_cell(pipeline.extract_points(pages)), grid,
             index_res=7).count())
-    run("pip_broadcast_pandas_4096",
+    # pandas-parity entry on a bounded slice: the PolygonIndex kernel
+    # is Arrow-feed-bound and kept only for boundary-eps semantics —
+    # a fixed 50k-page slice shows the parity cost without letting one
+    # slow kernel dominate the suite
+    pages_50k = pages.limit(50_000)
+    run("pip_broadcast_pandas_50k",
         lambda: pipeline.pip_join_broadcast(
-            pipeline.with_cell(pipeline.extract_points(pages)), grid,
+            pipeline.with_cell(pipeline.extract_points(pages_50k)), grid,
             index_res=7).count())
     run("tile_pyramid_z12_z0",
         lambda: tiles.build_pyramid(
@@ -122,7 +138,7 @@ def main() -> None:
                  "geog_dwithin_join", "azimuth_cumlen", "ttext_states",
                  "traj3d_metrics", "ann_ivf_topk", "tagg_tcount_seq"]:
         fn, _ = reg[name]
-        run(name, lambda fn=fn: fn(spark, SF_DIR).count())
+        run(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     flagship_sec = timings["flagship_pip_tiles"]

@@ -430,6 +430,56 @@ def rebuild_partials(pdf: pd.DataFrame, linear_of, step_of) -> dict:
     return by
 
 
+def temporal_agg_pieces(points: DataFrame, kind: str,
+                        member: str = "mkey", t: str = "t",
+                        value_cols: tuple[str, ...] = ("v",),
+                        linear: bool = True, discrete: bool = False,
+                        window_us: int | None = None) -> DataFrame:
+    """UNGROUPED full-profile temporal aggregate (the piece-list
+    result of ``SELECT tagg(x) FROM t``) via the two-level
+    transfn/combinefn analog: per-partition partial `tagg`/`wagg`
+    over member-co-partitioned rows (`partial_profile_rows`), one
+    merge of the bounded partial piece-lists.  The sampled-profile
+    operators in spark_temporal are pure Catalyst; this is the exact
+    piece representation (crossing insertion included).
+
+    Output: long form (seq_idx, lower_inc, upper_inc, t, v...).
+    """
+    from pyspark.sql import functions as F
+    merge_kind = {"count": "sum", "sum": "sum", "min": "min",
+                  "max": "max", "and": "and", "or": "or",
+                  "avg": None, "centroid": None}[kind]
+    if merge_kind is None:
+        raise ValueError(f"{kind}: finalize-divide kinds need the "
+                         "sampled-profile path (sum+count partials)")
+    out_cols = value_cols
+    vcols = ", ".join(f"{c} double" for c in out_cols)
+    schema = (f"seq_idx int, lower_inc boolean, upper_inc boolean, "
+              f"t timestamp, {vcols}")
+    partials = partial_profile_rows(points, (kind,), member=member, t=t,
+                                    value_cols=value_cols, linear=linear,
+                                    discrete=discrete, window_us=window_us)
+    step_partial = (kind in _STEP_KINDS) or window_us is not None \
+        or not linear
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        by = rebuild_partials(pdf, linear_of=lambda k: not step_partial,
+                              step_of=lambda k: step_partial)
+        res = tagg(by.get(kind, []), merge_kind)
+        rows = []
+        if res is not None:
+            for si, s in enumerate(res.seqs):
+                for i in range(len(s.times)):
+                    rows.append((si, bool(s.lower_inc), bool(s.upper_inc),
+                                 np.datetime64(int(s.times[i]), "us"),
+                                 *[float(xv) for xv in s.values[i]]))
+        return pd.DataFrame(rows, columns=["seq_idx", "lower_inc",
+                                           "upper_inc", t, *out_cols])
+
+    return (partials.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(lambda pdf: merge(pdf), schema))
+
+
 def tcount_instants(points: DataFrame, member: str = "mkey",
                     t: str = "t") -> DataFrame:
     """Ungrouped tcount over DISCRETE instant sets — pure Catalyst
@@ -466,17 +516,16 @@ def tcount_sequences(points: DataFrame, member: str = "mkey",
           .unionAll(dom.select((F.col("t1") + 1).alias("t_us"),
                                F.lit(-1).alias("d"))))
     per_t = ev.groupBy("t_us").agg(F.sum("d").alias("d"))
-    lo_hi = per_t.agg(F.min("t_us").alias("lo"),
-                      F.max("t_us").alias("hi")).collect()[0]
-    lo, hi = lo_hi["lo"], lo_hi["hi"]
-    if lo is None:
-        return per_t.select("t_us", F.lit(0).cast("long").alias("n")) \
-            .where(F.lit(False))
-    span = max(int(hi) - int(lo), 1)
+    # global [lo, hi] via a broadcast 1-row aggregate (NOT a driver
+    # collect: that would run the whole upstream as a separate job;
+    # as a join branch the groupBy exchange is reused)
+    rng = per_t.agg(F.min("t_us").alias("_lo"), F.max("t_us").alias("_hi"))
+    span = F.greatest(F.col("_hi") - F.col("_lo"), F.lit(1))
     bucket = F.least(
-        F.floor((F.col("t_us") - F.lit(int(lo))) * n_buckets / F.lit(span)),
+        F.floor((F.col("t_us") - F.col("_lo")) * n_buckets / span),
         F.lit(n_buckets - 1)).cast("int")
-    bt = per_t.withColumn("b", bucket)
+    bt = per_t.crossJoin(F.broadcast(rng)).withColumn("b", bucket) \
+        .drop("_lo", "_hi")
     # phase 1: per-bucket running sum (parallel window per bucket)
     w_in = Window.partitionBy("b").orderBy("t_us") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

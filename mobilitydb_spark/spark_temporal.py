@@ -114,6 +114,57 @@ def tnumber_twavg(points: DataFrame, key: str = "key", t: str = "t",
     return points.groupBy(key).applyInPandas(agg, schema)
 
 
+def _lerp_at_probes(points: DataFrame, probes_us: list[int],
+                    key: str, t: str, value_cols: tuple[str, ...],
+                    step: bool = False) -> DataFrame:
+    """Pure-Catalyst member sampling: every member's value at every
+    probe inside its domain, by linear interpolation from the
+    surrounding knots (STEP: previous knot only).
+
+    Shape: ONE window (lead) turns knots into segments, then a
+    BROADCAST range join attaches each tiny probe set row to the
+    segment containing it — no shuffle beyond the per-key window
+    exchange, and the join is codegen CPU work that scales with rows
+    (an earlier union+two-window formulation moved 2× the rows
+    through 3 exchanges and was shuffle-IO-bound).  Output: one row
+    per (key, in-domain probe).
+    """
+    from pyspark.sql import Window, functions as F
+    spark = points.sparkSession
+    probes_df = F.broadcast(spark.createDataFrame(
+        [(int(p),) for p in sorted(set(probes_us))], "p_us bigint"))
+    pts = points.select(
+        key, F.unix_micros(F.col(t).cast("timestamp")).alias("t_us"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols]) \
+        .dropDuplicates([key, "t_us"])
+    w = Window.partitionBy(key).orderBy("t_us")
+    seg = pts.withColumn("_nt", F.lead("t_us").over(w))
+    for c in value_cols:
+        seg = seg.withColumn(f"_nv_{c}", F.lead(f"_v_{c}").over(w))
+    # a probe belongs to the half-open segment [t_us, _nt); the last
+    # knot is its own terminal row (_nt null) matching p == t_us, so
+    # the closed upper domain bound is covered exactly once
+    on_seg = (F.col("_nt").isNotNull() & (F.col("p_us") >= F.col("t_us"))
+              & (F.col("p_us") < F.col("_nt")))
+    on_last = F.col("_nt").isNull() & (F.col("p_us") == F.col("t_us"))
+    cand = seg.join(probes_df, on_seg | on_last)
+    ratio = (F.col("p_us") - F.col("t_us")).cast("double") \
+        / (F.col("_nt") - F.col("t_us"))
+    sel = [F.col(key), F.col("p_us").alias("t_us")]
+    for c in value_cols:
+        if step:
+            val = F.col(f"_v_{c}")
+        else:
+            # exact-knot probes take the knot value (kernel parity)
+            val = F.when(F.col("p_us") == F.col("t_us"),
+                         F.col(f"_v_{c}")) \
+                .otherwise(F.col(f"_v_{c}")
+                           + (F.col(f"_nv_{c}") - F.col(f"_v_{c}"))
+                           * ratio)
+        sel.append(val.alias(c))
+    return cand.select(*sel)
+
+
 def temporal_agg_profile(points: DataFrame, probes_us: list[int],
                          key: str = "key", t: str = "t", v: str = "v"
                          ) -> DataFrame:
@@ -121,48 +172,22 @@ def temporal_agg_profile(points: DataFrame, probes_us: list[int],
     at probe instants (`src/temporal_aggfuncs.c` tagg semantics: value
     at an instant aggregates the members defined there).
 
-    TWO-LEVEL (the reference's transfn/combinefn split,
-    `36_temporal_aggfuncs.in.sql:23-76`): per-partition partial `tagg`
-    over member-co-partitioned rows, then one cheap merge of partial
-    piece-lists — count merges by sum, min/max by min/max (with
-    cross-partition crossing insertion), sum by sum; avg finalizes as
-    sum/count.  Row data never funnels through a single task; only the
-    bounded partial pieces do."""
-    import numpy as np
+    PURE CATALYST: each member is lerped at each in-domain probe
+    (window functions per key — parallel across keys), then one
+    groupBy(probe) aggregation with map-side partial combine.  This is
+    the declarative equivalent of the reference's transfn/combinefn
+    split (`36_temporal_aggfuncs.in.sql:23-76`) for sampled output —
+    no Python anywhere, no single-task stage, scales with rows.  The
+    FULL-profile (piece list) form of the ungrouped aggregate lives in
+    `aggs.partial_profile_rows` + merge (the two-level kernel path);
+    grouped full profiles in `aggs.temporal_aggregate`."""
     from pyspark.sql import functions as F
-    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
-                       _values_at_many)
-    schema = ("t_us bigint, n_def bigint, vmin double, vmax double, "
-              "vsum double, vavg double")
-    probes = np.asarray(sorted(probes_us), dtype=np.int64)
-    kinds = ("count", "min", "max", "sum")
-    merge_kind = {"count": "sum", "min": "min", "max": "max", "sum": "sum"}
-    partials = partial_profile_rows(points, kinds, member=key, t=t,
-                                    value_cols=(v,))
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["t_us", "n_def", "vmin", "vmax", "vsum", "vavg"]
-        by = rebuild_partials(pdf, linear_of=lambda k: k != "count",
-                              step_of=lambda k: k == "count")
-        out = {}
-        mask = None
-        for kind in kinds:
-            tv = tagg(by.get(kind, []), merge_kind[kind])
-            if tv is None:
-                return pd.DataFrame(columns=cols)
-            vals, m = _values_at_many(tv, probes)
-            out[kind] = vals[:, 0]
-            if kind == "count":
-                mask = m
-        sel = np.nonzero(mask)[0]
-        n = out["count"][sel]
-        return pd.DataFrame({
-            "t_us": probes[sel], "n_def": n.astype(np.int64),
-            "vmin": out["min"][sel], "vmax": out["max"][sel],
-            "vsum": out["sum"][sel], "vavg": out["sum"][sel] / n})
-
-    return (partials.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(lambda pdf: merge(pdf), schema))
+    vals = _lerp_at_probes(points, probes_us, key, t, (v,))
+    return (vals.groupBy(F.col("t_us"))
+            .agg(F.count(F.lit(1)).alias("n_def"),
+                 F.min(v).alias("vmin"), F.max(v).alias("vmax"),
+                 F.sum(v).alias("vsum"), F.avg(v).alias("vavg"))
+            .select("t_us", "n_def", "vmin", "vmax", "vsum", "vavg"))
 
 
 def temporal_centroid_profile(points: DataFrame, probes_us: list[int],
@@ -170,39 +195,16 @@ def temporal_centroid_profile(points: DataFrame, probes_us: list[int],
                               x: str = "x", y: str = "y") -> DataFrame:
     """Global tcentroid aggregate of per-key tpoints sampled at probe
     instants (`point/src/tpoint_aggfuncs.c:285-489`: per-instant mean
-    of the members defined there).
-
-    TWO-LEVEL like ``temporal_agg_profile``: the partial state is the
-    reference's tdouble3-style (Σx, Σy, n) — a vector-sum partial plus
-    a count partial, both merged by sum, finalize divide."""
-    import numpy as np
+    of the members defined there) — pure Catalyst, same shape as
+    ``temporal_agg_profile`` (the tdouble3 (Σx, Σy, n) state is the
+    AVG's partial aggregate, which Spark's hash aggregate maintains
+    map-side)."""
     from pyspark.sql import functions as F
-    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
-                       _values_at_many)
-    schema = "t_us bigint, n_def bigint, cx double, cy double"
-    probes = np.asarray(sorted(probes_us), dtype=np.int64)
-    partials = partial_profile_rows(points, ("count", "sum"), member=key,
-                                    t=t, value_cols=(x, y))
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["t_us", "n_def", "cx", "cy"]
-        by = rebuild_partials(pdf, linear_of=lambda k: k != "count",
-                              step_of=lambda k: k == "count")
-        cnt = tagg(by.get("count", []), "sum")
-        sm = tagg(by.get("sum", []), "sum")
-        if cnt is None or sm is None:
-            return pd.DataFrame(columns=cols)
-        svals, smask = _values_at_many(sm, probes)
-        nvals, _ = _values_at_many(cnt, probes)
-        sel = np.nonzero(smask)[0]
-        n = nvals[sel, 0]
-        return pd.DataFrame({
-            "t_us": probes[sel],
-            "n_def": n.astype(np.int64),
-            "cx": svals[sel, 0] / n, "cy": svals[sel, 1] / n})
-
-    return (partials.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(lambda pdf: merge(pdf), schema))
+    vals = _lerp_at_probes(points, probes_us, key, t, (x, y))
+    return (vals.groupBy(F.col("t_us"))
+            .agg(F.count(F.lit(1)).alias("n_def"),
+                 F.avg(x).alias("cx"), F.avg(y).alias("cy"))
+            .select("t_us", "n_def", "cx", "cy"))
 
 
 def restrict_period_clip(points: DataFrame, t1_us: int, t2_us: int,
@@ -322,75 +324,49 @@ def nearest_approach_pairs(points: DataFrame, pair: str = "pair",
     return points.groupBy(pair).applyInPandas(stats, schema)
 
 
+def _wagg_probe_join(points: DataFrame, window_us: int,
+                     probes_us: list[int], key: str, t: str, v: str
+                     ) -> DataFrame:
+    """Instant rows joined to the broadcast probe set they are active
+    for (an instant extends to [t, t+w], so it is active at probe p
+    iff p−w ≤ t ≤ p) — the pure-Catalyst base of the window-aggregate
+    profiles (`src/temporal_waggfuncs.c:31-60`)."""
+    from pyspark.sql import functions as F
+    spark = points.sparkSession
+    probes_df = F.broadcast(spark.createDataFrame(
+        [(int(p),) for p in sorted(set(probes_us))], "p_us bigint"))
+    pts = points.select(
+        key, F.unix_micros(F.col(t).cast("timestamp")).alias("t_us"),
+        F.col(v).alias("_v")).dropDuplicates([key, "t_us"])
+    return pts.join(
+        probes_df,
+        (F.col("t_us") >= F.col("p_us") - F.lit(int(window_us)))
+        & (F.col("t_us") <= F.col("p_us")))
+
+
 def wagg_count_profile(points: DataFrame, window_us: int,
                        probes_us: list[int], key: str = "key",
                        t: str = "t", v: str = "v") -> DataFrame:
     """Global wcount over per-key instant sets, sampled at probes
-    (`src/temporal_waggfuncs.c:31-60`: each instant extends to
-    [t, t+w]; the aggregate counts active extensions).
-
-    TWO-LEVEL: partial `wagg` per member-co-partitioned task, partial
-    count profiles merged by sum."""
-    import numpy as np
+    (each instant extends to [t, t+w]; the aggregate counts active
+    extensions) — pure Catalyst: broadcast probe join + one
+    groupBy(probe) with map-side partial combine."""
     from pyspark.sql import functions as F
-    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
-                       _values_at_many)
-    schema = "t_us bigint, wcount bigint"
-    probes = np.asarray(sorted(probes_us), dtype=np.int64)
-    partials = partial_profile_rows(points, ("count",), member=key, t=t,
-                                    value_cols=(v,), discrete=True,
-                                    window_us=window_us)
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        by = rebuild_partials(pdf, linear_of=lambda k: False,
-                              step_of=lambda k: True)
-        res = tagg(by.get("count", []), "sum")
-        if res is None:
-            return pd.DataFrame(columns=["t_us", "wcount"])
-        vals, mask = _values_at_many(res, probes)
-        sel = np.nonzero(mask)[0]
-        return pd.DataFrame({"t_us": probes[sel],
-                             "wcount": vals[sel, 0].astype(np.int64)})
-
-    return (partials.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(lambda pdf: merge(pdf), schema))
+    j = _wagg_probe_join(points, window_us, probes_us, key, t, v)
+    return (j.groupBy(F.col("p_us").alias("t_us"))
+            .agg(F.count(F.lit(1)).alias("wcount")))
 
 
 def wagg_sum_max_profile(points: DataFrame, window_us: int,
                          probes_us: list[int], key: str = "key",
                          t: str = "t", v: str = "v") -> DataFrame:
     """Global wsum + wmax over per-key instant sets, sampled at probes
-    (`src/temporal_waggfuncs.c`: every instant extends to [t, t+w];
-    the aggregate combines the active extensions).
-
-    TWO-LEVEL: partial `wagg` per task; wsum merges by sum, wmax by
-    max (window pieces are member-local, so the extension step
-    distributes across partitions)."""
-    import numpy as np
+    (`src/temporal_waggfuncs.c`) — pure Catalyst like
+    ``wagg_count_profile``."""
     from pyspark.sql import functions as F
-    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
-                       _values_at_many)
-    schema = "t_us bigint, wsum double, wmax double"
-    probes = np.asarray(sorted(probes_us), dtype=np.int64)
-    partials = partial_profile_rows(points, ("sum", "max"), member=key,
-                                    t=t, value_cols=(v,), discrete=True,
-                                    window_us=window_us)
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        by = rebuild_partials(pdf, linear_of=lambda k: False,
-                              step_of=lambda k: True)
-        ws = tagg(by.get("sum", []), "sum")
-        wm = tagg(by.get("max", []), "max")
-        if ws is None or wm is None:
-            return pd.DataFrame(columns=["t_us", "wsum", "wmax"])
-        sv, mask = _values_at_many(ws, probes)
-        mv, _ = _values_at_many(wm, probes)
-        sel = np.nonzero(mask)[0]
-        return pd.DataFrame({"t_us": probes[sel],
-                             "wsum": sv[sel, 0], "wmax": mv[sel, 0]})
-
-    return (partials.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(lambda pdf: merge(pdf), schema))
+    j = _wagg_probe_join(points, window_us, probes_us, key, t, v)
+    return (j.groupBy(F.col("p_us").alias("t_us"))
+            .agg(F.sum("_v").alias("wsum"), F.max("_v").alias("wmax")))
 
 
 def period_business_stats(points: DataFrame, windows: list[tuple[int, int]],
@@ -571,44 +547,16 @@ def tbool_agg_profile(points: DataFrame, probes_us: list[int],
                       v: str = "v") -> DataFrame:
     """Global tand/tor over per-key STEPWISE tbools (v > threshold),
     sampled at probes (`src/temporal_aggfuncs.c:1351-1428`
-    tbool_tand/tbool_tor).
-
-    TWO-LEVEL like the numeric profiles: partial tand/tor per
-    member-co-partitioned task, partials merged by and/or (both
-    associative); n_def from a count partial merged by sum."""
-    import numpy as np
+    tbool_tand/tbool_tor) — pure Catalyst: the step value at a probe
+    is the previous knot's flag; bool_and/bool_or aggregate with
+    map-side partial combine."""
     from pyspark.sql import functions as F
-    from .aggs import (partial_profile_rows, rebuild_partials, tagg,
-                       _values_at_many)
-    schema = "t_us bigint, n_def bigint, tand boolean, tor boolean"
-    probes = np.asarray(sorted(probes_us), dtype=np.int64)
-    flags = points.select(
-        key, t, (F.col(v) > F.lit(threshold)).cast("double").alias("b"))
-    partials = partial_profile_rows(flags, ("count", "and", "or"),
-                                    member=key, t=t, value_cols=("b",),
-                                    linear=False)
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["t_us", "n_def", "tand", "tor"]
-        by = rebuild_partials(pdf, linear_of=lambda k: False,
-                              step_of=lambda k: True)
-        cnt = tagg(by.get("count", []), "sum")
-        ta = tagg(by.get("and", []), "and")
-        to = tagg(by.get("or", []), "or")
-        if cnt is None or ta is None or to is None:
-            return pd.DataFrame(columns=cols)
-        nv, mask = _values_at_many(cnt, probes)
-        av, _ = _values_at_many(ta, probes)
-        ov, _ = _values_at_many(to, probes)
-        sel = np.nonzero(mask)[0]
-        return pd.DataFrame({
-            "t_us": probes[sel],
-            "n_def": nv[sel, 0].astype(np.int64),
-            "tand": av[sel, 0] > 0.5, "tor": ov[sel, 0] > 0.5})
-
-    from pyspark.sql import functions as F
-    return (partials.groupBy(F.lit(0).alias("_g"))
-            .applyInPandas(lambda pdf: merge(pdf), schema))
+    vals = _lerp_at_probes(points, probes_us, key, t, (v,), step=True)
+    return (vals.groupBy(F.col("t_us"))
+            .agg(F.count(F.lit(1)).alias("n_def"),
+                 F.bool_and(F.col(v) > F.lit(threshold)).alias("tand"),
+                 F.bool_or(F.col(v) > F.lit(threshold)).alias("tor"))
+            .select("t_us", "n_def", "tand", "tor"))
 
 
 def timeops_matrix_stats(points: DataFrame, windows: list[tuple[int, int]],

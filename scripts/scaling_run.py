@@ -59,6 +59,14 @@ def main() -> None:
         fixtures.polygons_pd("grid", 4096),
         "poly_id bigint, layer string, geom_wkb binary, srid int")
 
+    def force(df):
+        """Evaluate EVERY output column (a bare .count() lets Catalyst
+        prune unused expressions — a pure-Catalyst op would be timed
+        hollow)."""
+        cols = [F.col(c) for c in df.columns]
+        return df.select(F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64(*cols)).alias("chk")).collect()
+
     # dedup workload: MinHash+LSH over the pages' text column (the
     # 100 TB pipeline's near-dup pass) — url-hashed doc ids; a
     # deterministic hash filter (NOT limit(), which collapses
@@ -68,6 +76,24 @@ def main() -> None:
     docs = jpages.select(F.xxhash64("url").alias("doc_id"), "text") \
         .where(F.pmod(F.col("doc_id"), F.lit(args.minhash_mod)) == 0)
 
+    # global temporal-aggregate workload (the r2 verdict's scale-killer,
+    # now pure Catalyst): synthetic instants over many members,
+    # 3-hourly probes across the month — sized so the window+agg work
+    # dominates fixed job overheads (sub-5 s jobs measure ~0.5
+    # "efficiency" from overhead alone)
+    from mobilitydb_spark import aggs as AG
+    from mobilitydb_spark import spark_temporal as ST
+    base_us = 1_704_067_200_000_000  # 2024-01-01
+    span_us = 30 * 86_400_000_000
+    ev = pages.select(
+        F.pmod(F.xxhash64("url"), F.lit(100_000)).alias("key"),
+        F.timestamp_micros(
+            F.lit(base_us)
+            + F.pmod(F.xxhash64("url", F.lit(1)), F.lit(span_us))).alias("t"),
+        (F.pmod(F.xxhash64("url", F.lit(2)), F.lit(10_000)) / 100.0)
+        .alias("v"))
+    probes = [base_us + h * 3 * 3_600_000_000 for h in range(240)]
+
     ops = {
         "flagship": lambda: pipeline.flagship(pages, admin, zoom=12).count(),
         "pyramid": lambda: tiles.build_pyramid(
@@ -75,6 +101,9 @@ def main() -> None:
         "pip_shuffle": lambda: joins.pip_join_shuffle(
             pipeline.extract_points(jpages), grid_df, res=10).count(),
         "minhash": lambda: dedup.minhash_lsh_pairs(docs).count(),
+        "tagg": lambda: force(ST.temporal_agg_profile(ev, probes)),
+        "tcount_seq": lambda: force(AG.tcount_sequences(
+            ev.select(F.col("key").alias("mkey"), "t"))),
     }
     if args.ops:
         keep = set(args.ops.split(","))

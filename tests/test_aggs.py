@@ -194,8 +194,12 @@ def test_two_level_profile_matches_single_level(spark):
     assert (got["n_def"].to_numpy() == want["count"][sel]).all()
     for col, kind in (("vmin", "min"), ("vmax", "max"),
                       ("vsum", "sum"), ("vavg", "avg")):
+        # the kernel sweep rounds crossing instants to integer µs, so
+        # min/max interpolated near a crossing differ from the exact
+        # pointwise value by ≤ slope × 0.5 µs (~1e-8 here) — well
+        # inside the oracle's 1e-6 rounding granularity
         assert np.allclose(got[col].to_numpy(), want[kind][sel],
-                           rtol=1e-9, atol=1e-9), (col, kind)
+                           rtol=1e-9, atol=1e-6), (col, kind)
 
 
 def test_tcount_sequences_delta_stream(spark):
@@ -216,3 +220,35 @@ def test_tcount_sequences_delta_stream(spark):
                         + pd.Timedelta(hours=h)).value // 1000)
     want = [(us(0), 1), (us(2), 2), (us(4) + 1, 1), (us(10), 1)]
     assert list(zip(got["t_us"], got["n"])) == want
+
+
+def test_temporal_agg_pieces_matches_kernel(spark):
+    """Ungrouped full-profile two-level aggregate == single-sweep
+    kernel, piece for piece."""
+    import pandas as pd
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in range(8):
+        ts = pd.date_range("2024-01-01", periods=8, freq="h") \
+            + pd.Timedelta(minutes=int(rng.integers(0, 90)))
+        for t, v in zip(ts, rng.uniform(0, 50, 8)):
+            rows.append((k, t, float(v)))
+    pdf = pd.DataFrame(rows, columns=["mkey", "t", "v"])
+    got = aggs.temporal_agg_pieces(spark.createDataFrame(pdf), "min") \
+        .toPandas().sort_values(["seq_idx", "t"]).reset_index(drop=True)
+    members = [temporal_from_pdf(g.sort_values("t"), "t", ("v",))
+               for _, g in pdf.groupby("mkey")]
+    want = aggs.tagg(members, "min")
+    w_rows = []
+    for si, s in enumerate(want.seqs):
+        for i in range(len(s.times)):
+            w_rows.append((si, bool(s.lower_inc), bool(s.upper_inc),
+                           int(s.times[i]), float(s.values[i, 0])))
+    assert len(got) == len(w_rows)
+    for (si, li, ui, tus, v), g in zip(w_rows, got.itertuples(index=False)):
+        assert (si, li, ui) == (g.seq_idx, g.lower_inc, g.upper_inc)
+        assert int(pd.Timestamp(g.t).value // 1000) == tus
+        # partial-level crossing instants round to integer µs, so
+        # values at merged knots match to slope × 0.5 µs, not exactly
+        assert abs(g.v - v) < 1e-6

@@ -87,11 +87,11 @@ def test_pyramid_is_two_shuffles(spark, pages_path):
     assert n_exchanges <= 3, f"pyramid plan has {n_exchanges} shuffles"
 
 
-def test_tagg_profile_two_level_plan(spark):
-    """The global temporal aggregate must NOT funnel raw rows through a
-    single task: rows shuffle by member into the partial kernel
-    (MapInPandas); only bounded partial piece rows reach the
-    single-group merge (the transfn/combinefn analog)."""
+def test_tagg_profiles_are_pure_catalyst(spark):
+    """The SAMPLED global temporal aggregates must be pure Catalyst:
+    no Python eval nodes anywhere and no raw-row single-task stage —
+    windows partition by member, the final aggregate keys on the
+    probe."""
     import pandas as pd
     import numpy as np
     from mobilitydb_spark import spark_temporal as ST
@@ -100,16 +100,40 @@ def test_tagg_profile_two_level_plan(spark):
         "t": list(pd.date_range("2024-01-01", periods=5, freq="h")) * 4,
         "v": np.arange(20.0)})
     probes = [int(pd.Timestamp("2024-01-01 02:30").value // 1000)]
+    w_us = 3600 * 1_000_000
     for df in (ST.temporal_agg_profile(spark.createDataFrame(pdf), probes),
                ST.temporal_centroid_profile(
                    spark.createDataFrame(pdf.rename(columns={"v": "x"})
-                                         .assign(y=1.0)), probes)):
+                                         .assign(y=1.0)), probes),
+               ST.tbool_agg_profile(spark.createDataFrame(pdf), probes, 5.0),
+               ST.wagg_count_profile(spark.createDataFrame(pdf), w_us,
+                                     probes),
+               ST.wagg_sum_max_profile(spark.createDataFrame(pdf), w_us,
+                                       probes)):
         plan = _plan(df)
-        assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
-        # the single-group exchange (merge) sits ABOVE the partial
-        # kernel; the exchange feeding raw rows keys on the member
-        assert plan.index("hashpartitioning(_g") < plan.index("MapInPandas")
-        assert plan.index("hashpartitioning(key") > plan.index("MapInPandas")
+        for node in ("MapInPandas", "FlatMapGroupsInPandas",
+                     "BatchEvalPython", "ArrowEvalPython",
+                     "SinglePartition"):
+            assert node not in plan, (node, plan)
+
+
+def test_tagg_pieces_two_level_plan(spark):
+    """The ungrouped FULL-profile aggregate keeps the two-level
+    transfn/combinefn shape: rows shuffle by member into the partial
+    kernel (MapInPandas); only bounded partial piece rows reach the
+    single-group merge."""
+    import pandas as pd
+    import numpy as np
+    from mobilitydb_spark import aggs
+    pdf = pd.DataFrame({
+        "mkey": np.repeat(np.arange(4), 5),
+        "t": list(pd.date_range("2024-01-01", periods=5, freq="h")) * 4,
+        "v": np.arange(20.0)})
+    df = aggs.temporal_agg_pieces(spark.createDataFrame(pdf), "min")
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert plan.index("hashpartitioning(_g") < plan.index("MapInPandas")
+    assert plan.index("hashpartitioning(mkey") > plan.index("MapInPandas")
 
 
 def test_tcount_instants_no_single_task(spark):
