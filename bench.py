@@ -136,7 +136,9 @@ def main() -> None:
                  "langid", "fingerprint_md5",
                  "at_box", "tdwithin_pairs", "tagg_profile",
                  "geog_dwithin_join", "azimuth_cumlen", "ttext_states",
-                 "traj3d_metrics", "ann_ivf_topk", "tagg_tcount_seq"]:
+                 "traj3d_metrics", "ann_ivf_topk", "tagg_tcount_seq",
+                 "tbool_tand_tor", "posops_boxes", "tmath_turning",
+                 "relate_rect"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 

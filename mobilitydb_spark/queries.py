@@ -2485,3 +2485,115 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8()
     out.update(_EXTRA8)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8b: accessors/constructors + casts + IO roundtrips (§2.7 tail)
+# --------------------------------------------------------------------------
+
+def q_traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user accessor surface (`src/temporal.c` numInstants /
+    startValue / endValue / timespan) over constructed tpoints, plus
+    the temporal_in/out and MFJSON codec roundtrip invariants
+    (`src/temporal_parser.c`, `src/temporal_out.c` asMFJSON) — oracle:
+    min_by/max_by/count in SQL (roundtrips must simply hold)."""
+    import pandas as pd
+    from . import mfjson as MJ
+    from .types import parse_temporal
+    from .spark_temporal import temporal_from_pdf
+    pts = _ev_points(spark, sf_dir)
+    schema = ("key bigint, n_inst bigint, x_start double, y_start double, "
+              "x_end double, y_end double, timespan_us bigint, "
+              "io_roundtrip_ok boolean, mfjson_roundtrip_ok boolean")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf["key"].iloc[0]
+        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
+        tv = temporal_from_pdf(pdf, "t", ("x", "y"))
+        sv, ev = tv.start_value(), tv.end_value()
+        io_ok = str(parse_temporal(str(tv))) == str(tv)
+        mf_ok = str(MJ.from_mfjson(MJ.as_mfjson(tv))) == str(tv)
+        return pd.DataFrame([{
+            "key": kv, "n_inst": tv.num_instants(),
+            "x_start": float(sv[0]), "y_start": float(sv[1]),
+            "x_end": float(ev[0]), "y_end": float(ev[1]),
+            "timespan_us": tv.timespan(),
+            "io_roundtrip_ok": io_ok, "mfjson_roundtrip_ok": mf_ok}])
+
+    return pts.groupBy("key").applyInPandas(stats, schema).orderBy("key")
+
+
+_ORACLE_ACCESSORS = f"""
+    WITH pts AS ({_EV_PTS})
+    SELECT key, COUNT(*) AS n_inst,
+           min_by(x, t) AS x_start, min_by(y, t) AS y_start,
+           max_by(x, t) AS x_end, max_by(y, t) AS y_end,
+           CAST(epoch_us(MAX(t)) - epoch_us(MIN(t)) AS BIGINT)
+               AS timespan_us,
+           TRUE AS io_roundtrip_ok, TRUE AS mfjson_roundtrip_ok
+    FROM pts GROUP BY key ORDER BY key
+"""
+
+
+def q_casts_tbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cast surface (`src/temporal.c:1062-1502`,
+    `temporal.h:107-114`): tfloat → TBOX (value × time bounds),
+    → period, stepwise tfloat → tint truncation (exact integer sum),
+    tint → tfloat roundtrip — oracle: MIN/MAX/TRUNC in SQL."""
+    import numpy as np
+    import pandas as pd
+    from . import casts as C
+    from .types import Temporal
+    pts = _ev_points(spark, sf_dir)
+    schema = ("key bigint, tbox_xmin double, tbox_xmax double, "
+              "tbox_tmin_us bigint, tbox_tmax_us bigint, "
+              "period_us bigint, tint_sum bigint, roundtrip_ok boolean")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf["key"].iloc[0]
+        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
+        tt = pdf["t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tv = Temporal.sequence(tt, pdf[["v"]].to_numpy(dtype=np.float64),
+                               linear=False)
+        box = C.tnumber_to_tbox(tv)
+        per = C.to_period(tv)
+        ti = C.tfloat_to_tint(tv)
+        rt = C.tint_to_tfloat(ti)
+        return pd.DataFrame([{
+            "key": kv, "tbox_xmin": box.xmin, "tbox_xmax": box.xmax,
+            "tbox_tmin_us": box.tmin, "tbox_tmax_us": box.tmax,
+            "period_us": per.upper - per.lower,
+            "tint_sum": int(sum(int(s.values[i, 0])
+                                for s in ti.seqs
+                                for i in range(len(s.times)))),
+            "roundtrip_ok": bool(
+                all((a.values == b.values).all()
+                    for a, b in zip(ti.seqs, rt.seqs)))}])
+
+    return pts.groupBy("key").applyInPandas(stats, schema).orderBy("key")
+
+
+_ORACLE_CASTS = f"""
+    WITH pts AS ({_EV_PTS})
+    SELECT key, MIN(v) AS tbox_xmin, MAX(v) AS tbox_xmax,
+           CAST(epoch_us(MIN(t)) AS BIGINT) AS tbox_tmin_us,
+           CAST(epoch_us(MAX(t)) AS BIGINT) AS tbox_tmax_us,
+           CAST(epoch_us(MAX(t)) - epoch_us(MIN(t)) AS BIGINT)
+               AS period_us,
+           CAST(SUM(CAST(TRUNC(v) AS BIGINT)) AS BIGINT) AS tint_sum,
+           TRUE AS roundtrip_ok
+    FROM pts GROUP BY key ORDER BY key
+"""
+
+_EXTRA8B = {
+    "traj_accessors": (q_traj_accessors, _ORACLE_ACCESSORS),
+    "casts_tbox": (q_casts_tbox, _ORACLE_CASTS),
+}
+
+_BASE_REGISTRY8B = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8B()
+    out.update(_EXTRA8B)
+    return out

@@ -135,9 +135,13 @@ def _lerp_at_probes(points: DataFrame, probes_us: list[int],
         [(int(p),) for p in sorted(set(probes_us))], "p_us bigint"))
     pts = points.select(
         key, F.unix_micros(F.col(t).cast("timestamp")).alias("t_us"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols]) \
-        .dropDuplicates([key, "t_us"])
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols])
     w = Window.partitionBy(key).orderBy("t_us")
+    # dedup INSIDE the window partitioning (one exchange + one sort
+    # serve both the dedup and the lead(): dropDuplicates would add a
+    # second 16M-row exchange on (key, t_us))
+    pts = pts.withColumn("_dup", F.lag("t_us").over(w) == F.col("t_us")) \
+        .where(~F.coalesce(F.col("_dup"), F.lit(False))).drop("_dup")
     seg = pts.withColumn("_nt", F.lead("t_us").over(w))
     for c in value_cols:
         seg = seg.withColumn(f"_nv_{c}", F.lead(f"_v_{c}").over(w))

@@ -102,9 +102,18 @@ def main() -> None:
             pipeline.extract_points(jpages), grid_df, res=10).count(),
         "minhash": lambda: dedup.minhash_lsh_pairs(docs).count(),
         "tagg": lambda: force(ST.temporal_agg_profile(ev, probes)),
+        # bucketed-table variant: input pre-partitioned by member (the
+        # 100 TB deployment shape — Iceberg bucket(key)), so the
+        # window's exchange is absent and the pair isolates the
+        # codegen lerp+aggregate path from one-time shuffle IO
+        "tagg_prepart": lambda: force(
+            ST.temporal_agg_profile(ev_prepart, probes)),
         "tcount_seq": lambda: force(AG.tcount_sequences(
             ev.select(F.col("key").alias("mkey"), "t"))),
     }
+    if "tagg_prepart" in (set(args.ops.split(",")) if args.ops else ops):
+        ev_prepart = ev.repartition(4 * args.cpus, "key").persist()
+        ev_prepart.count()  # materialize the cache before timing
     if args.ops:
         keep = set(args.ops.split(","))
         ops = {k: v for k, v in ops.items() if k in keep}
