@@ -99,12 +99,13 @@ def main() -> None:
             index_res=7).count())
     # pandas-parity entry on a bounded slice: the PolygonIndex kernel
     # is Arrow-feed-bound and kept only for boundary-eps semantics —
-    # a fixed 50k-page slice shows the parity cost without letting one
-    # slow kernel dominate the suite
-    pages_50k = pages.limit(50_000)
-    run("pip_broadcast_pandas_50k",
+    # a deterministic quarter of the pages (hash filter, NOT limit()
+    # which collapses parallelism) shows the parity cost without
+    # letting one slow kernel dominate the suite
+    pages_q = pages.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+    run("pip_broadcast_pandas_quarter",
         lambda: pipeline.pip_join_broadcast(
-            pipeline.with_cell(pipeline.extract_points(pages_50k)), grid,
+            pipeline.with_cell(pipeline.extract_points(pages_q)), grid,
             index_res=7).count())
     run("tile_pyramid_z12_z0",
         lambda: tiles.build_pyramid(
