@@ -2597,3 +2597,122 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8B()
     out.update(_EXTRA8B)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8c: atRange with explicit bound inclusivity (§2.2 tail; locks
+# the r2-advice exclusive-bound fix into the driver gate)
+# --------------------------------------------------------------------------
+_ARANGE = (25.5, 75.25)  # lo (EXCLUSIVE), hi (inclusive): 2-decimal
+# bounds so knots can sit exactly ON the lower bound
+
+
+def q_at_range_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user atRange(v, (25.5, 75.25]) — exclusive lower bound
+    (`tnumberseq_at_range1`): piece count, exact total µs, knots
+    exactly on the excluded bound.  The oracle solves each linear
+    segment's single in-range window with the kernel's own float op
+    order and bound-inclusivity rules (ceil/floor for inclusive
+    crossings, banker's round for exclusive ones), then merges
+    touching windows inclusivity-aware."""
+    from . import spark_temporal as ST
+    lo, hi = _ARANGE
+    pts = _ev_points(spark, sf_dir)
+    return ST.at_range_stats(pts, lo, hi, lo_inc=False, hi_inc=True) \
+        .orderBy("key")
+
+
+def _oracle_at_range() -> str:
+    lo, hi = _ARANGE
+    tof_lo = f"(t0 + (({lo} - v0) / (v1 - v0)) * (t1 - t0))"
+    tof_hi = f"(t0 + (({hi} - v0) / (v1 - v0)) * (t1 - t0))"
+    re_lo = _round_even_sql(tof_lo)
+    ceil_hi = f"GREATEST(t0, CAST(CEIL({tof_hi}) AS BIGINT))"
+    floor_hi = f"LEAST(t1, CAST(FLOOR({tof_hi}) AS BIGINT))"
+    return f"""
+    WITH pts AS ({_EV_PTS}),
+    seg AS (
+        SELECT key, CAST(epoch_us(t) AS BIGINT) AS t0, v AS v0,
+               CAST(epoch_us(lead(t) OVER w) AS BIGINT) AS t1,
+               lead(v) OVER w AS v1
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    -- one in-range window per linear segment (monotonic value), with
+    -- the kernel's bound rules: lo EXCLUSIVE (banker's-rounded
+    -- crossing, open bound; a knot ON lo inherits the open bound),
+    -- hi inclusive (ceil/floor crossing, closed bound)
+    win AS (
+        SELECT key,
+               CASE WHEN v0 = v1 THEN t0
+                    WHEN v0 < v1 THEN
+                        CASE WHEN v0 < {lo} THEN {re_lo} ELSE t0 END
+                    ELSE
+                        CASE WHEN v0 > {hi} THEN {ceil_hi} ELSE t0 END
+               END AS ta,
+               CASE WHEN v0 = v1 THEN TRUE
+                    WHEN v0 < v1 THEN
+                        CASE WHEN v0 < {lo} THEN FALSE
+                             ELSE v0 <> {lo} END
+                    ELSE
+                        CASE WHEN v0 > {hi} THEN TRUE ELSE TRUE END
+               END AS ta_inc,
+               CASE WHEN v0 = v1 THEN t1
+                    WHEN v0 < v1 THEN
+                        CASE WHEN v1 > {hi} THEN {floor_hi} ELSE t1 END
+                    ELSE
+                        CASE WHEN v1 < {lo} THEN {re_lo} ELSE t1 END
+               END AS tb,
+               CASE WHEN v0 = v1 THEN TRUE
+                    WHEN v0 < v1 THEN
+                        CASE WHEN v1 > {hi} THEN TRUE ELSE TRUE END
+                    ELSE
+                        CASE WHEN v1 < {lo} THEN FALSE
+                             ELSE v1 <> {lo} END
+               END AS tb_inc,
+               (v0 = v1 AND (v0 > {lo} AND v0 <= {hi})) AS const_ok,
+               v0 = v1 AS is_const
+        FROM seg WHERE t1 IS NOT NULL),
+    ok AS (
+        SELECT key, ta, tb, ta_inc, tb_inc FROM win
+        WHERE (is_const AND const_ok)
+           OR (NOT is_const
+               AND (ta < tb OR (ta = tb AND ta_inc AND tb_inc)))
+        UNION ALL
+        -- single-knot users: instantaneous piece when in range
+        SELECT p.key, CAST(epoch_us(p.t) AS BIGINT),
+               CAST(epoch_us(p.t) AS BIGINT), TRUE, TRUE
+        FROM pts p
+        JOIN (SELECT key FROM pts GROUP BY key HAVING COUNT(*) = 1) o
+          USING (key)
+        WHERE p.v > {lo} AND p.v <= {hi}),
+    isl AS (
+        SELECT key, ta, tb,
+               CASE WHEN LAG(tb) OVER wk = ta
+                         AND (ta_inc OR LAG(tb_inc) OVER wk)
+                    THEN 0 ELSE 1 END AS new_isl
+        FROM ok WINDOW wk AS (PARTITION BY key ORDER BY ta, tb)),
+    agg AS (
+        SELECT key, CAST(SUM(new_isl) AS BIGINT) AS n_pieces,
+               CAST(SUM(tb - ta) AS BIGINT) AS total_us
+        FROM isl GROUP BY key),
+    onlo AS (
+        SELECT key, CAST(COUNT(CASE WHEN v = {lo} THEN 1 END) AS BIGINT)
+                   AS n_knots_on_lo
+        FROM pts GROUP BY key)
+    SELECT o.key, COALESCE(a.n_pieces, 0) AS n_pieces,
+           COALESCE(a.total_us, 0) AS total_us, o.n_knots_on_lo
+    FROM onlo o LEFT JOIN agg a USING (key)
+    ORDER BY o.key
+"""
+
+
+_EXTRA8C = {
+    "at_range_clip": (q_at_range_clip, _oracle_at_range()),
+}
+
+_BASE_REGISTRY8C = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8C()
+    out.update(_EXTRA8C)
+    return out

@@ -645,3 +645,31 @@ def tmath_turning_pairs(points: DataFrame, div_shift: float = 1000.0,
             "div_min": float(d.min_value()[0])}])
 
     return points.groupBy(pair).applyInPandas(stats, schema)
+
+
+def at_range_stats(points: DataFrame, lo: float, hi: float,
+                   lo_inc: bool, hi_inc: bool, key: str = "key",
+                   t: str = "t", v: str = "v") -> DataFrame:
+    """Per-key atRange restriction of a linear tfloat to a value range
+    with explicit bound inclusivity (`tnumberseq_at_range1`,
+    src/temporal.c:2583): piece count, exact total microseconds, and
+    the number of knots sitting exactly ON the lower bound (the
+    exclusive-bound inheritance case the r2 advice fixed)."""
+    import numpy as np
+    from .restrict import at_range
+    schema = (f"{key} bigint, n_pieces bigint, total_us bigint, "
+              "n_knots_on_lo bigint")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf[key].iloc[0]
+        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
+        tv = temporal_from_pdf(pdf, t, (v,))
+        got = at_range(tv, lo, hi, lo_inc=lo_inc, hi_inc=hi_inc)
+        ps = got.get_time() if got is not None else []
+        on_lo = int(sum((s.values[:, 0] == lo).sum() for s in tv.seqs))
+        return pd.DataFrame([{
+            key: kv, "n_pieces": len(ps),
+            "total_us": int(sum(p.upper - p.lower for p in ps)),
+            "n_knots_on_lo": on_lo}])
+
+    return points.groupBy(key).applyInPandas(stats, schema)
