@@ -193,3 +193,63 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
     redo = queries.join(full, q_id, "left_anti")
     brute = brute_topk(redo, candidates, k, q_id, c_id, vec)
     return good.unionByName(brute)
+
+
+def cosine_pairs_brute(df: DataFrame, threshold: float,
+                       id_col: str = "vec_id", vec: str = "embedding"
+                       ) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (the brute baseline the LSH
+    path approximates; declared-quadratic — small inputs / per-bucket
+    verify only)."""
+    a = df.select(F.col(id_col).alias("id_i"), F.col(vec).alias("ea"))
+    b = df.select(F.col(id_col).alias("id_j"), F.col(vec).alias("eb"))
+    cand = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
+    dot = _dot(F.col("ea"), F.col("eb"))
+    return (cand.select("id_i", "id_j", F.round(dot, 6).alias("score"))
+            .where(F.col("score") >= threshold))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec: str = "embedding",
+                         n_planes: int = 16, dim: int = 64,
+                         max_hamming: int = 3, seed: int = 42,
+                         max_bucket: int = 20000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane signatures →
+    pigeonhole chunk banding (any pair within ``max_hamming`` shares
+    >=1 exact chunk — the simhash banding shape) → exact cosine
+    refine >= threshold.
+
+    Deterministic end-to-end (seeded planes), so the whole pipeline is
+    SQL-replicable: the candidate rule IS part of the semantics; pairs
+    whose signatures differ in every chunk are (by design) not
+    reported — at dedup thresholds (cosine >= 0.9, angle <= 26°) the
+    per-plane split probability is <= 0.15 and the miss rate of the
+    4-chunk banding is pytest-gated on planted near-dups.
+
+    100 TB shape: row-local signature map, band self-join on
+    (chunk, value) with a ``max_bucket`` cap, refine only candidates.
+    """
+    sigs = hyperplane_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(vec)),
+        "_id", vec, n_planes, dim, seed) \
+        .select(F.col("_id").alias("id"), F.col(vec).alias("e"), "sig")
+    n_chunks = max_hamming + 1
+    width = n_planes // n_chunks
+    chunks = F.posexplode(F.array(*[
+        F.shiftrightunsigned(F.col("sig"), c * width)
+         .bitwiseAND(F.lit((1 << width) - 1))
+        for c in range(n_chunks)])).alias("chunk", "ckey")
+    b = sigs.select("id", "e", chunks)
+    sizes = b.groupBy("chunk", "ckey").count() \
+        .where(F.col("count") <= max_bucket).select("chunk", "ckey")
+    b = b.join(sizes, ["chunk", "ckey"])
+    l = b.select(F.col("id").alias("id_i"), F.col("e").alias("ea"),
+                 "chunk", "ckey")
+    r = b.select(F.col("id").alias("id_j"), F.col("e").alias("eb"),
+                 "chunk", "ckey")
+    cand = (l.join(r, ["chunk", "ckey"])
+            .where(F.col("id_i") < F.col("id_j"))
+            .dropDuplicates(["id_i", "id_j"]))
+    dot = _dot(F.col("ea"), F.col("eb"))
+    return (cand.select("id_i", "id_j", F.round(dot, 6).alias("score"))
+            .where(F.col("score") >= threshold))

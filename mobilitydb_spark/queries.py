@@ -2716,3 +2716,78 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8C()
     out.update(_EXTRA8C)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8d: embedding-cosine near-dup pairs (dedup family completion)
+# --------------------------------------------------------------------------
+_COS_TAU = 0.42  # the synthetic near-uniform fixture tops out ~0.51
+
+
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact brute baseline (pairs
+    with dot >= τ; declared-quadratic like ngram_jaccard) — oracle:
+    the same crossjoin in SQL."""
+    from .datagen import similarity
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_brute(emb, _COS_TAU) \
+        .orderBy("id_i", "id_j")
+
+
+_ORACLE_COSINE_BRUTE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+           ROUND(list_dot_product(a.v, b.v), 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {_COS_TAU}
+    ORDER BY id_i, id_j
+"""
+
+
+def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the SCALE path: hyperplane
+    signatures → pigeonhole chunk banding → exact refine.  The seeded
+    plane matrix makes the candidate rule deterministic, so the oracle
+    replicates signatures, chunk-sharing and refine end-to-end in SQL
+    (full hash-match; the banding's miss rate at dedup thresholds is
+    pytest-gated on planted near-dups)."""
+    from .datagen import similarity
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, _COS_TAU) \
+        .orderBy("id_i", "id_j")
+
+
+def _oracle_cosine_lsh(n_planes: int = 16, max_hamming: int = 3) -> str:
+    planes = _lsh_planes(n_planes)
+    sig = _lsh_sig_sql("v", planes)
+    n_chunks = max_hamming + 1
+    width = n_planes // n_chunks
+    mask = (1 << width) - 1
+    share = " OR ".join(
+        f"(((a.sig >> {c * width}) & {mask}) = ((b.sig >> {c * width}) & {mask}))"
+        for c in range(n_chunks))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v, {sig} AS sig FROM e)
+    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+           ROUND(list_dot_product(a.v, b.v), 6) AS score
+    FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({share})
+    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {_COS_TAU}
+    ORDER BY id_i, id_j
+"""
+
+
+_EXTRA8D = {
+    "cosine_dedup": (q_cosine_dedup, _ORACLE_COSINE_BRUTE),
+    "cosine_neardup_lsh": (q_cosine_neardup_lsh, _oracle_cosine_lsh()),
+}
+
+_BASE_REGISTRY8D = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8D()
+    out.update(_EXTRA8D)
+    return out

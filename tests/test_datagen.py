@@ -161,3 +161,30 @@ def test_ivf_sample_quantizer_recall_and_exact_k(spark):
     iv = {(r.qid, r.cid) for r in ivf.itertuples()}
     br = {(r.qid, r.cid) for r in brute.itertuples()}
     assert len(iv & br) / len(br) >= 0.8
+
+
+def test_cosine_neardup_recall_on_planted_dups(spark):
+    """The pigeonhole-banded cosine near-dup path must find planted
+    high-cosine pairs (the operator's real use case: dedup at
+    cosine >= 0.9)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 40 near-dups: id 1000+i is a small perturbation of i
+    pert = base[:40] + rng.standard_normal((40, 64)) * 0.03
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    rows = [(i, v.astype(np.float32).tolist())
+            for i, v in enumerate(base)] + \
+           [(1000 + i, v.astype(np.float32).tolist())
+            for i, v in enumerate(pert)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = similarity.cosine_neardup_pairs(df, 0.9).toPandas()
+    found = {(r.id_i, r.id_j) for r in got.itertuples()}
+    want = {(i, 1000 + i) for i in range(40)}
+    recall = len(found & want) / len(want)
+    assert recall >= 0.9, recall
+    # every reported pair really is above threshold (exact refine)
+    assert (got["score"] >= 0.9).all()
