@@ -466,3 +466,34 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= k))
     return good.unionByName(good2).unionByName(brute)
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  bucket_us: int = 86_400_000_000,
+                  left_id: str = "l_id", right_id: str = "r_id"
+                  ) -> DataFrame:
+    """Temporal range/interval join: all (left, right) pairs whose
+    closed periods [t0_us, t1_us] overlap (the reference's
+    `a && period` / overlaps time-op used as a join predicate,
+    `src/timeops.c`; the GiST time-dimension probe).
+
+    Shape: both sides explode to their covering time buckets, an
+    equi-join on the bucket prefilters, the exact overlap test
+    refines.  Each overlapping pair is emitted EXACTLY ONCE without a
+    distinct: the pair is claimed only by the bucket containing
+    max(l.t0, r.t0) — the first bucket where both are live.  Output
+    carries the exact overlap microseconds."""
+    W = int(bucket_us)
+    l = left.select(F.col(left_id), F.col("t0_us").alias("l_t0"),
+                    F.col("t1_us").alias("l_t1"))
+    r = right.select(F.col(right_id), F.col("t0_us").alias("r_t0"),
+                     F.col("t1_us").alias("r_t1"))
+    lexp = l.withColumn("b", F.explode(F.sequence(
+        F.floor(F.col("l_t0") / W), F.floor(F.col("l_t1") / W))))
+    rexp = r.withColumn("b", F.explode(F.sequence(
+        F.floor(F.col("r_t0") / W), F.floor(F.col("r_t1") / W))))
+    start = F.greatest(F.col("l_t0"), F.col("r_t0"))
+    end = F.least(F.col("l_t1"), F.col("r_t1"))
+    return (lexp.join(rexp, "b")
+            .where((start <= end) & (F.col("b") == F.floor(start / W)))
+            .select(left_id, right_id, (end - start).alias("overlap_us")))

@@ -2791,3 +2791,53 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8D()
     out.update(_EXTRA8D)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8e: temporal interval join (§2.3 range-join shape)
+# --------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: even-key user spans × odd-key user
+    spans that OVERLAP (`src/timeops.c` overlaps as a join predicate;
+    GiST time-dimension probe) via the bucketed equi-join + exact
+    refine in `joins.interval_join` (each pair claimed by exactly one
+    bucket — no distinct) — oracle: the quadratic overlap join with
+    exact overlap microseconds."""
+    from . import joins
+    pts = _ev_points(spark, sf_dir)
+    spans = pts.groupBy("key").agg(
+        F.unix_micros(F.min("t").cast("timestamp")).alias("t0_us"),
+        F.unix_micros(F.max("t").cast("timestamp")).alias("t1_us"))
+    l = spans.where(F.col("key") % 2 == 0) \
+        .select(F.col("key").alias("l_id"), "t0_us", "t1_us")
+    r = spans.where(F.col("key") % 2 == 1) \
+        .select(F.col("key").alias("r_id"), "t0_us", "t1_us")
+    return joins.interval_join(l, r).orderBy("l_id", "r_id")
+
+
+_ORACLE_INTERVAL_JOIN = f"""
+    WITH pts AS ({_EV_PTS}),
+    spans AS (SELECT key, CAST(epoch_us(MIN(t)) AS BIGINT) AS t0,
+                     CAST(epoch_us(MAX(t)) AS BIGINT) AS t1
+              FROM pts GROUP BY key),
+    l AS (SELECT key AS l_id, t0, t1 FROM spans WHERE key % 2 = 0),
+    r AS (SELECT key AS r_id, t0, t1 FROM spans WHERE key % 2 = 1)
+    SELECT l.l_id, r.r_id,
+           CAST(LEAST(l.t1, r.t1) - GREATEST(l.t0, r.t0) AS BIGINT)
+               AS overlap_us
+    FROM l JOIN r ON GREATEST(l.t0, r.t0) <= LEAST(l.t1, r.t1)
+    ORDER BY l_id, r_id
+"""
+
+_EXTRA8E = {
+    "interval_join": (q_interval_join, _ORACLE_INTERVAL_JOIN),
+}
+
+_BASE_REGISTRY8E = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8E()
+    out.update(_EXTRA8E)
+    return out

@@ -375,3 +375,29 @@ def minus_min(tv: Temporal) -> Temporal | None:
 
 def minus_max(tv: Temporal) -> Temporal | None:
     return minus_value(tv, tv.max_value())
+
+
+def at_ranges(tv: Temporal, ranges) -> Temporal | None:
+    """atRanges (temporal.c:2630): restrict to the UNION of numeric
+    ranges — each range's clip periods, normalized together.  A range
+    is (lo, hi[, lo_inc[, hi_inc]])."""
+    assert tv.dim == 1, "atRanges applies to tnumber"
+    periods: list[Period] = []
+    for r in ranges:
+        lo, hi = float(r[0]), float(r[1])
+        lo_inc = bool(r[2]) if len(r) > 2 else True
+        hi_inc = bool(r[3]) if len(r) > 3 else True
+        got = at_range(tv, lo, hi, lo_inc, hi_inc)
+        if got is not None:
+            periods.extend(got.get_time())
+    if not periods:
+        return None
+    return at_periodset(tv, periods, force_set=True)
+
+
+def minus_ranges(tv: Temporal, ranges) -> Temporal | None:
+    """minusRanges (temporal.c:2694): complement of atRanges."""
+    hit = at_ranges(tv, ranges)
+    if hit is None:
+        return tv
+    return minus_periodset(tv, hit.get_time())

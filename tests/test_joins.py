@@ -140,3 +140,33 @@ def test_knn_widened_ring_retry_and_brute(spark):
         got_ids = got[got["q_id"] == qrow["q_id"]] \
             .sort_values("rank")["c_id"].tolist()
         assert got_ids == want, qrow["q_id"]
+
+
+def test_interval_join_exact_once(spark):
+    """Bucketed interval join: every overlapping pair exactly once
+    (claimed by the bucket of max(start)), none missed, exact overlap
+    microseconds — vs a brute pairwise check."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    D = 86_400_000_000
+    n = 60
+    starts = rng.integers(0, 30 * D, n)
+    lens = rng.integers(D // 4, 10 * D, n)
+    pdf = pd.DataFrame({"id": np.arange(n), "t0_us": starts,
+                        "t1_us": starts + lens})
+    df = spark.createDataFrame(pdf)
+    l = df.selectExpr("id AS l_id", "t0_us", "t1_us")
+    r = df.selectExpr("id AS r_id", "t0_us", "t1_us")
+    got = joins.interval_join(l, r).toPandas()
+    # exactly once per pair
+    assert not got.duplicated(["l_id", "r_id"]).any()
+    want = {}
+    for a in pdf.itertuples():
+        for b in pdf.itertuples():
+            s = max(a.t0_us, b.t0_us)
+            e = min(a.t1_us, b.t1_us)
+            if s <= e:
+                want[(a.id, b.id)] = e - s
+    got_map = {(r_.l_id, r_.r_id): r_.overlap_us for r_ in got.itertuples()}
+    assert got_map == want

@@ -222,3 +222,25 @@ def test_atrange_exclusive_bound_at_segment_endpoint():
         "{[20@2000-01-01 00:00:00+00, 10@2000-01-02 00:00:00+00)}"
     assert out(R.at_range(w, 10, 20, hi_inc=False)) == \
         "{(20@2000-01-01 00:00:00+00, 10@2000-01-02 00:00:00+00]}"
+
+
+def test_atranges_union_of_ranges():
+    """atRanges = union of per-range clips, normalized
+    (temporal.c:2630)."""
+    v = tf("[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03]")
+    # two disjoint ranges: the dip below 2 between them stays excluded
+    got = R.at_ranges(v, [(1.0, 1.75), (2.25, 3.0)])
+    assert out(got) == (
+        "{[1.5@2000-01-01 00:00:00+00, 1.75@2000-01-01 06:00:00+00], "
+        "[2.25@2000-01-01 18:00:00+00, 2.5@2000-01-02 00:00:00+00, "
+        "2.25@2000-01-02 06:00:00+00], "
+        "[1.75@2000-01-02 18:00:00+00, 1.5@2000-01-03 00:00:00+00]}")
+    # touching ranges merge into the full value
+    whole = R.at_ranges(v, [(1.0, 2.0), (2.0, 3.0)])
+    assert out(whole) == ("{[1.5@2000-01-01 00:00:00+00, "
+                          "2.5@2000-01-02 00:00:00+00, "
+                          "1.5@2000-01-03 00:00:00+00]}")
+    # minusRanges complements
+    assert R.minus_ranges(v, [(0.0, 3.0)]) is None
+    m = R.minus_ranges(v, [(2.0, 3.0)])
+    assert "2.5" not in out(m)
