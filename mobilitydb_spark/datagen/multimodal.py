@@ -87,3 +87,47 @@ def extract_features(media: DataFrame, n_dims: int = 16,
                 "media_id", "kind", "feat", "n_frames", "decode_ok"])
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = ("media_id bigint, kind string, payload binary, "
+                  "width int, height int, decode_ok boolean")
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8
+                  ) -> DataFrame:
+    """Decode → area-resize → re-encode, one Arrow batch at a time
+    (the image-normalization stage of a multimodal training-data
+    pipeline).  The decode/encode endpoints use the deterministic
+    stub (no codecs in the container); the batch plumbing — integer
+    block mean-pool, dtype round-trip, per-row error flag, metadata
+    update — is real and tested."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, w, h in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["width"], pdf["height"]):
+                try:
+                    px = _decode_stub(bytes(payload), kind)
+                    img = np.resize(px, int(w) * int(h)) \
+                        .reshape(int(h), int(w))
+                    # exact area pooling on integer factors; fall back
+                    # to nearest sampling otherwise
+                    if h % out_h == 0 and w % out_w == 0:
+                        small = img.reshape(out_h, h // out_h,
+                                            out_w, w // out_w) \
+                            .mean(axis=(1, 3))
+                    else:
+                        yi = (np.arange(out_h) * h // out_h)
+                        xi = (np.arange(out_w) * w // out_w)
+                        small = img[np.ix_(yi, xi)]
+                    enc = np.clip(small * 255.0, 0, 255) \
+                        .astype(np.uint8).tobytes()
+                    out.append((mid, kind, enc, out_w, out_h, True))
+                except Exception:
+                    out.append((mid, kind, b"", 0, 0, False))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "decode_ok"])
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -188,3 +188,29 @@ def test_cosine_neardup_recall_on_planted_dups(spark):
     assert recall >= 0.9, recall
     # every reported pair really is above threshold (exact refine)
     assert (got["score"] >= 0.9).all()
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_images: deterministic area pooling with real batch
+    plumbing (schema, dtype round-trip, per-row flag)."""
+    import numpy as np
+    from mobilitydb_spark.datagen import multimodal
+    media = multimodal.fake_media(spark, 12)
+    small = multimodal.resize_images(media, 8, 8).toPandas()
+    assert len(small) == 12 and small["decode_ok"].all()
+    assert (small["width"] == 8).all() and (small["height"] == 8).all()
+    assert (small["payload"].str.len() == 64).all()
+    # deterministic across runs
+    small2 = multimodal.resize_images(media, 8, 8).toPandas()
+    a = small.sort_values("media_id")["payload"].tolist()
+    b = small2.sort_values("media_id")["payload"].tolist()
+    assert a == b
+    # exact 2x2 mean-pool check against a hand computation for one row
+    row = media.where("media_id = 0").toPandas().iloc[0]
+    px = np.frombuffer(bytes(row.payload), np.uint8).astype(np.float32)
+    img = np.resize(px / 255.0, 64 * 64).reshape(64, 64)
+    want = img.reshape(8, 8, 8, 8).mean(axis=(1, 3))
+    got = np.frombuffer(
+        bytes(small.set_index("media_id").loc[0, "payload"]),
+        np.uint8).reshape(8, 8)
+    assert (got == np.clip(want * 255.0, 0, 255).astype(np.uint8)).all()
