@@ -147,3 +147,20 @@ def test_tcount_instants_no_single_task(spark):
     plan = _plan(df)
     assert "SinglePartition" not in plan
     assert "FlatMapGroupsInPandas" not in plan  # pure Catalyst
+
+
+def test_interval_join_is_equi_join_on_bucket(spark):
+    """The temporal interval join must plan as an equi-join on the
+    time bucket (hash or sort-merge), never a cartesian product."""
+    from mobilitydb_spark import joins
+    l = spark.range(0, 1000).selectExpr(
+        "id AS l_id", "id * 1000000 AS t0_us",
+        "id * 1000000 + 500000000 AS t1_us")
+    r = spark.range(0, 1000).selectExpr(
+        "id AS r_id", "id * 2000000 AS t0_us",
+        "id * 2000000 + 300000000 AS t1_us")
+    df = joins.interval_join(l, r, bucket_us=100_000_000)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
