@@ -395,6 +395,12 @@ def at_ranges(tv: Temporal, ranges) -> Temporal | None:
     return at_periodset(tv, periods, force_set=True)
 
 
+def minus_range(tv: Temporal, lo: float, hi: float,
+                lo_inc: bool = True, hi_inc: bool = True) -> Temporal | None:
+    """minusRange (temporal.c:2660): complement of atRange."""
+    return minus_ranges(tv, [(lo, hi, lo_inc, hi_inc)])
+
+
 def minus_ranges(tv: Temporal, ranges) -> Temporal | None:
     """minusRanges (temporal.c:2694): complement of atRanges."""
     hit = at_ranges(tv, ranges)

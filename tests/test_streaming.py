@@ -100,3 +100,28 @@ def test_stateful_sessionize_stream_consistent_with_batch(spark, tmp_path):
     must_emit = {k for k in want
                  if k[2] < wm1 - np.timedelta64(30 * 60, "s")}
     assert must_emit <= set(emitted.keys())
+
+
+def test_stream_dedup_first_occurrence(spark, tmp_path):
+    """Watermarked streaming exact dedup: one row per distinct text
+    fingerprint, matching the batch distinct set."""
+    landing = str(tmp_path / "dd_landing")
+    ckpt = str(tmp_path / "dd_ckpt")
+    from mobilitydb_spark.streaming.dedup_stream import stream_dedup
+    pages = fixtures.pages(spark, 200)
+    # plant duplicates: every page twice under a second url
+    dup = pages.withColumn("url", F.concat(F.col("url"), F.lit("#dup")))
+    pages.unionByName(dup).write.parquet(landing)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(landing)
+    q = (stream_dedup(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("memory").queryName("dedup_out").start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").toPandas()
+    n_distinct = spark.read.parquet(landing) \
+        .select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    assert not got.duplicated("fp").any()
