@@ -87,14 +87,33 @@ def geog_intersects(a: Temporal, b) -> bool | None:
 
 
 def geog_covers(g: geo.Geometry, tv: Temporal) -> bool | None:
-    """covers(geography, tgeogpoint): every position lies on the
-    geography (within the reference's point tolerance).  Point/
-    MultiPoint geographies only — the subset the reference's geog
-    dispatcher exercises (`tpoint_spatialrels.c:144-154`)."""
+    """covers(geography, tgeogpoint): every position lies on/in the
+    geography (`tpoint_spatialrels.c:144-154`).
+
+    Operand classes: Point/MultiPoint use the reference's 1e-5 m
+    spherical tolerance; Polygon/MultiPolygon and Line geographies
+    use the module's documented planar-topology convention (planar
+    containment / DE-9IM on (lon, lat), haversine only for measures) —
+    the same convention the trajectory model itself interpolates
+    under.  GeometryCollection operands remain excluded."""
     if g.is_empty:
         return None
+    if g.kind in ("Polygon", "MultiPolygon"):
+        from .everops import within
+        return within(tv, g)
+    if g.kind in ("LineString", "MultiLineString"):
+        from .de9im import relate_geoms
+        from .spatial import trajectory
+        m = relate_geoms(g, trajectory(tv))
+        if m is None:
+            return None
+        # OGC covers(A, B): something of B meets A's interior or
+        # boundary, and nothing of B meets A's exterior
+        touches_a = any(m[i] != "F" for i in (0, 1, 3, 4))
+        return touches_a and m[6] == "F" and m[7] == "F"
     if g.kind not in ("Point", "MultiPoint"):
-        raise NotImplementedError("geog covers: point geographies only")
+        raise NotImplementedError(
+            "geog covers: GeometryCollection operands not supported")
     pts = np.vstack(g.parts)
     for s in tv.seqs:
         for v in s.values:

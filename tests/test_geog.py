@@ -54,9 +54,10 @@ def test_geog_covers_point_set():
     assert geog_covers(p, moving) is False
     empty = geo.Geometry("Point", [])
     assert geog_covers(empty, const) is None
+    # areal operands are now supported (planar-topology convention):
+    # the constant point (1,1) sits inside this triangle
     ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]])
-    with pytest.raises(NotImplementedError):
-        geog_covers(geo.Geometry("Polygon", [ring]), const)
+    assert geog_covers(geo.Geometry("Polygon", [ring]), const) is True
 
 
 def test_haversine_sql_matches_numpy(spark):
@@ -118,15 +119,29 @@ def test_dwithin_join_geog_high_latitude(spark):
     assert got_pairs == want and len(want) > 0
 
 
-def test_geog_covers_nonpoint_documented_exclusion():
-    """Operand-domain guard (COVERAGE §2.8): geography covers beyond
-    Point/MultiPoint operands is a documented exclusion."""
-    import pytest
+def test_geog_covers_polygon_and_line_operands():
+    """geog covers now accepts areal and line geographies (planar
+    topology per the module convention); only GeometryCollection
+    stays excluded."""
     from mobilitydb_spark import types as T
     from mobilitydb_spark.geog import geog_covers
     ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
                      [0.0, 0.0]])
     poly = geo.Geometry("Polygon", [ring])
-    tv = T.parse_temporal("SRID=4326;[Point(0.5 0.5)@2000-01-01]")
-    with pytest.raises(NotImplementedError, match="point geographies only"):
-        geog_covers(poly, tv)
+    inside = T.parse_temporal(
+        "SRID=4326;[Point(0.2 0.2)@2000-01-01, Point(0.8 0.8)@2000-01-02]")
+    leaves = T.parse_temporal(
+        "SRID=4326;[Point(0.2 0.2)@2000-01-01, Point(2.0 2.0)@2000-01-02]")
+    assert geog_covers(poly, inside) is True
+    assert geog_covers(poly, leaves) is False
+    line = geo.Geometry("LineString",
+                        [np.array([[0.0, 0.0], [2.0, 2.0]])])
+    on_line = T.parse_temporal(
+        "SRID=4326;[Point(0.5 0.5)@2000-01-01, Point(1.5 1.5)@2000-01-02]")
+    off_line = T.parse_temporal(
+        "SRID=4326;[Point(0.5 0.5)@2000-01-01, Point(1.5 1.0)@2000-01-02]")
+    assert geog_covers(line, on_line) is True
+    assert geog_covers(line, off_line) is False
+    coll = geo.Geometry("GeometryCollection", [ring])
+    with pytest.raises(NotImplementedError, match="GeometryCollection"):
+        geog_covers(coll, inside)
