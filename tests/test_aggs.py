@@ -252,3 +252,26 @@ def test_temporal_agg_pieces_matches_kernel(spark):
         # partial-level crossing instants round to integer µs, so
         # values at merged knots match to slope × 0.5 µs, not exactly
         assert abs(g.v - v) < 1e-6
+
+
+def test_tcentroid_goldens_64_tpoint_aggfuncs():
+    """Expected values lifted from
+    `point/test/expected/64_tpoint_aggfuncs.test.out:1-18`: tcentroid
+    of three consecutive unit-slope sequences merges into ONE sequence
+    from the first to the last point (our printer omits the reference's
+    outer sequence-set braces for a single piece)."""
+    from mobilitydb_spark import types as T
+    m2 = [T.parse_temporal("[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02)"),
+          T.parse_temporal("[Point(3 3)@2000-01-03, Point(4 4)@2000-01-04)"),
+          T.parse_temporal("[Point(2 2)@2000-01-02, Point(3 3)@2000-01-03)")]
+    assert str(aggs.tagg(m2, "centroid")) == \
+        "[POINT(1 1)@2000-01-01 00:00:00+00, POINT(4 4)@2000-01-04 00:00:00+00)"
+    m3 = [T.parse_temporal(
+              "[Point(1 1 1)@2000-01-01, Point(2 2 2)@2000-01-02)"),
+          T.parse_temporal(
+              "[Point(3 3 3)@2000-01-03, Point(4 4 4)@2000-01-04)"),
+          T.parse_temporal(
+              "[Point(2 2 2)@2000-01-02, Point(3 3 3)@2000-01-03)")]
+    assert str(aggs.tagg(m3, "centroid")) == \
+        ("[POINT Z (1 1 1)@2000-01-01 00:00:00+00, "
+         "POINT Z (4 4 4)@2000-01-04 00:00:00+00)")

@@ -102,3 +102,112 @@ def test_stbox_cols(spark):
         boxops.left_col(F.col("a"), F.col("b")).alias("lf"),
         boxops.before_col(F.col("a"), F.col("b")).alias("bf")).first()
     assert not row["ov"] and row["lf"] and row["bf"]
+
+
+# --- 11_timeops goldens (expected strings lifted verbatim from
+# `test/expected/11_timeops.test.out`, cited by line) ---------------------
+
+def PS(s):
+    """Parse '{[a, b],[c, d]}' periodset literal."""
+    import re
+    return [P(m.group(0))
+            for m in re.finditer(r"[\[(][^\[(\])]*[\])]", s)]
+
+
+def fmt(ps):
+    return "{" + ", ".join(str(p) for p in ps) + "}" if ps else ""
+
+
+def test_union_goldens_11_timeops():
+    # :259 same period
+    assert fmt(timeops.union(PS("{[2000-01-01, 2000-01-03]}"),
+                             PS("{[2000-01-01, 2000-01-03]}"))) == \
+        "{[2000-01-01 00:00:00+00, 2000-01-03 00:00:00+00]}"
+    # :265 adjacent open bound merges
+    assert fmt(timeops.union(PS("{[2000-01-01, 2000-01-03]}"),
+                             PS("{(2000-01-03, 2000-01-05]}"))) == \
+        "{[2000-01-01 00:00:00+00, 2000-01-05 00:00:00+00]}"
+    # :271 periodset with gap stays two pieces
+    assert fmt(timeops.union(
+        PS("{[2000-01-01, 2000-01-03]}"),
+        PS("{[2000-01-01, 2000-01-03],[2000-01-04, 2000-01-05]}"))) == \
+        ("{[2000-01-01 00:00:00+00, 2000-01-03 00:00:00+00], "
+         "[2000-01-04 00:00:00+00, 2000-01-05 00:00:00+00]}")
+    # :313 disjoint before
+    assert fmt(timeops.union(
+        PS("{[2000-01-03,2000-01-04],[2000-01-07,2000-01-08]}"),
+        PS("{[2000-01-01,2000-01-02]}"))) == \
+        ("{[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00], "
+         "[2000-01-03 00:00:00+00, 2000-01-04 00:00:00+00], "
+         "[2000-01-07 00:00:00+00, 2000-01-08 00:00:00+00]}")
+    # :331 half-open touch merges left
+    assert fmt(timeops.union(
+        PS("{[2000-01-03,2000-01-04],[2000-01-07,2000-01-08]}"),
+        PS("{[2000-01-01,2000-01-03)}"))) == \
+        ("{[2000-01-01 00:00:00+00, 2000-01-04 00:00:00+00], "
+         "[2000-01-07 00:00:00+00, 2000-01-08 00:00:00+00]}")
+    # :343 open-start touch merges right
+    assert fmt(timeops.union(
+        PS("{[2000-01-03,2000-01-04],[2000-01-07,2000-01-08]}"),
+        PS("{(2000-01-08,2000-01-10]}"))) == \
+        ("{[2000-01-03 00:00:00+00, 2000-01-04 00:00:00+00], "
+         "[2000-01-07 00:00:00+00, 2000-01-10 00:00:00+00]}")
+
+
+def test_minus_goldens_11_timeops():
+    # :643 self-minus is empty
+    assert fmt(timeops.minus(PS("{[2000-01-01, 2000-01-03]}"),
+                             PS("{[2000-01-01, 2000-01-03]}"))) == ""
+    # :649 disjoint minus keeps the period
+    assert fmt(timeops.minus(PS("{[2000-01-01, 2000-01-03]}"),
+                             PS("{(2000-01-03, 2000-01-05]}"))) == \
+        "{[2000-01-01 00:00:00+00, 2000-01-03 00:00:00+00]}"
+    # :655 left piece removed, bound flips exclusive
+    assert fmt(timeops.minus(
+        PS("{[2000-01-01, 2000-01-03]}"),
+        PS("{[2000-01-01, 2000-01-02],[2000-01-04, 2000-01-05]}"))) == \
+        "{(2000-01-02 00:00:00+00, 2000-01-03 00:00:00+00]}"
+    # :781 whole first piece removed
+    assert fmt(timeops.minus(
+        PS("{[2000-01-01, 2000-01-03],[2000-01-04, 2000-01-05]}"),
+        PS("{[2000-01-01, 2000-01-03]}"))) == \
+        "{[2000-01-04 00:00:00+00, 2000-01-05 00:00:00+00]}"
+    # :799 second piece removed
+    assert fmt(timeops.minus(
+        PS("{[2000-01-01, 2000-01-03],[2000-01-04, 2000-01-05]}"),
+        PS("{[2000-01-04, 2000-01-05]}"))) == \
+        "{[2000-01-01 00:00:00+00, 2000-01-03 00:00:00+00]}"
+
+
+def test_adjacent_goldens_11_timeops():
+    # :49 closed-closed share an instant → NOT adjacent
+    assert timeops.adjacent(PS("{[2000-01-01, 2000-01-03]}"),
+                            PS("{[2000-01-01, 2000-01-03]}")) is False
+    # :7-ish timestamp -|- open period (t == open lower bound) → adjacent
+    assert timeops.adjacent([P("[2000-01-01, 2000-01-01]")],
+                            PS("{(2000-01-01, 2000-01-03]}")) is True
+    # closed-open touch → adjacent
+    assert timeops.adjacent(PS("{[2000-01-01, 2000-01-03]}"),
+                            PS("{(2000-01-03, 2000-01-05]}")) is True
+
+
+# --- 60_tpoint_posops goldens (expected booleans lifted verbatim from
+# `point/test/expected/60_tpoint_posops.test.out:1-40`) -------------------
+
+def test_posops_goldens_60_tpoint():
+    import numpy as np
+    from mobilitydb_spark.boxops import (STBox, left, overleft, right,
+                                         overright)
+    t1 = int(np.datetime64("2001-01-01", "us").astype(np.int64))
+    t2 = int(np.datetime64("2001-01-02", "us").astype(np.int64))
+    a = STBox(1.0, 2.0, 1.0, 2.0, t1, t1)       # STBOX((1,1),(2,2)) vs T-box
+    b = STBox(1.0, 1.0, 2.0, 2.0, t1, t1)       # STBOX T((1,2,t),(1,2,t))
+    assert left(a, b) is False          # :1  <<
+    assert overleft(a, b) is False      # :7  &<   (a.xmax 2 > b.xmax 1)
+    assert right(a, b) is False         # :13 >>
+    assert overright(a, b) is True      # :19 &>   (a.xmin 1 >= b.xmin 1)
+    inf = float("inf")
+    c = STBox(-inf, inf, -inf, inf, t1, t2)
+    assert left(c, c) is False          # :25 <<  (self)
+    assert overleft(c, c) is True       # :31 &<
+    assert right(c, c) is False         # :37 >>
