@@ -33,6 +33,11 @@ class STBox:
     tmax: int
     zmin: float | None = None
     zmax: float | None = None
+    # literal-grammar flags (`50_stbox` in/out): x/y or time dimension
+    # absent, geodetic box
+    has_x: bool = True
+    has_t: bool = True
+    geodetic: bool = False
 
     @property
     def has_z(self) -> bool:
@@ -222,3 +227,151 @@ def position_ops_table(points: DataFrame, box: STBox, key: str = "key",
             yield pd.DataFrame(rows)
 
     return agg.mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# STBOX literal in/out (`point/src/stbox.c` stbox_in/stbox_out; goldens
+# `point/test/expected/50_stbox.test.out`) — error messages verbatim
+# ---------------------------------------------------------------------------
+
+def _parse_double(tok: str) -> float:
+    try:
+        return float(tok)
+    except ValueError:
+        raise ValueError(
+            "Could not parse STBOX: Invalid input syntax for type double")
+
+
+def _parse_ts_tok(tok: str) -> int:
+    from .types import parse_ts
+    tok = tok.strip()
+    try:
+        if not tok:
+            raise ValueError(tok)
+        v = int(parse_ts(tok))
+        if v == -(2**63):  # NaT sentinel from a silent parse
+            raise ValueError(tok)
+        return v
+    except Exception:
+        raise ValueError(
+            "invalid input syntax for type timestamp with time zone: "
+            f'"{tok}"')
+
+
+def parse_stbox(s: str) -> STBox:
+    """Parse an STBOX/GEODSTBOX literal (all Z/T variants, bounds
+    auto-sorted; the reference's exact error messages)."""
+    import re
+    txt = s.strip()
+    m = re.match(r"(?i)^(GEODSTBOX|STBOX)\s*(ZT|Z|T)?\s*", txt)
+    if not m:
+        raise ValueError("Could not parse STBOX")
+    geodetic = m.group(1).upper() == "GEODSTBOX"
+    flags = (m.group(2) or "").upper()
+    hasz = "Z" in flags or geodetic
+    hast = "T" in flags
+    rest = txt[m.end():]
+    if not rest.startswith("(") or not rest[1:].lstrip().startswith("("):
+        raise ValueError(
+            "Could not parse STBOX: Missing opening parenthesis")
+    body = rest[1:].lstrip()
+
+    def read_tuple(src: str):
+        assert src.startswith("(")
+        end = src.find(")")
+        if end < 0:
+            raise ValueError(
+                "Could not parse STBOX: Missing closing parenthesis")
+        fields = src[1:end].split(",")
+        return [f.strip() for f in fields], src[end + 1:].lstrip()
+
+    n_coord = 3 if hasz else 2
+    n_fields = n_coord + (1 if hast else 0)
+
+    def parse_tuple(fields):
+        # the time-only form (,,t) / (,,z?,t) leaves coords empty
+        time_only = (hast and len(fields) == n_fields
+                     and all(f == "" for f in fields[:-1]))
+        if time_only:
+            return None, None, None, _parse_ts_tok(fields[-1])
+        vals = []
+        for i in range(n_coord):
+            tok = fields[i] if i < len(fields) else ""
+            vals.append(_parse_double(tok))
+        t = None
+        if hast:
+            tok = fields[n_coord] if len(fields) > n_coord else ""
+            t = _parse_ts_tok(tok)
+        elif len(fields) > n_coord:
+            raise ValueError(
+                "Could not parse STBOX: Missing closing parenthesis")
+        x, y = vals[0], vals[1]
+        z = vals[2] if hasz else None
+        return x, y, z, t
+
+    f1, body = read_tuple(body)
+    x1, y1, z1, t1 = parse_tuple(f1)  # values parsed DURING the scan,
+    # like the reference — a bad double inside tuple 1 reports before
+    # the missing-second-tuple check
+    if not body.startswith(","):
+        raise ValueError(
+            "Could not parse STBOX: Missing opening parenthesis")
+    body = body[1:].lstrip()
+    if not body.startswith("("):
+        raise ValueError(
+            "Could not parse STBOX: Missing opening parenthesis")
+    f2, body = read_tuple(body)
+    x2, y2, z2, t2 = parse_tuple(f2)
+    if not body.startswith(")"):
+        raise ValueError(
+            "Could not parse STBOX: Missing closing parenthesis")
+    has_x = x1 is not None and x2 is not None
+    hast_eff = t1 is not None and t2 is not None
+    if has_x:
+        xmin, xmax = sorted((x1, x2))
+        ymin, ymax = sorted((y1, y2))
+    else:
+        xmin = xmax = ymin = ymax = float("nan")
+    if hasz and has_x:
+        zmin, zmax = sorted((z1, z2))
+    else:
+        zmin = zmax = None
+    if hast_eff:
+        tmin, tmax = sorted((t1, t2))
+    else:
+        tmin = tmax = 0
+    return STBox(xmin, xmax, ymin, ymax, tmin, tmax, zmin, zmax,
+                 has_x=has_x, has_t=hast_eff, geodetic=geodetic)
+
+
+def _num(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def stbox_out(b: STBox) -> str:
+    """Print an STBox in the reference literal format."""
+    from .types import fmt_ts
+    name = "GEODSTBOX" if b.geodetic else "STBOX"
+    flags = ""
+    if b.has_z and not b.geodetic:
+        flags += "Z"
+    if b.has_t:
+        flags += "T"
+    head = name + (f" {flags}" if flags else "")
+
+    def tup(x, y, z, t):
+        parts = []
+        if b.has_x:
+            parts += [_num(x), _num(y)]
+            if b.has_z:
+                parts.append(_num(z))
+        else:
+            parts += ["", ""]
+            if b.has_z:
+                parts.append("")
+        if b.has_t:
+            parts.append(fmt_ts(t))
+        return "(" + ",".join(parts) + ")"
+
+    return (f"{head}({tup(b.xmin, b.ymin, b.zmin, b.tmin)},"
+            f"{tup(b.xmax, b.ymax, b.zmax, b.tmax)})")

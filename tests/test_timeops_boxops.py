@@ -211,3 +211,73 @@ def test_posops_goldens_60_tpoint():
     assert left(c, c) is False          # :25 <<  (self)
     assert overleft(c, c) is True       # :31 &<
     assert right(c, c) is False         # :37 >>
+
+
+# --- 50_stbox literal in/out goldens (verbatim from
+# `point/test/expected/50_stbox.test.out:1-100`) --------------------------
+
+def test_stbox_literal_roundtrip_goldens():
+    from mobilitydb_spark.boxops import parse_stbox, stbox_out
+    cases = [
+        ("STBOX((1.0, 2.0), (3.0, 4.0))", "STBOX((1,2),(3,4))"),
+        ("STBOX Z((1.0, 2.0, 3.0), (4.0, 5.0, 6.0))",
+         "STBOX Z((1,2,3),(4,5,6))"),
+        ("STBOX T((1.0, 2.0, 2001-01-01), (3.0, 4.0, 2001-01-02))",
+         "STBOX T((1,2,2001-01-01 00:00:00+00),"
+         "(3,4,2001-01-02 00:00:00+00))"),
+        ("STBOX ZT((1.0, 2.0, 3.0, 2001-01-01), "
+         "(4.0, 5.0, 6.0, 2001-01-02))",
+         "STBOX ZT((1,2,3,2001-01-01 00:00:00+00),"
+         "(4,5,6,2001-01-02 00:00:00+00))"),
+        ("STBOX T(( , , 2001-01-01), ( , , 2001-01-02))",
+         "STBOX T((,,2001-01-01 00:00:00+00),"
+         "(,,2001-01-02 00:00:00+00))"),
+        ("GEODSTBOX((1.0, 2.0, 3.0), (1.0, 2.0, 3.0))",
+         "GEODSTBOX((1,2,3),(1,2,3))"),
+        ("GEODSTBOX T((1.0, 2.0, 3.0, 2001-01-04), "
+         "(1.0, 2.0, 3.0, 2001-01-03))",
+         "GEODSTBOX T((1,2,3,2001-01-03 00:00:00+00),"
+         "(1,2,3,2001-01-04 00:00:00+00))"),
+        # bounds auto-sorted per dimension
+        ("STBOX ZT((5,6,7,2001-01-08), (1,2,3,2001-01-04))",
+         "STBOX ZT((1,2,3,2001-01-04 00:00:00+00),"
+         "(5,6,7,2001-01-08 00:00:00+00))"),
+    ]
+    for lit, want in cases:
+        assert stbox_out(parse_stbox(lit)) == want, lit
+        # printed form re-parses to itself
+        assert stbox_out(parse_stbox(stbox_out(parse_stbox(lit)))) == want
+
+
+def test_stbox_literal_error_goldens():
+    import pytest
+    from mobilitydb_spark.boxops import parse_stbox
+    cases = [
+        ("AAA(1, 2, 3)", "Could not parse STBOX"),
+        ("stbox(1, 2, 3)",
+         "Could not parse STBOX: Missing opening parenthesis"),
+        ("stbox((AA, 2, 3))",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("stbox z((1, 2, AA))",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("stbox t((1, 2, AA))",
+         'invalid input syntax for type timestamp with time zone: "AA"'),
+        ("stbox((1, 2, 3))",
+         "Could not parse STBOX: Missing closing parenthesis"),
+        ("stbox t((1, 2, 2001-01-03))",
+         "Could not parse STBOX: Missing opening parenthesis"),
+        ("stbox t((1, 2, 2001-01-03),()",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("stbox t((1, 2, 2001-01-03),(1)",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("stbox z((1, 2, 3),(1,2)",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("stbox t((1, 2, 2001-01-03),(1,2)",
+         'invalid input syntax for type timestamp with time zone: ""'),
+        ("stbox t((1, 2, 2001-01-03),(1,2,2001-01-03)",
+         "Could not parse STBOX: Missing closing parenthesis"),
+    ]
+    for lit, msg in cases:
+        with pytest.raises(ValueError) as e:
+            parse_stbox(lit)
+        assert str(e.value) == msg, lit
