@@ -121,3 +121,74 @@ def tbox_overlaps(a: TBox, b: TBox) -> bool:
 def tbox_contains(a: TBox, b: TBox) -> bool:
     return (a.xmin <= b.xmin and b.xmax <= a.xmax
             and a.tmin <= b.tmin and b.tmax <= a.tmax)
+
+
+# ---------------------------------------------------------------------------
+# TBOX literal in/out (`src/tbox.c` tbox_in/tbox_out; goldens
+# `test/expected/21_tbox.test.out`) — error messages verbatim
+# ---------------------------------------------------------------------------
+
+def parse_tbox(s: str) -> "TBox":
+    """Parse a TBOX literal 'TBOX((x, t), (x, t))' where either the
+    value or the time slot may be empty; bounds auto-sorted."""
+    import re
+    from .boxops import _parse_double, _parse_ts_tok
+    txt = s.strip()
+    m = re.match(r"(?i)^TBOX\s*", txt)
+    if not m:
+        raise ValueError("Could not parse TBOX")
+    rest = txt[m.end():]
+    if not rest.startswith("(") or not rest[1:].lstrip().startswith("("):
+        raise ValueError("Could not parse TBOX: Missing opening parenthesis")
+    body = rest[1:].lstrip()
+
+    def read_tuple(src: str):
+        end = src.find(")")
+        if end < 0:
+            raise ValueError(
+                "Could not parse TBOX: Missing closing parenthesis")
+        fields = [f.strip() for f in src[1:end].split(",")]
+        if len(fields) != 2:
+            raise ValueError(
+                "Could not parse TBOX: Missing closing parenthesis")
+        x = _parse_double(fields[0]) if fields[0] != "" else None
+        if x is None and fields[1] == "":
+            raise ValueError(
+                "Could not parse TBOX: Invalid input syntax for type double")
+        t = _parse_ts_tok(fields[1]) if fields[1] != "" else None
+        return x, t, src[end + 1:].lstrip()
+
+    try:
+        x1, t1, body = read_tuple(body)
+    except ValueError as e:
+        raise ValueError(str(e).replace("STBOX", "TBOX"))
+    if not body.startswith(",") or not body[1:].lstrip().startswith("("):
+        raise ValueError("Could not parse TBOX: Missing opening parenthesis")
+    try:
+        x2, t2, body = read_tuple(body[1:].lstrip())
+    except ValueError as e:
+        raise ValueError(str(e).replace("STBOX", "TBOX"))
+    if not body.startswith(")"):
+        raise ValueError("Could not parse TBOX: Missing closing parenthesis")
+    has_x = x1 is not None and x2 is not None
+    has_t = t1 is not None and t2 is not None
+    xmin, xmax = sorted((x1, x2)) if has_x else (float("nan"),) * 2
+    tmin, tmax = sorted((t1, t2)) if has_t else (0, 0)
+    b = TBox(xmin, xmax, tmin, tmax)
+    object.__setattr__(b, "_has_x", has_x)
+    object.__setattr__(b, "_has_t", has_t)
+    return b
+
+
+def tbox_out(b: "TBox") -> str:
+    """Print a TBox in the reference literal format."""
+    from .types import fmt_ts
+    has_x = getattr(b, "_has_x", True)
+    has_t = getattr(b, "_has_t", True)
+
+    def tup(x, t):
+        xs = f"{x:.15g}" if has_x else ""
+        ts = fmt_ts(t) if has_t else ""
+        return f"({xs},{ts})"
+
+    return f"TBOX({tup(b.xmin, b.tmin)},{tup(b.xmax, b.tmax)})"

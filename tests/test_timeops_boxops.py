@@ -281,3 +281,37 @@ def test_stbox_literal_error_goldens():
         with pytest.raises(ValueError) as e:
             parse_stbox(lit)
         assert str(e.value) == msg, lit
+
+
+# --- 21_tbox literal goldens (verbatim from
+# `test/expected/21_tbox.test.out:1-45`) ----------------------------------
+
+def test_tbox_literal_goldens():
+    import pytest
+    from mobilitydb_spark.casts import parse_tbox, tbox_out
+    cases = [
+        ("TBOX((1.0, 2000-01-01), (1.0, 2000-01-02))",
+         "TBOX((1,2000-01-01 00:00:00+00),(1,2000-01-02 00:00:00+00))"),
+        ("TBOX((1.0,), (1.0,))", "TBOX((1,),(1,))"),
+        ("TBOX((, 2000-01-01), (, 2000-01-02))",
+         "TBOX((,2000-01-01 00:00:00+00),(,2000-01-02 00:00:00+00))"),
+        ("TBOX((2,2000-01-02),(1,2000-01-01))",
+         "TBOX((1,2000-01-01 00:00:00+00),(2,2000-01-02 00:00:00+00))"),
+    ]
+    for lit, want in cases:
+        assert tbox_out(parse_tbox(lit)) == want, lit
+    errors = [
+        ("STBOX(1, 2000-01-02)", "Could not parse TBOX"),
+        ("TBOX(1, 2000-01-02)",
+         "Could not parse TBOX: Missing opening parenthesis"),
+        ("TBOX((AA, 2000-01-02))",
+         "Could not parse TBOX: Invalid input syntax for type double"),
+        ("TBOX((1, AA))",
+         'invalid input syntax for type timestamp with time zone: "AA"'),
+        ("TBOX((1, 2000-01-01, 2))",
+         "Could not parse TBOX: Missing closing parenthesis"),
+    ]
+    for lit, msg in errors:
+        with pytest.raises(ValueError) as e:
+            parse_tbox(lit)
+        assert str(e.value) == msg, lit
