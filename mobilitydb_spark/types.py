@@ -530,11 +530,27 @@ def parse_temporal(text: str, point: bool | None = None) -> Temporal:
 
 
 def parse_period(text: str) -> Period:
+    """Parse a period literal with the reference's validation
+    (`src/period.c` period_in/period_make; golden errors
+    `test/expected/01_period.test.out:1-27`)."""
     s = text.strip()
+    if not s or s[0] not in "[(" or s[-1] not in "])":
+        raise ValueError("Could not parse period")
     lower_inc = s[0] == "["
     upper_inc = s[-1] == "]"
-    lo, hi = [p.strip() for p in s[1:-1].split(",")]
-    return Period(int(parse_ts(lo)), int(parse_ts(hi)), lower_inc, upper_inc)
+    parts = [p.strip() for p in s[1:-1].split(",")]
+    if len(parts) != 2:
+        raise ValueError("Could not parse period")
+    try:
+        lo, hi = int(parse_ts(parts[0])), int(parse_ts(parts[1]))
+    except Exception:
+        raise ValueError("Could not parse period")
+    if lo > hi:
+        raise ValueError("Period lower bound must be less than or equal "
+                         "to period upper bound")
+    if lo == hi and not (lower_inc and upper_inc):
+        raise ValueError("Period cannot be empty")
+    return Period(lo, hi, lower_inc, upper_inc)
 
 
 def parse_periodset(text: str) -> list[Period]:

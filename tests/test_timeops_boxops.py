@@ -315,3 +315,34 @@ def test_tbox_literal_goldens():
         with pytest.raises(ValueError) as e:
             parse_tbox(lit)
         assert str(e.value) == msg, lit
+
+
+# --- 01_period in/out + validation goldens (verbatim from
+# `test/expected/01_period.test.out:1-50`) --------------------------------
+
+def test_period_literal_goldens():
+    import pytest
+    cases = [
+        ("[2000-01-01,2000-01-01]",
+         "[2000-01-01 00:00:00+00, 2000-01-01 00:00:00+00]"),
+        ("[2000-01-01,2000-01-02]",
+         "[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00]"),
+        ("(2000-01-01,2000-01-02]",
+         "(2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00]"),
+        ("[2000-01-01,2000-01-02)",
+         "[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00)"),
+    ]
+    for lit, want in cases:
+        assert str(P(lit)) == want, lit
+    errors = [
+        ("2000-01-01, 2000-01-02", "Could not parse period"),
+        ("[2000-01-01, 2000-01-02", "Could not parse period"),
+        ("(2000-01-01,2000-01-01)", "Period cannot be empty"),
+        ("[2000-01-02,2000-01-01]",
+         "Period lower bound must be less than or equal to period "
+         "upper bound"),
+    ]
+    for lit, msg in errors:
+        with pytest.raises(ValueError) as e:
+            P(lit)
+        assert str(e.value) == msg, lit
