@@ -126,3 +126,48 @@ def test_const_temporal_base_op():
     got = L.tadd(a, L.const_temporal(10.0, a))
     assert out(got) == \
         "[11@2000-01-01 00:00:00+00, 13@2000-01-03 00:00:00+00]"
+
+
+# --- 24_tnumber_mathfuncs goldens (expected strings verbatim, cited
+# by line) ----------------------------------------------------------------
+
+def test_mathfuncs_goldens_24():
+    import numpy as np
+    from mobilitydb_spark import types as T
+    from mobilitydb_spark.lifting import const_temporal, tadd, tdiv, tmult
+
+    def out(tv):
+        return str(tv)
+
+    seq = T.parse_temporal("[1.5@2000-01-01, 2.5@2000-01-02, "
+                           "1.5@2000-01-03]")
+    # :349 sequence + int constant
+    got = tadd(seq, const_temporal(np.array([1.0]), seq))
+    assert out(got) == ("[2.5@2000-01-01 00:00:00+00, "
+                        "3.5@2000-01-02 00:00:00+00, "
+                        "2.5@2000-01-03 00:00:00+00]")
+    # :355 sequence set + int constant
+    ss = T.parse_temporal("{[1.5@2000-01-01, 2.5@2000-01-02, "
+                          "1.5@2000-01-03],[3.5@2000-01-04, "
+                          "3.5@2000-01-05]}")
+    got = tadd(ss, const_temporal(np.array([1.0]), ss))
+    assert out(got) == ("{[2.5@2000-01-01 00:00:00+00, "
+                        "3.5@2000-01-02 00:00:00+00, "
+                        "2.5@2000-01-03 00:00:00+00], "
+                        "[4.5@2000-01-04 00:00:00+00, "
+                        "4.5@2000-01-05 00:00:00+00]}")
+    # :1711 square of a ramp: turning point coincides with the knot,
+    # values squared exactly
+    got = tmult(seq, seq)
+    assert out(got) == ("[2.25@2000-01-01 00:00:00+00, "
+                        "6.25@2000-01-02 00:00:00+00, "
+                        "2.25@2000-01-03 00:00:00+00]")
+    # :1849 division over the common domain (round 1 decimal; no
+    # interior turning point: the vertex falls outside (0,1))
+    a = T.parse_temporal("[-1@2000-01-04, 1@2000-01-05]")
+    b = T.parse_temporal("[-1@2000-01-01, 1@2000-01-05]")
+    q = tdiv(a, b)
+    for s in q.seqs:
+        s.values[:] = np.round(s.values, 1)
+    assert out(q) == ("[-2@2000-01-04 00:00:00+00, "
+                      "1@2000-01-05 00:00:00+00]")
