@@ -462,13 +462,12 @@ def ttext_state_stats(points: DataFrame, target: str,
         kv = pdf[key].iloc[0]
         pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
         tt = pdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vocab: list[str] = []
-        codes = []
-        for w in pdf[v]:
-            if w not in vocab:
-                vocab.append(w)
-            codes.append(float(vocab.index(w)))
-        tv = Temporal.sequence(tt, np.array(codes)[:, None], linear=False)
+        # first-appearance vocab coding, vectorized (same order as the
+        # incremental loop it replaces)
+        code_arr, vocab_arr = pd.factorize(pdf[v])
+        vocab = [str(w) for w in vocab_arr]
+        tv = Temporal.sequence(tt, code_arr.astype(np.float64)[:, None],
+                               linear=False)
         tv.step_default = True
         txt = TText(tv, vocab)
         if target in vocab:

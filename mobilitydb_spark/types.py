@@ -572,6 +572,42 @@ def parse_period(text: str) -> Period:
 
 def parse_periodset(text: str) -> list[Period]:
     s = text.strip()
-    assert s[0] == "{" and s[-1] == "}"
+    if not s.startswith("{") or not s.endswith("}"):
+        raise ValueError("Could not parse period set")
     parts = re.split(r"(?<=[\])])\s*,\s*(?=[\[(])", s[1:-1].strip())
-    return normalize_periods([parse_period(p) for p in parts])
+    try:
+        periods = [parse_period(p) for p in parts]
+    except ValueError as e:
+        if "Could not parse period" in str(e):
+            raise ValueError("Could not parse period set")
+        raise
+    if not periods:
+        raise ValueError("A period set must have at least one period")
+    return normalize_periods(periods)
+
+
+def parse_timestampset(text: str) -> list[int]:
+    """Parse a timestampset literal (`src/timestampset.c`
+    timestampset_in; goldens 03_timestampset): sorted distinct µs."""
+    s = text.strip()
+    if not s.startswith("{") or not s.endswith("}"):
+        raise ValueError("Could not parse timestamp set")
+    toks = [t.strip() for t in s[1:-1].split(",")]
+    try:
+        out = [int(parse_ts(t)) for t in toks if t]
+    except Exception:
+        raise ValueError("Could not parse timestamp set")
+    if not out:
+        raise ValueError("A timestamp set must have at least one timestamp")
+    if len(set(out)) != len(out) or out != sorted(out):
+        raise ValueError("Invalid value for timestamp set")
+    return out
+
+
+def format_timestampset(ts: list[int]) -> str:
+    return "{" + ", ".join(fmt_ts(int(t)) for t in ts) + "}"
+
+
+def format_periodset(ps: list[Period]) -> str:
+    """Print a period list in the reference periodset format."""
+    return "{" + ", ".join(str(p) for p in ps) + "}"

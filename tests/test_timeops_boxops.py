@@ -346,3 +346,39 @@ def test_period_literal_goldens():
         with pytest.raises(ValueError) as e:
             P(lit)
         assert str(e.value) == msg, lit
+
+
+# --- 03_timestampset / 05_periodset literal goldens (verbatim) -----------
+
+def test_timestampset_literal_goldens():
+    import pytest
+    from mobilitydb_spark.types import (format_timestampset,
+                                        parse_timestampset)
+    got = parse_timestampset("{2000-01-01, 2000-01-02, 2000-01-03}")
+    assert format_timestampset(got) == \
+        ("{2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00, "
+         "2000-01-03 00:00:00+00}")
+    for bad, msg in [("2000-01-01, 2000-01-02",
+                      "Could not parse timestamp set"),
+                     ("{2000-01-01, 2000-01-02",
+                      "Could not parse timestamp set"),
+                     ("{}", "A timestamp set must have at least one "
+                            "timestamp")]:
+        with pytest.raises(ValueError) as e:
+            parse_timestampset(bad)
+        assert str(e.value) == msg, bad
+    with pytest.raises(ValueError, match="Invalid value"):
+        parse_timestampset("{2000-01-01, 2000-01-01, 2000-01-03}")
+
+
+def test_periodset_literal_goldens():
+    import pytest
+    from mobilitydb_spark.types import format_periodset, parse_periodset
+    got = parse_periodset("{[2000-01-01, 2000-01-02], "
+                          "[2000-01-03,2000-01-04]}")
+    assert format_periodset(got) == \
+        ("{[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00], "
+         "[2000-01-03 00:00:00+00, 2000-01-04 00:00:00+00]}")
+    for bad in ["2000-01-01, 2000-01-02", "{[2000-01-01, 2000-01-02]"]:
+        with pytest.raises(ValueError, match="Could not parse period set"):
+            parse_periodset(bad)
