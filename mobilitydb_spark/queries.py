@@ -785,10 +785,10 @@ def q_traj_ever_in_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ever_in": bool(intersects(tv, box)),
             "always_in": bool(within(tv, box))}])
 
-    return (pts.groupBy("key")
-            .applyInPandas(agg, "key bigint, ever_in boolean, "
-                                "always_in boolean")
-            .orderBy("key"))
+    from .spark_temporal import _per_key_kernel
+    return _per_key_kernel(pts, "key",
+                           "key bigint, ever_in boolean, "
+                           "always_in boolean", agg).orderBy("key")
 
 
 _ORACLE_EVER_IN_BOX = f"""
@@ -2520,7 +2520,8 @@ def q_traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timespan_us": tv.timespan(),
             "io_roundtrip_ok": io_ok, "mfjson_roundtrip_ok": mf_ok}])
 
-    return pts.groupBy("key").applyInPandas(stats, schema).orderBy("key")
+    from .spark_temporal import _per_key_kernel
+    return _per_key_kernel(pts, "key", schema, stats).orderBy("key")
 
 
 _ORACLE_ACCESSORS = f"""
@@ -2570,7 +2571,8 @@ def q_casts_tbox(spark: SparkSession, sf_dir: str) -> DataFrame:
                 all((a.values == b.values).all()
                     for a, b in zip(ti.seqs, rt.seqs)))}])
 
-    return pts.groupBy("key").applyInPandas(stats, schema).orderBy("key")
+    from .spark_temporal import _per_key_kernel
+    return _per_key_kernel(pts, "key", schema, stats).orderBy("key")
 
 
 _ORACLE_CASTS = f"""
