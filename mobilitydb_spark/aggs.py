@@ -22,10 +22,11 @@ Aggregation kinds: count, and, or, min, max, sum, avg, centroid
 (tpoint → tdouble3-style (Σx, Σy, n) finalize divide,
 `tpoint_aggfuncs.c:285-489`).
 
-Spark integration: ``temporal_aggregate`` groups long-form instant
-rows per key and runs the kernel per group inside applyInPandas —
-Spark's partial-aggregation shuffle replaces the reference's
-transfn/combinefn split.
+Spark integration: ``temporal_aggregate`` co-partitions long-form
+instant rows by group key and runs the kernel per group inside a
+batched mapInPandas task (`spark_temporal._per_key_kernel`); the
+ungrouped transfn/combinefn split lives in ``partial_profile_rows`` /
+``temporal_agg_pieces``.
 """
 
 from __future__ import annotations
@@ -588,4 +589,5 @@ def temporal_aggregate(points: DataFrame, kind: str, group: str = "gkey",
         return pd.DataFrame(rows, columns=[group, "seq_idx", "lower_inc",
                                            "upper_inc", t, *out_cols])
 
-    return points.groupBy(group).applyInPandas(agg, schema)
+    from .spark_temporal import _per_key_kernel
+    return _per_key_kernel(points, group, schema, agg)

@@ -101,7 +101,8 @@ def trajectories(pages: DataFrame) -> DataFrame:
             tv = Temporal.sequence_set(seqs, 4326, normalize=False)
         return pd.DataFrame([{"key": url, "tpoint": to_row(tv)}])
 
-    return pts.groupBy("url").applyInPandas(build, TRAJ_SCHEMA)
+    from .spark_temporal import _per_key_kernel
+    return _per_key_kernel(pts, "url", TRAJ_SCHEMA, build)
 
 
 # ---------------------------------------------------------------------------
