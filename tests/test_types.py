@@ -143,3 +143,35 @@ def test_get_time_merges_touching_sequences():
         "{[1@2000-01-01, 2@2000-01-02), [3@2000-01-02, 4@2000-01-03]}")
     ps = v.get_time()
     assert len(ps) == 1
+
+
+def test_astext_goldens_53_tpoint_out():
+    """asText outputs verbatim from
+    `point/test/expected/53_tpoint_out.test.out:1-35` (our __str__ IS
+    asText for temporal values)."""
+    cases = [
+        ("Point(1 1)@2000-01-01",
+         "POINT(1 1)@2000-01-01 00:00:00+00"),
+        ("{Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03}",
+         "{POINT(1 1)@2000-01-01 00:00:00+00, "
+         "POINT(2 2)@2000-01-02 00:00:00+00, "
+         "POINT(1 1)@2000-01-03 00:00:00+00}"),
+        ("[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03]",
+         "[POINT(1 1)@2000-01-01 00:00:00+00, "
+         "POINT(2 2)@2000-01-02 00:00:00+00, "
+         "POINT(1 1)@2000-01-03 00:00:00+00]"),
+        ("{[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03],[Point(3 3)@2000-01-04, "
+         "Point(3 3)@2000-01-05]}",
+         "{[POINT(1 1)@2000-01-01 00:00:00+00, "
+         "POINT(2 2)@2000-01-02 00:00:00+00, "
+         "POINT(1 1)@2000-01-03 00:00:00+00], "
+         "[POINT(3 3)@2000-01-04 00:00:00+00, "
+         "POINT(3 3)@2000-01-05 00:00:00+00]}"),
+        ("Point(1.5 1.5)@2000-01-01",
+         "POINT(1.5 1.5)@2000-01-01 00:00:00+00"),
+    ]
+    for lit, want in cases:
+        assert str(T.parse_temporal(lit)) == want, lit
