@@ -272,6 +272,102 @@ def _la(lines: list[np.ndarray], g: geo.Geometry) -> str:
         + bi + bb + be + "21" + "2"
 
 
+def _rep_point(g: geo.Geometry):
+    """A representative INTERIOR point (point-on-surface light): a
+    horizontal scanline midway between two distinct vertex ys, paired
+    even-odd crossings give interior intervals (holes respected)."""
+    ys = np.unique(np.concatenate([r[:, 1] for r, _ in g.rings()]))
+    for k in range(len(ys) - 1):
+        y = (ys[k] + ys[k + 1]) / 2.0
+        xs = []
+        for ring, _ in g.rings():
+            for i in range(len(ring) - 1):
+                y0, y1 = ring[i, 1], ring[i + 1, 1]
+                if (y0 > y) != (y1 > y):
+                    xs.append(ring[i, 0] + (y - y0) / (y1 - y0)
+                              * (ring[i + 1, 0] - ring[i, 0]))
+        xs = sorted(xs)
+        for a, b in zip(xs[0::2], xs[1::2]):
+            if b - a > 1e-12:
+                return np.array([(a + b) / 2.0, y])
+    return None
+
+
+def _strictly_inside(q, g: geo.Geometry, rings) -> bool:
+    return (bool(geo.points_in_polygon(q[0:1], q[1:2], g)[0])
+            and not _on_lines(q, rings))
+
+
+def _aa(ga: geo.Geometry, gb: geo.Geometry) -> str:
+    """A = polygon, B = polygon (areal × areal).
+
+    Each boundary edge is split at every intersection with the other
+    boundary; between consecutive split points an edge stays on one
+    side, so classifying the sub-segment MIDPOINT (strictly inside /
+    strictly outside / collinear-on-boundary) is exact.  A boundary
+    sub-segment strictly inside the other polygon witnesses interior
+    overlap on one side and exterior leakage on the other (the
+    boundary separates locally); representative interior points
+    resolve the residual faces where the boundaries coincide (equal
+    polygons, hole-filling)."""
+    rings_a = [r for r, _ in ga.rings()]
+    rings_b = [r for r, _ in gb.rings()]
+
+    def classify(rings_x, g_other, rings_other):
+        inside = outside = touch = False
+        for ln in rings_x:
+            for i in range(len(ln) - 1):
+                p0, p1 = ln[i], ln[i + 1]
+                rs = [0.0, 1.0]
+                for rl in rings_other:
+                    for j in range(len(rl) - 1):
+                        got = _seg_pair(p0, p1, rl[j], rl[j + 1])
+                        if got and got[0] == "point":
+                            d = p1 - p0
+                            L2 = float(np.dot(d, d))
+                            if L2 > 0:
+                                r = float(np.dot(got[1] - p0, d) / L2)
+                                if 0.0 <= r <= 1.0:
+                                    rs.append(r)
+                                    touch = True
+                for a, b in zip(*(lambda v: (v[:-1], v[1:]))(
+                        sorted(set(rs)))):
+                    if b - a <= 1e-12:
+                        continue
+                    mid = p0 + (p1 - p0) * ((a + b) / 2.0)
+                    if _on_lines(mid, rings_other):
+                        continue  # collinear: boundary∩boundary dim 1
+                    if geo.points_in_polygon(mid[0:1], mid[1:2],
+                                             g_other)[0]:
+                        inside = True
+                    else:
+                        outside = True
+        return inside, outside, touch
+
+    a_in, a_out, touch_a = classify(rings_a, gb, rings_b)
+    b_in, b_out, touch_b = classify(rings_b, ga, rings_a)
+    col = _cover_len(rings_a, rings_b) > 1e-12
+    rep_a, rep_b = _rep_point(ga), _rep_point(gb)
+    a_rep_in_b = rep_a is not None and _strictly_inside(rep_a, gb, rings_b)
+    a_rep_out_b = rep_a is not None and not (
+        bool(geo.points_in_polygon(rep_a[0:1], rep_a[1:2], gb)[0])
+        or _on_lines(rep_a, rings_b))
+    b_rep_in_a = rep_b is not None and _strictly_inside(rep_b, ga, rings_a)
+    b_rep_out_a = rep_b is not None and not (
+        bool(geo.points_in_polygon(rep_b[0:1], rep_b[1:2], ga)[0])
+        or _on_lines(rep_b, rings_a))
+
+    ii = "2" if (a_in or b_in or a_rep_in_b or b_rep_in_a) else "F"
+    ib = "1" if b_in else "F"
+    ie = "2" if (a_out or b_in or a_rep_out_b) else "F"
+    bi = "1" if a_in else "F"
+    bb = "1" if col else ("0" if (touch_a or touch_b) else "F")
+    be = "1" if a_out else "F"
+    ei = "2" if (b_out or a_in or b_rep_out_a) else "F"
+    eb = "1" if b_out else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -308,7 +404,9 @@ def relate_geoms(a: geo.Geometry, b: geo.Geometry) -> str | None:
         return _la(_lines_of(a), b)
     if ka == "A" and kb == "L":
         return _transpose(_la(_lines_of(b), a))
-    raise NotImplementedError("relate between two areal operands")
+    if ka == "A" and kb == "A":
+        return _aa(a, b)
+    raise NotImplementedError(f"relate between {ka} and {kb} operands")
 
 
 def matches_pattern(matrix: str, pattern: str) -> bool:

@@ -195,16 +195,43 @@ def test_trelate_polygon_classification():
     assert tt2.value_at(int(t4)) == "0F2FF1FF2"
 
 
-def test_relate_areal_areal_documented_exclusion():
-    """Operand-domain guard (COVERAGE §2.9): areal×areal relate is a
-    documented exclusion — a tpoint trajectory is never areal; the
-    reference delegates that case to GEOS."""
+def _sq(x0, y0, x1, y1):
     import numpy as np
-    import pytest
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+
+
+def test_relate_areal_areal_matrices():
+    """Areal × areal DE-9IM (closes the last operand-class gap):
+    expected matrices are the standard GEOS results for each
+    configuration."""
     from mobilitydb_spark import geo
     from mobilitydb_spark.de9im import relate_geoms
-    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
-                     [0.0, 0.0]])
-    poly = geo.Geometry("Polygon", [ring])
-    with pytest.raises(NotImplementedError, match="areal"):
-        relate_geoms(poly, poly)
+
+    def P(*rings):
+        return geo.Geometry("Polygon", list(rings))
+
+    a = P(_sq(0, 0, 10, 10))
+    # disjoint
+    assert relate_geoms(a, P(_sq(20, 20, 30, 30))) == "FF2FF1212"
+    # corner touch
+    assert relate_geoms(a, P(_sq(10, 10, 20, 20))) == "FF2F01212"
+    # shared edge
+    assert relate_geoms(a, P(_sq(10, 0, 20, 10))) == "FF2F11212"
+    # partial overlap
+    assert relate_geoms(a, P(_sq(5, 5, 15, 15))) == "212101212"
+    # equal
+    assert relate_geoms(a, P(_sq(0, 0, 10, 10))) == "2FFF1FFF2"
+    # strict containment
+    assert relate_geoms(a, P(_sq(2, 2, 8, 8))) == "212FF1FF2"
+    # donut vs its hole filler: interiors disjoint, hole ring shared
+    donut = P(_sq(0, 0, 10, 10), _sq(4, 4, 6, 6))
+    filler = P(_sq(4, 4, 6, 6))
+    assert relate_geoms(donut, filler) == "FF2F112F2"
+    # A contains B, outer boundary shared, B has a hole inside A
+    b_holed = P(_sq(0, 0, 10, 10), _sq(4, 4, 6, 6))
+    assert relate_geoms(a, b_holed) == "212F1FFF2"
+    # covers/within via pattern matching still work on areal pairs
+    from mobilitydb_spark.de9im import matches_pattern
+    m = relate_geoms(P(_sq(2, 2, 8, 8)), a)
+    assert matches_pattern(m, "T*F**F***")  # within
