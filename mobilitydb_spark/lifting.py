@@ -359,7 +359,9 @@ def lift_comparison(op: str, a: Temporal, b: Temporal) -> Temporal | None:
         # inputs (golden: `{[t@..]}` even for a single piece)
         dur = SEQUENCESET
     seqs.sort(key=lambda s: int(s.times[0]))
-    return Temporal(dur, seqs, False, 0, True)
+    out = Temporal(dur, seqs, False, 0, True)
+    out.is_bool = True  # a comparison IS a tbool (prints t/f)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,8 @@ def test_teq_mixed_step_linear_crossing():
     a = tstep("[1@2000-01-01, 2@2000-01-02, 1@2000-01-03]")
     b = tf("[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03]")
     got = L.lift_comparison("eq", a, b)
-    assert out(got) == ("{[0@2000-01-01 00:00:00+00, 1@2000-01-02 12:00:00+00]"
-                        ", (0@2000-01-02 12:00:00+00, 0@2000-01-03 00:00:00+00]}")
+    assert out(got) == ("{[f@2000-01-01 00:00:00+00, t@2000-01-02 12:00:00+00]"
+                        ", (f@2000-01-02 12:00:00+00, f@2000-01-03 00:00:00+00]}")
 
 
 def test_teq_linear_knot_equality():
@@ -41,12 +41,12 @@ def test_teq_linear_knot_equality():
     a = tf("[1@2000-01-01, 1@2000-01-03]")
     b = tf("[1@2000-01-01, 2@2000-01-02, 1@2000-01-03]")
     got = L.lift_comparison("eq", a, b)
-    assert out(got) == ("{[1@2000-01-01 00:00:00+00], "
-                        "(0@2000-01-01 00:00:00+00, 1@2000-01-03 00:00:00+00]}")
+    assert out(got) == ("{[t@2000-01-01 00:00:00+00], "
+                        "(f@2000-01-01 00:00:00+00, t@2000-01-03 00:00:00+00]}")
     # #<> is the complement (golden 1807-1811)
     ne = L.lift_comparison("ne", a, b)
-    assert out(ne) == ("{[0@2000-01-01 00:00:00+00], "
-                       "(1@2000-01-01 00:00:00+00, 0@2000-01-03 00:00:00+00]}")
+    assert out(ne) == ("{[f@2000-01-01 00:00:00+00], "
+                       "(t@2000-01-01 00:00:00+00, f@2000-01-03 00:00:00+00]}")
 
 
 def test_tle_constant_true():
@@ -55,7 +55,7 @@ def test_tle_constant_true():
     b = tf("[1@2000-01-01, 2@2000-01-02, 1@2000-01-03]")
     got = L.lift_comparison("le", a, b)
     assert out(got) == \
-        "{[1@2000-01-01 00:00:00+00, 1@2000-01-03 00:00:00+00]}"
+        "{[t@2000-01-01 00:00:00+00, t@2000-01-03 00:00:00+00]}"
 
 
 def test_teq_discrete_sync():
@@ -63,7 +63,7 @@ def test_teq_discrete_sync():
     b = tstep("{1@2000-01-01, 1@2000-01-02}")
     got = L.lift_comparison("eq", a, b)
     assert out(got) == \
-        "{1@2000-01-01 00:00:00+00, 0@2000-01-02 00:00:00+00}"
+        "{t@2000-01-01 00:00:00+00, f@2000-01-02 00:00:00+00}"
 
 
 def test_tadd_sync_linear():
@@ -202,3 +202,34 @@ def test_boolops_goldens_26():
     assert got == ("{[f@2000-01-01 00:00:00+00, t@2000-01-02 00:00:00+00, "
                    "f@2000-01-03 00:00:00+00], "
                    "[f@2000-01-04 00:00:00+00, f@2000-01-05 00:00:00+00]}")
+
+
+def test_compops_goldens_54_tpoint():
+    """tpoint #= constant-point goldens verbatim from
+    `point/test/expected/54_tpoint_compops.test.out:1-28` — including
+    the reference's compact isolated-true form
+    `{[t@a], (f@a, t@b]}`."""
+    import numpy as np
+    from mobilitydb_spark import types as T
+    from mobilitydb_spark.lifting import const_temporal, lift_comparison
+    cases = [
+        ("Point(1 1)@2000-01-01", "t@2000-01-01 00:00:00+00"),
+        ("{Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03}",
+         "{t@2000-01-01 00:00:00+00, f@2000-01-02 00:00:00+00, "
+         "t@2000-01-03 00:00:00+00}"),
+        ("[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03]",
+         "{[t@2000-01-01 00:00:00+00], "
+         "(f@2000-01-01 00:00:00+00, t@2000-01-03 00:00:00+00]}"),
+        ("{[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03],[Point(3 3)@2000-01-04, "
+         "Point(3 3)@2000-01-05]}",
+         "{[t@2000-01-01 00:00:00+00], "
+         "(f@2000-01-01 00:00:00+00, t@2000-01-03 00:00:00+00], "
+         "[f@2000-01-04 00:00:00+00, f@2000-01-05 00:00:00+00]}"),
+    ]
+    for lit, want in cases:
+        a = T.parse_temporal(lit)
+        b = const_temporal(np.array([1.0, 1.0]), a)
+        assert str(lift_comparison("eq", a, b)) == want, lit
