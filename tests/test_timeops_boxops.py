@@ -382,3 +382,43 @@ def test_periodset_literal_goldens():
     for bad in ["2000-01-01, 2000-01-02", "{[2000-01-01, 2000-01-02]"]:
         with pytest.raises(ValueError, match="Could not parse period set"):
             parse_periodset(bad)
+
+
+def test_tpoint_to_stbox_goldens_58():
+    """tgeompoint::stbox cast goldens verbatim from
+    `point/test/expected/58_tpoint_boxops.test.out:133-156` via
+    `stbox_out(STBox.of(...))`, plus the && overlap golden at :1055."""
+    from mobilitydb_spark import types as T
+    from mobilitydb_spark.boxops import (STBox, overlaps, parse_stbox,
+                                         stbox_out)
+    cases = [
+        ("Point(1 1)@2000-01-01",
+         "STBOX T((1,1,2000-01-01 00:00:00+00),"
+         "(1,1,2000-01-01 00:00:00+00))"),
+        ("{Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03}",
+         "STBOX T((1,1,2000-01-01 00:00:00+00),"
+         "(2,2,2000-01-03 00:00:00+00))"),
+        ("[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03]",
+         "STBOX T((1,1,2000-01-01 00:00:00+00),"
+         "(2,2,2000-01-03 00:00:00+00))"),
+        ("{[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+         "Point(1 1)@2000-01-03],[Point(3 3)@2000-01-04, "
+         "Point(3 3)@2000-01-05]}",
+         "STBOX T((1,1,2000-01-01 00:00:00+00),"
+         "(3,3,2000-01-05 00:00:00+00))"),
+    ]
+    for lit, want in cases:
+        assert stbox_out(STBox.of(T.parse_temporal(lit))) == want, lit
+    # :1055-ish — sequence && spatial-only STBOX((1,2),(1,2)) = t
+    tv = T.parse_temporal("[Point(1 1)@2000-01-01, Point(2 2)@2000-01-02, "
+                          "Point(1 1)@2000-01-03]")
+    box = parse_stbox("STBOX((1.0, 2.0), (1.0, 2.0))")
+    tb = STBox.of(tv)
+    # spatial-only comparison: box has no T dimension; widen its time
+    # to the value's own span (the reference's overlap ignores the
+    # missing dimension)
+    box_t = STBox(box.xmin, box.xmax, box.ymin, box.ymax,
+                  tb.tmin, tb.tmax)
+    assert overlaps(tb, box_t) is True
