@@ -262,17 +262,19 @@ def _gk_np(vals: np.ndarray) -> np.ndarray:
     rxy = np.sqrt(x * x + y * y)
     p = z / rxy
     f = np.full(len(vals), np.pi * 50.0 / 180.0)
-    # iteration cap + NaN bail: a degenerate coordinate (rxy == 0 at a
-    # geocentric pole) would make the convergence test permanently
-    # False and hang the executor task otherwise
+    # iteration cap + per-row NaN mask: a degenerate coordinate
+    # (rxy == 0 at a geocentric pole) yields NaN and would make a
+    # whole-batch convergence test permanently False (hang) — while a
+    # whole-batch bail would freeze every OTHER row at its current
+    # iterate (batch-composition-dependent output).  Degenerate rows
+    # go NaN and stay NaN; finite rows iterate to convergence.
     for _ in range(100):
-        zw = _GK_ABES / np.sqrt(1.0 - eqbes * np.sin(f) ** 2)
-        nnq = 1.0 - (eqbes * zw / (rxy / np.cos(f)))
-        f1 = np.arctan(p / nnq)
-        if np.isnan(f1).any():
-            f = f1
-            break
-        if np.abs(f - f1).max() < 10e-10:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zw = _GK_ABES / np.sqrt(1.0 - eqbes * np.sin(f) ** 2)
+            nnq = 1.0 - (eqbes * zw / (rxy / np.cos(f)))
+            f1 = np.arctan(p / nnq)
+        bad = np.isnan(f1)
+        if np.abs(np.where(bad, 0.0, f - f1)).max() < 10e-10:
             f = f1
             break
         f = f1

@@ -1703,18 +1703,22 @@ def _oracle_lifted() -> str:
 
 
 def q_geog_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geography-mode dwithin join: doc-point pairs within 25 km
+    """Geography-mode dwithin join: doc-point pairs within 50 km
     great-circle meters (`tpoint_spatialrels.c:166-170` geog_dwithin;
     haversine divergence policy per SURVEY §7).  Two-phase grid-disk
     prefilter + JVM haversine refine; oracle recomputes ALL pairs
-    brute-force with the SAME SQL expression text."""
+    brute-force with the SAME SQL expression text.  50 km (not r3's
+    25 km) so the fixture yields a NONZERO pair set at every SF —
+    the r3 driver row was green-but-vacuous (0 rows both sides); at
+    50 km sf0.01 has 359 pairs spanning lat 32..72N, which exercises
+    the high-latitude lon-expand fallback too."""
     from . import joins
     docs = _load(spark, sf_dir, "documents")
     pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
                       F.expr(_LAT).alias("lat"))
     l = pts.select(F.col("doc_id").alias("l_id"), "lon", "lat")
     r = pts.select(F.col("doc_id").alias("r_id"), "lon", "lat")
-    out = joins.dwithin_join_geog(l, r, 25_000.0, res=7)
+    out = joins.dwithin_join_geog(l, r, 50_000.0, res=7)
     return (out.where(F.col("l_id") < F.col("r_id"))
             .select(F.col("l_id").alias("id_i"), F.col("r_id").alias("id_j"),
                     F.round("dist_m", 3).alias("dist_m_r"))
@@ -1730,7 +1734,7 @@ def _oracle_geog_dwithin() -> str:
         SELECT a.doc_id AS id_i, b.doc_id AS id_j,
                ROUND({h}, 3) AS dist_m_r
         FROM pts a JOIN pts b ON a.doc_id < b.doc_id
-        WHERE {h} <= 25000.0
+        WHERE {h} <= 50000.0
         ORDER BY id_i, id_j
     """
 
@@ -2760,23 +2764,40 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_i", "id_j")
 
 
-def _oracle_cosine_lsh(n_planes: int = 16, max_hamming: int = 3) -> str:
+def _oracle_cosine_lsh(n_planes: int = 16, max_hamming: int = 3,
+                       max_bucket: int = 20000) -> str:
+    """Replicates the FULL engine candidate rule, including the
+    ``max_bucket`` degenerate-bucket cap (ADVICE r3: the previous
+    OR-of-chunk-matches oracle had no cap, so past ~320k embeddings
+    the engine would silently drop pairs the oracle reports).  The
+    exploded-chunk self-join below is the engine's exact join shape:
+    a pair is a candidate iff it shares >=1 (chunk, ckey) whose bucket
+    size is <= max_bucket."""
     planes = _lsh_planes(n_planes)
     sig = _lsh_sig_sql("v", planes)
     n_chunks = max_hamming + 1
     width = n_planes // n_chunks
     mask = (1 << width) - 1
-    share = " OR ".join(
-        f"(((a.sig >> {c * width}) & {mask}) = ((b.sig >> {c * width}) & {mask}))"
-        for c in range(n_chunks))
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    s AS (SELECT vec_id, v, {sig} AS sig FROM e)
-    SELECT a.vec_id AS id_i, b.vec_id AS id_j,
-           ROUND(list_dot_product(a.v, b.v), 6) AS score
-    FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({share})
-    WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {_COS_TAU}
+    s AS (SELECT vec_id, v, {sig} AS sig FROM e),
+    b AS (SELECT vec_id, CAST(c.range AS INT) AS chunk,
+                 ((sig >> (CAST(c.range AS INT) * {width})) & {mask})
+                     AS ckey
+          FROM s CROSS JOIN range({n_chunks}) c),
+    ok AS (SELECT chunk, ckey FROM b GROUP BY chunk, ckey
+           HAVING COUNT(*) <= {max_bucket}),
+    bk AS (SELECT b.* FROM b JOIN ok USING (chunk, ckey)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_i, b2.vec_id AS id_j
+             FROM bk a JOIN bk b2
+               ON a.chunk = b2.chunk AND a.ckey = b2.ckey
+              AND a.vec_id < b2.vec_id)
+    SELECT c.id_i, c.id_j,
+           ROUND(list_dot_product(ea.v, eb.v), 6) AS score
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_i
+                JOIN e eb ON eb.vec_id = c.id_j
+    WHERE ROUND(list_dot_product(ea.v, eb.v), 6) >= {_COS_TAU}
     ORDER BY id_i, id_j
 """
 

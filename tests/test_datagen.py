@@ -190,6 +190,29 @@ def test_cosine_neardup_recall_on_planted_dups(spark):
     assert (got["score"] >= 0.9).all()
 
 
+def test_cosine_neardup_bucket_cap_matches_oracle(spark):
+    """ADVICE r3 (medium): the engine's max_bucket cap must be part of
+    the SQL-replicated semantics.  Run engine and oracle with a TINY
+    cap that actually trips on the fixture and assert they agree —
+    and that the cap really dropped candidates vs. the uncapped run."""
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    capped = similarity.cosine_neardup_pairs(
+        emb, 0.42, max_bucket=30).toPandas()
+    uncapped = similarity.cosine_neardup_pairs(
+        emb, 0.42, max_bucket=10**9).toPandas()
+    assert len(capped) < len(uncapped)  # the cap must actually trip
+    from mobilitydb_spark import queries as qmod
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    odf = con.sql(qmod._oracle_cosine_lsh(max_bucket=30)).df()
+    got = {(r.id_i, r.id_j) for r in capped.itertuples()}
+    want = {(r.id_i, r.id_j) for r in odf.itertuples()}
+    assert got == want
+
+
 def test_multimodal_resize_plumbing(spark):
     """resize_images: deterministic area pooling with real batch
     plumbing (schema, dtype round-trip, per-row flag)."""

@@ -39,11 +39,21 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(map(repr, rows))
 
 
+# queries whose oracle parity would be vacuous on an empty result —
+# assert they return rows (r3 verdict: geog_dwithin_join was green
+# with 0 rows on both sides, proving nothing about the math)
+NONEMPTY = {"geog_dwithin_join", "cosine_dedup", "cosine_neardup_lsh",
+            "dwithin_join", "interval_join", "minhash_dedup",
+            "simhash_pairs"}
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR).toPandas()
     odf = duck.sql(entry_mod.oracle_sql()[name]).df()
+    if name in NONEMPTY:
+        assert len(sdf) > 0, f"{name}: vacuous (0-row) parity"
     assert sorted(sdf.columns) == sorted(odf.columns), \
         f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"

@@ -65,3 +65,17 @@ def test_gk_iteration_terminates_on_nan():
     out = _gk_np(np.array([[np.nan, np.nan], [7.5, 51.5]]))
     assert out.shape == (2, 2)
     assert np.isfinite(out[1]).all()
+
+
+def test_gk_nan_row_does_not_perturb_batch():
+    """ADVICE r3 (high): the NaN bail must be per-row — one degenerate
+    row in a batch previously froze every other row at its
+    iteration-1 value (~678 m northing error at (7.5, 51.5))."""
+    import numpy as np
+    from mobilitydb_spark.everops import _gk_np
+    alone = _gk_np(np.array([[7.5, 51.5], [13.4, 52.52]]))
+    batched = _gk_np(np.array([[7.5, 51.5], [np.nan, np.nan],
+                               [13.4, 52.52]]))
+    assert np.allclose(alone[0], batched[0], atol=1e-6)
+    assert np.allclose(alone[1], batched[2], atol=1e-6)
+    assert np.isnan(batched[1]).all()
