@@ -148,8 +148,9 @@ def main() -> None:
     # Raw per-rep samples go to a side file: the r3 driver could not
     # parse the official line because the inline reps dict overflowed
     # its tail capture.  The printed line carries medians only.
+    master_tag = spark.sparkContext.master.replace("[", "").replace("]", "")
     reps_path = os.path.join(REPO, "BENCH",
-                             f"reps_{sf_name}_{os.getpid()}.json")
+                             f"reps_{sf_name}_{master_tag}.json")
     os.makedirs(os.path.dirname(reps_path), exist_ok=True)
     with open(reps_path, "w") as fh:
         json.dump({"sf": sf_name, "master": spark.sparkContext.master,

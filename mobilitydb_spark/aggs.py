@@ -140,17 +140,30 @@ def _combine_matrix(kind: str, vals: np.ndarray, mask: np.ndarray):
     raise ValueError(kind)
 
 
-def tagg(values: list[Temporal], kind: str) -> Temporal | None:
-    """Sweep-line temporal aggregation of N temporal values."""
+def tagg(values: list[Temporal], kind: str,
+         finalize_divide: bool = False) -> Temporal | None:
+    """Sweep-line temporal aggregation of N temporal values.
+
+    ``finalize_divide`` is the reference's double2/double3 finalfn
+    (`src/temporal_aggfuncs.c:716-812`, `point/src/tpoint_aggfuncs.c:
+    285-489`): inputs are (components..., weight) SUM partials; every
+    evaluated point divides components by the weight, so avg/centroid
+    merge exactly from parallel partials.  Requires kind == 'sum'."""
     values = [v for v in values if v is not None]
     if not values:
         return None
+    if finalize_divide and kind != "sum":
+        raise ValueError("finalize_divide requires kind='sum'")
     dim = values[0].dim
-    linear_in = values[0].linear and dim <= 2
     result_linear = (kind not in _STEP_KINDS) and all(
         v.linear for v in values)
     if kind in ("count", "and", "or"):
         result_linear = False
+
+    def fin(v: np.ndarray) -> np.ndarray:
+        if not finalize_divide:
+            return v
+        return v[:-1] / v[-1]
 
     # 1. global boundary set
     bounds = np.unique(np.concatenate([v.times for v in values]))
@@ -162,7 +175,7 @@ def tagg(values: list[Temporal], kind: str) -> Temporal | None:
     all_mask = np.stack([vm[1] for vm in per_member])
     kvals, kdef = _combine_matrix(kind, all_vals, all_mask)
     knots: list[tuple[int, np.ndarray]] = [
-        (int(bounds[i]), kvals[i]) for i in np.nonzero(kdef)[0]]
+        (int(bounds[i]), fin(kvals[i])) for i in np.nonzero(kdef)[0]]
     intervals: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     all_discrete = all(v.duration in (INSTANT, INSTANTSET) for v in values)
     for a, b in ([] if all_discrete else zip(bounds[:-1], bounds[1:])):
@@ -201,7 +214,8 @@ def tagg(values: list[Temporal], kind: str) -> Temporal | None:
             r_hi = (hi - a) / (b - a)
             w0 = v0 + (v1 - v0) * r_lo
             w1 = v0 + (v1 - v0) * r_hi
-            intervals.append((lo, hi, _combine(kind, w0), _combine(kind, w1)))
+            intervals.append((lo, hi, fin(_combine(kind, w0)),
+                              fin(_combine(kind, w1))))
 
     if not knots and not intervals:
         return None
@@ -449,24 +463,34 @@ def temporal_agg_pieces(points: DataFrame, kind: str,
     from pyspark.sql import functions as F
     merge_kind = {"count": "sum", "sum": "sum", "min": "min",
                   "max": "max", "and": "and", "or": "or",
-                  "avg": None, "centroid": None}[kind]
-    if merge_kind is None:
-        raise ValueError(f"{kind}: finalize-divide kinds need the "
-                         "sampled-profile path (sum+count partials)")
+                  "avg": "sum", "centroid": "sum"}[kind]
+    finalize = kind in ("avg", "centroid")
+    if finalize and window_us is not None:
+        raise ValueError(f"windowed {kind}: use the wagg kinds instead")
+    partial_kind = "sum" if finalize else kind
+    partial_cols = value_cols
+    if finalize:
+        # double2/double3 partials: each member carries a constant-1
+        # weight component, so a partition's partial SUM profile is
+        # (sum components..., member count) and the merge divides
+        points = points.withColumn("_w", F.lit(1.0))
+        partial_cols = (*value_cols, "_w")
     out_cols = value_cols
     vcols = ", ".join(f"{c} double" for c in out_cols)
     schema = (f"seq_idx int, lower_inc boolean, upper_inc boolean, "
               f"t timestamp, {vcols}")
-    partials = partial_profile_rows(points, (kind,), member=member, t=t,
-                                    value_cols=value_cols, linear=linear,
+    partials = partial_profile_rows(points, (partial_kind,),
+                                    member=member, t=t,
+                                    value_cols=partial_cols, linear=linear,
                                     discrete=discrete, window_us=window_us)
-    step_partial = (kind in _STEP_KINDS) or window_us is not None \
+    step_partial = (partial_kind in _STEP_KINDS) or window_us is not None \
         or not linear
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         by = rebuild_partials(pdf, linear_of=lambda k: not step_partial,
                               step_of=lambda k: step_partial)
-        res = tagg(by.get(kind, []), merge_kind)
+        res = tagg(by.get(partial_kind, []), merge_kind,
+                   finalize_divide=finalize)
         rows = []
         if res is not None:
             for si, s in enumerate(res.seqs):

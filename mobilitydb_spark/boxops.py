@@ -325,6 +325,17 @@ def parse_stbox(s: str) -> STBox:
     if not body.startswith(")"):
         raise ValueError(
             "Could not parse STBOX: Missing closing parenthesis")
+    # mirror the reference: hasx is fixed by the FIRST tuple and the
+    # second is parsed under it (tpoint_parser.c:25-200) — asymmetric
+    # tuples error instead of silently demoting the X dimension
+    if x1 is not None and x2 is None:
+        raise ValueError(
+            "Could not parse STBOX: Invalid input syntax for type double")
+    if x1 is None and x2 is not None:
+        # coords in the 2nd tuple reach the timestamp parser there
+        raise ValueError("Could not parse STBOX")
+    if (t1 is None) != (t2 is None):
+        raise ValueError("Could not parse STBOX")
     has_x = x1 is not None and x2 is not None
     hast_eff = t1 is not None and t2 is not None
     if has_x:

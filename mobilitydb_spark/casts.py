@@ -170,6 +170,21 @@ def parse_tbox(s: str) -> "TBox":
         raise ValueError(str(e).replace("STBOX", "TBOX"))
     if not body.startswith(")"):
         raise ValueError("Could not parse TBOX: Missing closing parenthesis")
+    # the reference parses the SECOND tuple under the first tuple's
+    # hasx/hast flags (temporal_parser.c:160-246) — an asymmetric
+    # tuple is an error there, never a silent dimension demotion
+    if x1 is not None and x2 is None:
+        raise ValueError(
+            "Could not parse TBOX: Invalid input syntax for type double")
+    if t1 is not None and t2 is None:
+        raise ValueError("Could not parse TBOX")
+    if x1 is None and x2 is not None:
+        # 2nd tuple's x-text reaches the timestamp parser there
+        raise ValueError("Could not parse TBOX")
+    if t1 is None and t2 is not None:
+        # with hast unset the parser expects ')' where the t starts
+        raise ValueError(
+            "Could not parse TBOX: Missing closing parenthesis")
     has_x = x1 is not None and x2 is not None
     has_t = t1 is not None and t2 is not None
     xmin, xmax = sorted((x1, x2)) if has_x else (float("nan"),) * 2

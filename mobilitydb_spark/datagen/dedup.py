@@ -217,9 +217,13 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
     identical across engines, so the signature is deterministic AND
     SQL-expressible (the DuckDB oracle reproduces it bit-for-bit).
 
-    Lane-width constraint: per-document token count must stay below
-    2¹⁵ (a 16-bit lane); typical LLM-pipeline documents are chunked
-    far below that — split longer texts upstream.
+    Lane-width constraint: the packed path is exact only while the
+    per-document token count stays below 2¹⁵ (a 16-bit lane).  Docs
+    at or over that are detected from the aggregate's own exact COUNT
+    and recomputed through the unpacked 64-SUM aggregation (a second
+    pass over only the oversized docs' tokens — rare by construction,
+    so the fallback costs ~nothing and the guard makes oversized docs
+    correct instead of silently corrupted by lane carry).
 
     100 TB shape: tokenize-explode (like wordcount) → partial-agg
     groupBy(doc_id) — no UDF, no skew beyond token-count variance.
@@ -245,9 +249,13 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
             e = e + F.shiftleft(bit(4 * j + L), 16 * L)
         return e
 
+    # try_sum: at >= 2^15 tokens the L=3 lane (shifted 48) overflows
+    # the 64-bit SUM itself under ANSI mode — oversized docs get NULL
+    # lanes here and are recomputed through the unpacked path below
+    # (their ntok COUNT stays exact either way)
     votes = hv.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("ntok"),
-        *[F.sum(packed(j)).alias(f"p{j}") for j in range(16)])
+        *[F.try_sum(packed(j)).alias(f"p{j}") for j in range(16)])
 
     def lane(b: int):
         return F.shiftrightunsigned(
@@ -259,7 +267,25 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
     for b in range(63):
         sig_expr = sig_expr + F.when(lane(b) * 2 > F.col("ntok"),
                                      F.lit(1 << b)).otherwise(F.lit(0))
-    sig = votes.select(id_col, sig_expr.cast("long").alias("simhash"))
+    sig = votes.where(F.col("ntok") < (1 << 15)) \
+        .select(id_col, sig_expr.cast("long").alias("simhash"))
+    # lane-overflow fallback: docs with >= 2^15 tokens would carry a
+    # saturated 16-bit vote lane into its neighbour; recompute them
+    # with the unpacked 64-SUM aggregation (only their tokens — the
+    # semi-join prunes before the shuffle, and AQE broadcasts the
+    # usually-tiny oversized-id list)
+    big_ids = votes.where(F.col("ntok") >= (1 << 15)).select(id_col)
+    big_votes = hv.join(big_ids, id_col, "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("ntok"),
+        *[F.sum(bit(b)).alias(f"b{b}") for b in range(64)])
+    big_expr = F.when(F.col("b63") * 2 > F.col("ntok"),
+                      F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for b in range(63):
+        big_expr = big_expr + F.when(F.col(f"b{b}") * 2 > F.col("ntok"),
+                                     F.lit(1 << b)).otherwise(F.lit(0))
+    big_sig = big_votes.select(id_col, big_expr.cast("long")
+                               .alias("simhash"))
+    sig = sig.unionByName(big_sig)
     # docs with zero tokens get signature 0
     return (df.select(id_col).join(sig, id_col, "left")
             .select(id_col, F.coalesce("simhash", F.lit(0))

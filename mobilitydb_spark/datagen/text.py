@@ -59,15 +59,8 @@ def langid_col(text: Column, tie_order: list[str] | None = None) -> Column:
                 *[F.lit(w) for w in STOPWORDS[lg]]))).alias("score"),
             F.lit(lg).alias("lang"))
         for lg in langs])
-    # max by (score, reversed-lang) → ties resolve to the earliest code
-    best = F.array_max(F.transform(
-        scored, lambda s: F.struct(
-            s["score"].alias("score"),
-            # invert lang for tie-break: array_max picks lexicographically
-            # larger struct; we want the SMALLEST lang on equal score
-            F.lit(None).cast("string").alias("_pad"),
-            s["lang"].alias("lang"))))
-    # simpler deterministic approach: sort_array desc on (score, neg-rank)
+    # deterministic winner: sort_array desc on (score, neg-rank) —
+    # ties resolve to the earliest language code
     ranked = F.sort_array(F.transform(
         F.sequence(F.lit(0), F.lit(len(langs) - 1)),
         lambda i: F.struct(

@@ -470,8 +470,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
 
 def interval_join(left: DataFrame, right: DataFrame,
                   bucket_us: int = 86_400_000_000,
-                  left_id: str = "l_id", right_id: str = "r_id"
-                  ) -> DataFrame:
+                  left_id: str = "l_id", right_id: str = "r_id",
+                  max_buckets: int = 64) -> DataFrame:
     """Temporal range/interval join: all (left, right) pairs whose
     closed periods [t0_us, t1_us] overlap (the reference's
     `a && period` / overlaps time-op used as a join predicate,
@@ -482,18 +482,39 @@ def interval_join(left: DataFrame, right: DataFrame,
     refines.  Each overlapping pair is emitted EXACTLY ONCE without a
     distinct: the pair is claimed only by the bucket containing
     max(l.t0, r.t0) — the first bucket where both are live.  Output
-    carries the exact overlap microseconds."""
+    carries the exact overlap microseconds.
+
+    Long spans (more than ``max_buckets`` covering buckets) are split
+    out BEFORE the explode (r3 verdict: one outlier span across a
+    100x time domain would otherwise become the biggest relation in
+    the job) and joined via a broadcast nested-loop pass on the raw
+    overlap predicate instead — they overlap nearly everything
+    anyway, so the bucket prefilter buys nothing for them.  The three
+    passes (short x short bucketed, long-left x all-right, short-left
+    x long-right) partition the pair space, so exactly-once holds
+    with no dedup."""
     W = int(bucket_us)
     l = left.select(F.col(left_id), F.col("t0_us").alias("l_t0"),
                     F.col("t1_us").alias("l_t1"))
     r = right.select(F.col(right_id), F.col("t0_us").alias("r_t0"),
                      F.col("t1_us").alias("r_t1"))
-    lexp = l.withColumn("b", F.explode(F.sequence(
-        F.floor(F.col("l_t0") / W), F.floor(F.col("l_t1") / W))))
-    rexp = r.withColumn("b", F.explode(F.sequence(
-        F.floor(F.col("r_t0") / W), F.floor(F.col("r_t1") / W))))
+    l_nb = F.floor(F.col("l_t1") / W) - F.floor(F.col("l_t0") / W) + 1
+    r_nb = F.floor(F.col("r_t1") / W) - F.floor(F.col("r_t0") / W) + 1
+    ls, ll = l.where(l_nb <= max_buckets), l.where(l_nb > max_buckets)
+    rs, rl = r.where(r_nb <= max_buckets), r.where(r_nb > max_buckets)
     start = F.greatest(F.col("l_t0"), F.col("r_t0"))
     end = F.least(F.col("l_t1"), F.col("r_t1"))
-    return (lexp.join(rexp, "b")
-            .where((start <= end) & (F.col("b") == F.floor(start / W)))
-            .select(left_id, right_id, (end - start).alias("overlap_us")))
+    sel = [F.col(left_id), F.col(right_id),
+           (end - start).alias("overlap_us")]
+    lexp = ls.withColumn("b", F.explode(F.sequence(
+        F.floor(F.col("l_t0") / W), F.floor(F.col("l_t1") / W))))
+    rexp = rs.withColumn("b", F.explode(F.sequence(
+        F.floor(F.col("r_t0") / W), F.floor(F.col("r_t1") / W))))
+    short = (lexp.join(rexp, "b")
+             .where((start <= end) & (F.col("b") == F.floor(start / W)))
+             .select(*sel))
+    overlap = (F.col("l_t0") <= F.col("r_t1")) & \
+              (F.col("r_t0") <= F.col("l_t1"))
+    long_l = r.join(F.broadcast(ll), overlap).select(*sel)
+    long_r = ls.join(F.broadcast(rl), overlap).select(*sel)
+    return short.unionByName(long_l).unionByName(long_r)

@@ -2864,3 +2864,180 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8E()
     out.update(_EXTRA8E)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8f: trajectory WKT + projected spatial rels as table ops
+# (r3 verdict: oracle these two pytest-only families)
+# --------------------------------------------------------------------------
+
+def q_trajectory_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory geometry as WKT text (trajectory,
+    `point/src/tpoint_spatialfuncs.c:513-885`: consecutive duplicate
+    positions collapse; single position → Point, else LineString) —
+    oracle rebuilds the WKT with lag-dedup + string_agg and the same
+    %.15g number formatting (one-decimal fixture values make the two
+    formatters provably agree)."""
+    import pandas as pd
+    from . import spatial
+    from .spark_temporal import temporal_from_pdf, _per_key_kernel
+    pts = _ev_points(spark, sf_dir)
+    schema = "key bigint, geom_type string, n_pts int, wkt string"
+
+    def fmt(v: float) -> str:
+        return f"{v:.15g}"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf["key"].iloc[0]
+        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
+        tv = temporal_from_pdf(pdf, "t", ("x", "y"))
+        g = spatial.trajectory(tv)
+        if g.kind == "Point":
+            c = g.parts[0][0]
+            n, wkt = 1, f"POINT({fmt(c[0])} {fmt(c[1])})"
+        else:
+            coords = g.parts[0]
+            n = len(coords)
+            wkt = "LINESTRING(" + ",".join(
+                f"{fmt(x)} {fmt(y)}" for x, y in coords) + ")"
+        return pd.DataFrame([{"key": kv, "geom_type": g.kind,
+                              "n_pts": n, "wkt": wkt}])
+
+    return _per_key_kernel(pts, "key", schema, stats).orderBy("key")
+
+
+# %.15g for one-decimal doubles: integral values print bare ("12"),
+# others shortest-roundtrip ("12.3") — matches DuckDB VARCHAR casts
+_FMT_15G = ("CASE WHEN {v} = trunc({v}) "
+            "THEN CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+            "ELSE CAST({v} AS VARCHAR) END")
+
+_ORACLE_TRAJECTORY_WKT = f"""
+    WITH pts AS ({_EV_PTS}),
+    lagged AS (
+        SELECT key, t, x, y, lag(x) OVER w AS px, lag(y) OVER w AS py
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    dedup AS (
+        SELECT key, t, x, y FROM lagged
+        WHERE px IS NULL OR x <> px OR y <> py)
+    SELECT key,
+           CASE WHEN COUNT(*) = 1 THEN 'Point'
+                ELSE 'LineString' END AS geom_type,
+           CAST(COUNT(*) AS INT) AS n_pts,
+           CASE WHEN COUNT(*) = 1
+                THEN 'POINT(' || MIN({_FMT_15G.format(v='x')} || ' ' ||
+                     {_FMT_15G.format(v='y')}) || ')'
+                ELSE 'LINESTRING(' ||
+                     string_agg({_FMT_15G.format(v='x')} || ' ' ||
+                                {_FMT_15G.format(v='y')}, ','
+                                ORDER BY t) || ')'
+           END AS wkt
+    FROM dedup GROUP BY key ORDER BY key
+"""
+
+
+# general-position rect probes (bounds off the fixture's 0.1 grid so
+# no vertex ever grazes a boundary): (rect_id, x0, y0, x1, y1)
+_RELS_RECTS = [
+    (0, 10.033, 20.077, 55.117, 70.231),
+    (1, -1.5, -1.5, 101.5, 101.5),
+    (2, 47.013, 3.017, 59.989, 97.051),
+    (3, 150.0, 150.0, 160.0, 160.0),
+    (4, 0.015, 0.025, 2.035, 2.045),
+]
+
+
+def q_spatial_rels_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected spatial relationships as a TABLE op: per (user
+    trajectory, rect probe) the intersects / within / disjoint
+    booleans through the everops kernels (`point/src/
+    tpoint_spatialrels.c:300-1423`: trajectory ∩ geom, at_geometry
+    coverage, negation) — oracle: closed-rect vertex tests plus the
+    Liang-Barsky segment/slab test in SQL."""
+    import numpy as np
+    import pandas as pd
+    from . import everops, geo as G
+    from .spark_temporal import temporal_from_pdf, _per_key_kernel
+    pts = _ev_points(spark, sf_dir)
+    rects = [
+        (rid, G.Geometry("Polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=np.float64)]))
+        for rid, x0, y0, x1, y1 in _RELS_RECTS]
+    schema = ("key bigint, rect_id int, intersects boolean, "
+              "within boolean, disjoint boolean")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        kv = pdf["key"].iloc[0]
+        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
+        tv = temporal_from_pdf(pdf, "t", ("x", "y"))
+        rows = []
+        for rid, rect in rects:
+            rows.append({
+                "key": kv, "rect_id": rid,
+                "intersects": everops.intersects(tv, rect),
+                "within": everops.within(tv, rect),
+                "disjoint": everops.disjoint(tv, rect)})
+        return pd.DataFrame(rows)
+
+    return _per_key_kernel(pts, "key", schema, stats) \
+        .orderBy("key", "rect_id")
+
+
+def _oracle_spatial_rels() -> str:
+    vals = ", ".join(f"({rid}, {x0}, {y0}, {x1}, {y1})"
+                     for rid, x0, y0, x1, y1 in _RELS_RECTS)
+    # Liang-Barsky per axis: slab entry/exit parameters with the
+    # degenerate (axis-parallel) case pinned to [0,1] or empty
+    en_x = ("CASE WHEN s.nx = s.x THEN "
+            "CASE WHEN s.x >= r.x0 AND s.x <= r.x1 THEN 0.0 ELSE 9e9 END "
+            "ELSE LEAST((r.x0 - s.x)/(s.nx - s.x), "
+            "(r.x1 - s.x)/(s.nx - s.x)) END")
+    ex_x = ("CASE WHEN s.nx = s.x THEN "
+            "CASE WHEN s.x >= r.x0 AND s.x <= r.x1 THEN 1.0 ELSE -9e9 END "
+            "ELSE GREATEST((r.x0 - s.x)/(s.nx - s.x), "
+            "(r.x1 - s.x)/(s.nx - s.x)) END")
+    en_y = en_x.replace("s.nx", "s.ny").replace("s.x", "s.y") \
+        .replace("r.x0", "r.y0").replace("r.x1", "r.y1")
+    ex_y = ex_x.replace("s.nx", "s.ny").replace("s.x", "s.y") \
+        .replace("r.x0", "r.y0").replace("r.x1", "r.y1")
+    return f"""
+    WITH pts AS ({_EV_PTS}),
+    rects(rect_id, x0, y0, x1, y1) AS (VALUES {vals}),
+    vin AS (
+        SELECT r.rect_id, p.key,
+               bool_or(p.x >= r.x0 AND p.x <= r.x1 AND
+                       p.y >= r.y0 AND p.y <= r.y1) AS any_in,
+               bool_and(p.x >= r.x0 AND p.x <= r.x1 AND
+                        p.y >= r.y0 AND p.y <= r.y1) AS all_in
+        FROM pts p CROSS JOIN rects r GROUP BY r.rect_id, p.key),
+    seg AS (
+        SELECT key, x, y, lead(x) OVER w AS nx, lead(y) OVER w AS ny
+        FROM pts WINDOW w AS (PARTITION BY key ORDER BY t)),
+    segr AS (
+        SELECT s.key, r.rect_id,
+               bool_or(GREATEST({en_x}, {en_y}, 0.0) <=
+                       LEAST({ex_x}, {ex_y}, 1.0)) AS seg_hit
+        FROM seg s CROSS JOIN rects r WHERE s.nx IS NOT NULL
+        GROUP BY s.key, r.rect_id)
+    SELECT v.key, v.rect_id,
+           (v.any_in OR COALESCE(sr.seg_hit, FALSE)) AS intersects,
+           v.all_in AS within,
+           NOT (v.any_in OR COALESCE(sr.seg_hit, FALSE)) AS disjoint
+    FROM vin v LEFT JOIN segr sr USING (key, rect_id)
+    ORDER BY key, rect_id
+"""
+
+
+_EXTRA8F = {
+    "trajectory_wkt": (q_trajectory_wkt, _ORACLE_TRAJECTORY_WKT),
+    "spatial_rels_rect": (q_spatial_rels_rect, _oracle_spatial_rels()),
+}
+
+_BASE_REGISTRY8F = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8F()
+    out.update(_EXTRA8F)
+    return out

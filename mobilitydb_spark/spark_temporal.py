@@ -164,7 +164,15 @@ def _lerp_at_probes(points: DataFrame, probes_us: list[int],
     pts = points.select(
         key, F.unix_micros(F.col(t).cast("timestamp")).alias("t_us"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols])
-    w = Window.partitionBy(key).orderBy("t_us")
+    # value cols as orderBy tiebreakers: with duplicate (key, t_us)
+    # knots an order on t_us alone leaves which duplicate survives the
+    # lag-dedup nondeterministic (ADVICE r3) — ties now keep the row
+    # with the smallest value tuple, deterministically.  (The kernel
+    # path keeps the first duplicate in input order; fixture data is
+    # pre-deduped per (key, ts), so the two policies only differ on
+    # inputs that are out-of-contract anyway.)
+    w = Window.partitionBy(key).orderBy(
+        "t_us", *[f"_v_{c}" for c in value_cols])
     # dedup INSIDE the window partitioning (one exchange + one sort
     # serve both the dedup and the lead(): dropDuplicates would add a
     # second 16M-row exchange on (key, t_us))

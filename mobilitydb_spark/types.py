@@ -72,7 +72,10 @@ def parse_ts(s: str) -> np.int64:
             off_us = int(hh) * 3600_000_000
             if mm:
                 off_us += int(np.sign(int(hh)) or 1) * int(mm.lstrip(":")) * 60_000_000
-    dt = np.datetime64(s.strip().replace(" ", "T"), "us")
+    s = s.strip()
+    if s.endswith(("Z", "z")):  # np.datetime64 deprecated tz-aware input
+        s = s[:-1]
+    dt = np.datetime64(s.replace(" ", "T"), "us")
     return np.int64(dt.astype(np.int64) - off_us)
 
 

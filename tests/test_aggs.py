@@ -254,6 +254,70 @@ def test_temporal_agg_pieces_matches_kernel(spark):
         assert abs(g.v - v) < 1e-6
 
 
+def test_temporal_agg_pieces_avg_matches_kernel(spark):
+    """r3 verdict gap: ungrouped full-profile tavg now has a parallel
+    two-level path — (sum, count) partials + finalize-divide merge
+    (the reference's double2) must equal the single-sweep kernel."""
+    import pandas as pd
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(8):
+        ts = pd.date_range("2024-01-01", periods=8, freq="h") \
+            + pd.Timedelta(minutes=int(rng.integers(0, 90)))
+        for t, v in zip(ts, rng.uniform(-20, 50, 8)):
+            rows.append((k, t, float(v)))
+    pdf = pd.DataFrame(rows, columns=["mkey", "t", "v"])
+    got = aggs.temporal_agg_pieces(spark.createDataFrame(pdf), "avg") \
+        .toPandas().sort_values(["seq_idx", "t"]).reset_index(drop=True)
+    members = [temporal_from_pdf(g.sort_values("t"), "t", ("v",))
+               for _, g in pdf.groupby("mkey")]
+    want = aggs.tagg(members, "avg")
+    w_rows = []
+    for si, s in enumerate(want.seqs):
+        for i in range(len(s.times)):
+            w_rows.append((si, bool(s.lower_inc), bool(s.upper_inc),
+                           int(s.times[i]), float(s.values[i, 0])))
+    assert len(got) == len(w_rows)
+    for (si, li, ui, tus, v), g in zip(w_rows, got.itertuples(index=False)):
+        assert (si, li, ui) == (g.seq_idx, g.lower_inc, g.upper_inc)
+        assert int(pd.Timestamp(g.t).value // 1000) == tus
+        assert abs(g.v - v) < 1e-6
+
+
+def test_temporal_agg_pieces_centroid_matches_kernel(spark):
+    """Same two-level path for tcentroid — (Σx, Σy, count) double3
+    partials — against the kernel sweep."""
+    import pandas as pd
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(12)
+    rows = []
+    for k in range(6):
+        ts = pd.date_range("2024-01-01", periods=6, freq="h") \
+            + pd.Timedelta(minutes=int(rng.integers(0, 90)))
+        for t, x, y in zip(ts, rng.uniform(0, 10, 6), rng.uniform(40, 60, 6)):
+            rows.append((k, t, float(x), float(y)))
+    pdf = pd.DataFrame(rows, columns=["mkey", "t", "x", "y"])
+    got = aggs.temporal_agg_pieces(
+        spark.createDataFrame(pdf), "centroid", value_cols=("x", "y")) \
+        .toPandas().sort_values(["seq_idx", "t"]).reset_index(drop=True)
+    members = [temporal_from_pdf(g.sort_values("t"), "t", ("x", "y"))
+               for _, g in pdf.groupby("mkey")]
+    want = aggs.tagg(members, "centroid")
+    w_rows = []
+    for si, s in enumerate(want.seqs):
+        for i in range(len(s.times)):
+            w_rows.append((si, bool(s.lower_inc), bool(s.upper_inc),
+                           int(s.times[i]), float(s.values[i, 0]),
+                           float(s.values[i, 1])))
+    assert len(got) == len(w_rows)
+    for (si, li, ui, tus, x, y), g in zip(w_rows,
+                                          got.itertuples(index=False)):
+        assert (si, li, ui) == (g.seq_idx, g.lower_inc, g.upper_inc)
+        assert int(pd.Timestamp(g.t).value // 1000) == tus
+        assert abs(g.x - x) < 1e-6 and abs(g.y - y) < 1e-6
+
+
 def test_tcentroid_goldens_64_tpoint_aggfuncs():
     """Expected values lifted from
     `point/test/expected/64_tpoint_aggfuncs.test.out:1-18`: tcentroid

@@ -190,6 +190,44 @@ def test_cosine_neardup_recall_on_planted_dups(spark):
     assert (got["score"] >= 0.9).all()
 
 
+def _ref_simhash(tokens: list[str]) -> int:
+    """Independent Python reference for the md5-based 64-bit simhash:
+    bit b set iff 2 * count(tokens whose hash-bit b is 1) > n."""
+    import hashlib
+    from collections import Counter
+    cnt = Counter(tokens)
+    n = sum(cnt.values())
+    bits = [0] * 64
+    for tok, c in cnt.items():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        hi, lo = int(h[0:8], 16), int(h[8:16], 16)
+        for b in range(64):
+            src = lo if b < 32 else hi
+            if (src >> (b % 32)) & 1:
+                bits[b] += c
+    sig = 0
+    for b in range(64):
+        if 2 * bits[b] > n:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_lane_overflow_guard(spark):
+    """ADVICE r3: a doc with >= 2^15 tokens must take the unpacked
+    64-SUM fallback — at >= 2^16 tokens the packed 16-bit vote lanes
+    carry into their neighbours and silently corrupt the signature.
+    70k tokens makes the corruption real, not just theoretical."""
+    words = [f"tok{i}" for i in range(37)]
+    big = [words[(i * 7) % 37] for i in range(70000)]
+    small = big[:200]
+    df = spark.createDataFrame(
+        [(1, " ".join(big)), (2, " ".join(small))],
+        "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash_64(df).collect()}
+    assert got[1] == _ref_simhash(big)
+    assert got[2] == _ref_simhash(small)
+
+
 def test_cosine_neardup_bucket_cap_matches_oracle(spark):
     """ADVICE r3 (medium): the engine's max_bucket cap must be part of
     the SQL-replicated semantics.  Run engine and oracle with a TINY

@@ -129,11 +129,12 @@ def test_tagg_pieces_two_level_plan(spark):
         "mkey": np.repeat(np.arange(4), 5),
         "t": list(pd.date_range("2024-01-01", periods=5, freq="h")) * 4,
         "v": np.arange(20.0)})
-    df = aggs.temporal_agg_pieces(spark.createDataFrame(pdf), "min")
-    plan = _plan(df)
-    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
-    assert plan.index("hashpartitioning(_g") < plan.index("MapInPandas")
-    assert plan.index("hashpartitioning(mkey") > plan.index("MapInPandas")
+    for kind in ("min", "avg"):  # avg = finalize-divide partials (r4)
+        df = aggs.temporal_agg_pieces(spark.createDataFrame(pdf), kind)
+        plan = _plan(df)
+        assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+        assert plan.index("hashpartitioning(_g") < plan.index("MapInPandas")
+        assert plan.index("hashpartitioning(mkey") > plan.index("MapInPandas")
 
 
 def test_tcount_instants_no_single_task(spark):

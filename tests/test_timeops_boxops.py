@@ -310,10 +310,36 @@ def test_tbox_literal_goldens():
          'invalid input syntax for type timestamp with time zone: "AA"'),
         ("TBOX((1, 2000-01-01, 2))",
          "Could not parse TBOX: Missing closing parenthesis"),
+        # ADVICE r3: asymmetric tuples must error like the reference
+        # (2nd tuple parsed under the 1st tuple's hasx/hast flags),
+        # not silently demote the dimension
+        ("TBOX((1,2000-01-01),(,2000-01-02))",
+         "Could not parse TBOX: Invalid input syntax for type double"),
+        ("TBOX((1,2000-01-01),(2,))", "Could not parse TBOX"),
+        ("TBOX((,2000-01-01),(2,2000-01-02))", "Could not parse TBOX"),
+        ("TBOX((1,),(2,2000-01-02))",
+         "Could not parse TBOX: Missing closing parenthesis"),
     ]
     for lit, msg in errors:
         with pytest.raises(ValueError) as e:
             parse_tbox(lit)
+        assert str(e.value) == msg, lit
+
+
+def test_stbox_asymmetric_tuples_error():
+    """ADVICE r3: STBOX tuples that disagree on the X dimension must
+    raise (reference parses tuple 2 under tuple 1's flags)."""
+    import pytest
+    from mobilitydb_spark.boxops import parse_stbox
+    cases = [
+        ("STBOX T((1,2,2000-01-01),(,,2000-01-02))",
+         "Could not parse STBOX: Invalid input syntax for type double"),
+        ("STBOX T((,,2000-01-01),(1,2,2000-01-02))",
+         "Could not parse STBOX"),
+    ]
+    for lit, msg in cases:
+        with pytest.raises(ValueError) as e:
+            parse_stbox(lit)
         assert str(e.value) == msg, lit
 
 
