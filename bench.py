@@ -139,7 +139,12 @@ def main() -> None:
                  "geog_dwithin_join", "azimuth_cumlen", "ttext_states",
                  "traj3d_metrics", "ann_ivf_topk", "tagg_tcount_seq",
                  "tbool_tand_tor", "posops_boxes", "tmath_turning",
-                 "relate_rect"]:
+                 "relate_rect",
+                 # r4 additions: interval join, cosine LSH near-dup,
+                 # trajectory WKT, projected rels table, range clip
+                 "interval_join", "cosine_neardup_lsh",
+                 "trajectory_wkt", "spatial_rels_rect",
+                 "at_range_clip"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 

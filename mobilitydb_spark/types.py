@@ -75,6 +75,11 @@ def parse_ts(s: str) -> np.int64:
     s = s.strip()
     if s.endswith(("Z", "z")):  # np.datetime64 deprecated tz-aware input
         s = s[:-1]
+    if re.search(r"[^0-9T:. \-]", s):
+        # reject residual junk (e.g. a trailing comma) ourselves:
+        # np.datetime64 would route it through its deprecated
+        # tz-aware parser and warn before raising
+        raise ValueError(f'Error parsing datetime string "{s}"')
     dt = np.datetime64(s.replace(" ", "T"), "us")
     return np.int64(dt.astype(np.int64) - off_us)
 
