@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000,
+               "sf1": 2_000_000}
 
 
 def main() -> None:
@@ -144,7 +145,7 @@ def main() -> None:
                  # trajectory WKT, projected rels table, range clip
                  "interval_join", "cosine_neardup_lsh",
                  "trajectory_wkt", "spatial_rels_rect",
-                 "at_range_clip"]:
+                 "at_range_clip", "cosine_neardup_banded"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 

@@ -284,3 +284,86 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     return (cand.mapInPandas(refine,
                              "id_i bigint, id_j bigint, score double")
             .dropDuplicates(["id_i", "id_j"]))
+
+
+def band_signatures(df: DataFrame, id_col: str, vec: str,
+                    bands: int, rows_per_band: int,
+                    dim: int = 64, seed: int = 42) -> DataFrame:
+    """(id, vec, keys): per-band hyperplane bucket keys — band b's key
+    packs the sign bits of planes [b*R, (b+1)*R).  One numpy matmul
+    per Arrow batch; row-local, no shuffle."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bands * rows_per_band))
+    out_schema = f"{id_col} bigint, {vec} array<float>, keys array<bigint>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
+            bits = (mat @ planes) > 0
+            keys = bits.reshape(len(pdf), bands, rows_per_band) @ w
+            out = pdf[[id_col, vec]].copy()
+            out["keys"] = list(keys.astype(np.int64))
+            yield out
+
+    return df.select(id_col, vec).mapInPandas(kernel, out_schema)
+
+
+def cosine_neardup_banded(df: DataFrame, threshold: float,
+                          id_col: str = "vec_id", vec: str = "embedding",
+                          bands: int = 16, rows_per_band: int = 10,
+                          dim: int = 64, seed: int = 42,
+                          max_bucket: int = 20000) -> DataFrame:
+    """Embedding-cosine near-dup pairs via OR-of-bands LSH (the
+    minhash-style B x R banding, here over hyperplane sign bits): a
+    pair is a candidate iff some band's R-bit key matches exactly,
+    then the exact cosine refine keeps pairs >= threshold.
+
+    This is the LARGE-CORPUS path: with B=16, R=10 a random pair is a
+    candidate with probability ~16/2^10 (~n^2/128 candidates overall)
+    vs the pigeonhole variant's ~n^2/8, while a true near-dup at
+    cosine >= 0.9 (per-plane split p <= 0.15) is missed with
+    probability (1 - 0.85^10)^16 ~= 3% — recall pytest-gated on
+    planted dups.  `cosine_neardup_pairs` (hamming-pigeonhole) stays
+    the exact-for-hamming<=3 variant; this one trades a bounded miss
+    rate for an 16x lower random-candidate rate.
+
+    Deterministic end-to-end (seeded planes) => fully SQL-replicable
+    including the banding and the ``max_bucket`` degenerate-bucket
+    cap.  100 TB shape: row-local keys, per-(band, key) self-join with
+    cap, vectorized refine on candidates only.
+    """
+    sigs = band_signatures(
+        df.select(F.col(id_col).alias("_id"), F.col(vec)),
+        "_id", vec, bands, rows_per_band, dim, seed) \
+        .select(F.col("_id").alias("id"), F.col(vec).alias("e"), "keys")
+    b = sigs.select(
+        "id", "e", F.posexplode("keys").alias("band", "key"))
+    sizes = b.groupBy("band", "key").count() \
+        .where(F.col("count") <= max_bucket).select("band", "key")
+    b = b.join(sizes, ["band", "key"])
+    l = b.select(F.col("id").alias("id_i"), F.col("e").alias("ea"),
+                 "band", "key")
+    r = b.select(F.col("id").alias("id_j"), F.col("e").alias("eb"),
+                 "band", "key")
+    cand = (l.join(r, ["band", "key"])
+            .where(F.col("id_i") < F.col("id_j"))
+            .select("id_i", "id_j", "ea", "eb"))
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["ea"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["eb"].to_numpy()).astype(np.float64)
+            s = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
+            keep = s >= threshold
+            out = pdf.loc[keep, ["id_i", "id_j"]].copy()
+            out["score"] = s[keep]
+            yield out
+
+    return (cand.mapInPandas(refine,
+                             "id_i bigint, id_j bigint, score double")
+            .dropDuplicates(["id_i", "id_j"]))

@@ -3041,3 +3041,71 @@ def registry():  # noqa: F811
     out = _BASE_REGISTRY8F()
     out.update(_EXTRA8F)
     return out
+
+
+# --------------------------------------------------------------------------
+# batch 8g: OR-of-bands cosine near-dup (the large-corpus LSH shape)
+# --------------------------------------------------------------------------
+
+def q_cosine_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via OR-of-bands LSH (B=16
+    bands x R=10 hyperplane bits — the minhash-banding shape applied
+    to hyperplane signs): ~16x lower random-candidate rate than the
+    pigeonhole variant, miss rate bounded and pytest-gated.  Fully
+    deterministic (seeded planes), so the oracle replicates band
+    keys, bucket cap, candidate join and refine end-to-end in SQL."""
+    from .datagen import similarity
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_banded(emb, _COS_TAU) \
+        .orderBy("id_i", "id_j")
+
+
+def _band_key_sql(vec_expr: str, planes, b: int, R: int) -> str:
+    terms = []
+    for r in range(R):
+        lits = ", ".join(repr(float(x)) for x in planes[:, b * R + r])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {r}) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_cosine_banded(bands: int = 16, rows_per_band: int = 10,
+                          max_bucket: int = 20000) -> str:
+    planes = _lsh_planes(bands * rows_per_band)
+    per_band = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_band_key_sql('v', planes, b, rows_per_band)} AS key FROM e"
+        for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS ({per_band}),
+    ok AS (SELECT band, key FROM b GROUP BY band, key
+           HAVING COUNT(*) <= {max_bucket}),
+    bk AS (SELECT b.* FROM b JOIN ok USING (band, key)),
+    cand AS (SELECT DISTINCT a.vec_id AS id_i, b2.vec_id AS id_j
+             FROM bk a JOIN bk b2
+               ON a.band = b2.band AND a.key = b2.key
+              AND a.vec_id < b2.vec_id)
+    SELECT c.id_i, c.id_j,
+           ROUND(list_dot_product(ea.v, eb.v), 6) AS score
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_i
+                JOIN e eb ON eb.vec_id = c.id_j
+    WHERE ROUND(list_dot_product(ea.v, eb.v), 6) >= {_COS_TAU}
+    ORDER BY id_i, id_j
+"""
+
+
+_EXTRA8G = {
+    "cosine_neardup_banded": (q_cosine_neardup_banded,
+                              _oracle_cosine_banded()),
+}
+
+_BASE_REGISTRY8G = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY8G()
+    out.update(_EXTRA8G)
+    return out

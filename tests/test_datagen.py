@@ -228,6 +228,42 @@ def test_simhash_lane_overflow_guard(spark):
     assert got[2] == _ref_simhash(small)
 
 
+def test_cosine_neardup_banded_recall_and_parity(spark):
+    """OR-of-bands cosine near-dup (B=16 x R=10): planted-dup recall
+    >= 0.9 at cosine >= 0.9, and exact agreement with the SQL oracle
+    on the driver fixture."""
+    import duckdb
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base[:40] + rng.standard_normal((40, 64)) * 0.03
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    rows = [(i, v.astype(np.float32).tolist())
+            for i, v in enumerate(base)] + \
+           [(1000 + i, v.astype(np.float32).tolist())
+            for i, v in enumerate(pert)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = similarity.cosine_neardup_banded(df, 0.9).toPandas()
+    found = {(r.id_i, r.id_j) for r in got.itertuples()}
+    want = {(i, 1000 + i) for i in range(40)}
+    assert len(found & want) / len(want) >= 0.9
+    assert (got["score"] >= 0.9).all()
+    # oracle parity on the driver fixture
+    sf = "/root/testdata/sf0.001"
+    from mobilitydb_spark import queries as qmod
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    eng = similarity.cosine_neardup_banded(emb, qmod._COS_TAU).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    odf = con.sql(qmod._oracle_cosine_banded()).df()
+    a = {(r.id_i, r.id_j, r.score) for r in eng.itertuples()}
+    b = {(r.id_i, r.id_j, r.score) for r in odf.itertuples()}
+    assert a == b
+
+
 def test_cosine_neardup_bucket_cap_matches_oracle(spark):
     """ADVICE r3 (medium): the engine's max_bucket cap must be part of
     the SQL-replicated semantics.  Run engine and oracle with a TINY
