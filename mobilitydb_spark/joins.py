@@ -281,9 +281,10 @@ def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
 # ---------------------------------------------------------------------------
 
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
-             resolutions: tuple[int, ...] = (14, 11, 8), rings: int = 1,
-             target_cands: int = 64,
-             query_id: str = "q_id", cand_id: str = "c_id") -> DataFrame:
+             resolutions: tuple[int, ...] = (16, 14, 12, 10, 8),
+             rings: int = 1, target_cands: int = 64,
+             query_id: str = "q_id", cand_id: str = "c_id",
+             broadcast_queries: bool = False) -> DataFrame:
     """k nearest candidate points per query point (planar degrees).
 
     **Density-adaptive resolution** — the skew answer for kNN: a
@@ -292,14 +293,26 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     blow-up) and sparse regions (fine cells empty → no candidates).
     Instead:
 
-    1. count candidates per cell at each resolution (3 cheap
-       counts-only aggregations, map-side combined);
+    1. count candidates per cell at each resolution (one counts-only
+       aggregation at the finest level, coarser levels roll up from
+       the cell counts, all map-side combined);
     2. each query picks the FINEST resolution whose own-cell count
        already reaches ``target_cands`` (broadcast count join), so hot
-       queries search small cells and sparse queries coarse ones;
+       queries search small cells and sparse queries coarse ones.
+       The ladder steps by 2 levels (r4: the old (14, 11, 8) ladder's
+       8x-per-axis jumps let hot cells overshoot target_cands by up to
+       64x — measured 2.3x slower on a 10M-candidate corpus);
     3. queries explode to grid_disk(rings) at their chosen resolution
        and equi-join candidates on that resolution's cell; per-query
-       top-k by exact distance (partitioned window, no global sort);
+       top-k by exact distance (partitioned window, no global sort).
+       The branch joins shuffle on the cell: the candidate exchange is
+       one reused subplan across branches and AQE prunes the branches
+       whose query set is empty.  ``broadcast_queries=True`` instead
+       broadcasts the exploded query side (|Q| × 9 cells) — MEASURED
+       SLOWER here (10 s vs 2.5 s on a 10M-candidate corpus) because
+       every branch must then stream the full candidate scan even
+       when it has zero queries, but it remains the right shape when
+       the candidate table is too large to shuffle at all;
     4. correctness guarantee (`|=|` must equal true NAD ordering,
        `56_tpoint_spatialfuncs.in.sql:186-214`): a query whose k-th
        distance exceeds the covered radius ``rings · cell_height`` —
@@ -324,23 +337,24 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             f"cell{r}", cells.cell_col(F.col("lon"), F.col("lat"), r))
 
     # per-query resolution choice: finest level whose own cell already
-    # holds >= target_cands candidates (counts broadcast — tiny).
-    # ONE counts-only aggregation over the candidates at the finest
-    # resolution; coarser levels roll up from those distinct-cell
-    # counts by parent-cell prefix (cells, not rows — the rollup input
-    # is orders of magnitude smaller than cpts at scale)
-    cnt_fine = (cpts.groupBy(F.col(f"cell{finest}").alias("fcell"))
-                .agg(F.count(F.lit(1)).alias("n")))
+    # holds >= target_cands candidates.  Counts are computed ONLY for
+    # cells that contain a query (r4: a global per-cell count table at
+    # res 16 is ~|C| rows and broadcasting it per level measured 13x
+    # slower than the whole join) — the tiny query-cell set broadcasts
+    # INTO one exploded candidate scan, the surviving rows aggregate
+    # map-side, and the <= |Q|·levels result broadcasts back.  Cell
+    # ids encode their resolution, so one combined table serves every
+    # level's join without collisions.
+    qcells = (qpts.select(F.explode(F.array(
+        *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
+        .distinct())
+    counts = (cpts.select(F.explode(F.array(
+        *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
+        .join(F.broadcast(qcells), "cell")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= target_cands))
     for r in resolutions[:-1]:
-        if r == finest:
-            cnt = cnt_fine.select(F.col("fcell").alias("cell"),
-                                  F.col("n").alias(f"cnt{r}"))
-        else:
-            cnt = (cnt_fine.groupBy(
-                       cells.cell_parent_col(F.col("fcell"), finest, r)
-                       .alias("cell"))
-                   .agg(F.sum("n").alias(f"cnt{r}")))
-        cnt = cnt.where(F.col(f"cnt{r}") >= target_cands)
+        cnt = counts.select(F.col("cell"), F.col("n").alias(f"cnt{r}"))
         qpts = qpts.join(F.broadcast(cnt),
                          qpts[f"cell{r}"] == cnt["cell"], "left") \
                    .drop("cell")
@@ -375,6 +389,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                 yield rep
 
         qexp = q_r.mapInPandas(explode_disk, disk_schema)
+        if broadcast_queries:
+            qexp = F.broadcast(qexp)
         cand = qexp.join(
             cpts.withColumnRenamed(f"cell{r}", "jcell")
                 .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell") \
@@ -436,7 +452,10 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                                           ignore_index=True)
                 yield rep
 
-        rc = (q_r.mapInPandas(explode_retry, retry_schema)
+        rexp = q_r.mapInPandas(explode_retry, retry_schema)
+        if broadcast_queries:
+            rexp = F.broadcast(rexp)
+        rc = (rexp
               .join(cpts.withColumnRenamed(f"cell{r}", "jcell")
                     .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell")
               .where(F.col(query_id) != F.col(cand_id)))
