@@ -488,7 +488,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
 
 
 def interval_join(left: DataFrame, right: DataFrame,
-                  bucket_us: int = 86_400_000_000,
+                  bucket_us: int | str = "auto",
                   left_id: str = "l_id", right_id: str = "r_id",
                   max_buckets: int = 64) -> DataFrame:
     """Temporal range/interval join: all (left, right) pairs whose
@@ -511,12 +511,27 @@ def interval_join(left: DataFrame, right: DataFrame,
     anyway, so the bucket prefilter buys nothing for them.  The three
     passes (short x short bucketed, long-left x all-right, short-left
     x long-right) partition the pair space, so exactly-once holds
-    with no dedup."""
-    W = int(bucket_us)
+    with no dedup.
+
+    ``bucket_us="auto"`` (default) sizes the bucket to ~2x the median
+    span (one approxQuantile pass over the spans): a fixed daily
+    bucket degenerates when typical spans are much longer — the r4
+    sf1 rehearsal's month-long spans each exploded to ~30 bucket rows
+    and every span met every other in every bucket.  Bucket size does
+    not affect results (the exactly-once claim is bucket-independent),
+    only the explode factor."""
     l = left.select(F.col(left_id), F.col("t0_us").alias("l_t0"),
                     F.col("t1_us").alias("l_t1"))
     r = right.select(F.col(right_id), F.col("t0_us").alias("r_t0"),
                      F.col("t1_us").alias("r_t1"))
+    if bucket_us == "auto":
+        spans = l.select((F.col("l_t1") - F.col("l_t0")).alias("s")) \
+            .unionByName(r.select((F.col("r_t1") - F.col("r_t0"))
+                                  .alias("s")))
+        med = spans.approxQuantile("s", [0.5], 0.05)
+        W = max(int(2 * med[0]), 1) if med else 86_400_000_000
+    else:
+        W = int(bucket_us)
     l_nb = F.floor(F.col("l_t1") / W) - F.floor(F.col("l_t0") / W) + 1
     r_nb = F.floor(F.col("r_t1") / W) - F.floor(F.col("r_t0") / W) + 1
     ls, ll = l.where(l_nb <= max_buckets), l.where(l_nb > max_buckets)

@@ -192,7 +192,7 @@ def test_interval_join_long_span_broadcast_split(spark):
     df = spark.createDataFrame(pdf)
     l = df.selectExpr("id AS l_id", "t0_us", "t1_us")
     r = df.selectExpr("id AS r_id", "t0_us", "t1_us")
-    got = joins.interval_join(l, r).toPandas()
+    got = joins.interval_join(l, r, bucket_us=D).toPandas()
     assert not got.duplicated(["l_id", "r_id"]).any()
     want = {}
     for a in pdf.itertuples():
@@ -202,6 +202,11 @@ def test_interval_join_long_span_broadcast_split(spark):
                 want[(a.id, b.id)] = e - s
     got_map = {(x.l_id, x.r_id): x.overlap_us for x in got.itertuples()}
     assert got_map == want
+    # auto bucket sizing must give the identical result
+    got_auto = joins.interval_join(l, r).toPandas()
+    auto_map = {(x.l_id, x.r_id): x.overlap_us
+                for x in got_auto.itertuples()}
+    assert auto_map == want
     # the outlier pairs with everything -> broadcast path carried them
     assert sum(1 for k in got_map if k[0] == 777) == len(pdf)
     # the short-side explode excludes the outlier: bounded row count
