@@ -113,14 +113,146 @@ def tgeompoint_to_tgeogpoint(tv: Temporal) -> Temporal:
     return out
 
 
+def tbox_make(xmin: float, xmax: float, tmin: int, tmax: int,
+              has_x: bool = True, has_t: bool = True) -> TBox:
+    b = TBox(xmin, xmax, tmin, tmax)
+    object.__setattr__(b, "_has_x", has_x)
+    object.__setattr__(b, "_has_t", has_t)
+    return b
+
+
+def _hx(b: TBox) -> bool:
+    return getattr(b, "_has_x", True)
+
+
+def _ht(b: TBox) -> bool:
+    return getattr(b, "_has_t", True)
+
+
 def tbox_overlaps(a: TBox, b: TBox) -> bool:
-    return (a.xmin <= b.xmax and b.xmin <= a.xmax
-            and a.tmin <= b.tmax and b.tmin <= a.tmax)
+    """&& on the SHARED dimensions (`src/temporal_boxops.c:96-110`:
+    x compared only when both boxes have x, t only when both have t;
+    goldens `test/expected/32_temporal_boxops.test.out`)."""
+    if _hx(a) and _hx(b):
+        if a.xmax < b.xmin or a.xmin > b.xmax:
+            return False
+    if _ht(a) and _ht(b):
+        if a.tmax < b.tmin or a.tmin > b.tmax:
+            return False
+    return True
 
 
 def tbox_contains(a: TBox, b: TBox) -> bool:
-    return (a.xmin <= b.xmin and b.xmax <= a.xmax
-            and a.tmin <= b.tmin and b.tmax <= a.tmax)
+    """@> on the shared dimensions (`temporal_boxops.c:51-63`)."""
+    if _hx(a) and _hx(b):
+        if b.xmin < a.xmin or b.xmax > a.xmax:
+            return False
+    if _ht(a) and _ht(b):
+        if b.tmin < a.tmin or b.tmax > a.tmax:
+            return False
+    return True
+
+
+def tbox_contained(a: TBox, b: TBox) -> bool:
+    return tbox_contains(b, a)
+
+
+def tbox_same(a: TBox, b: TBox) -> bool:
+    """~= on the shared dimensions (`temporal_boxops.c:123-135`)."""
+    if _hx(a) and _hx(b):
+        if a.xmin != b.xmin or a.xmax != b.xmax:
+            return False
+    if _ht(a) and _ht(b):
+        if a.tmin != b.tmin or a.tmax != b.tmax:
+            return False
+    return True
+
+
+# position operators over the value (x) / time (t) dimension
+# (`src/temporal_posops.c:32-...`; both operands must carry the dim —
+# the SQL operator matrix guarantees it)
+
+def tbox_of_literal(kind: str, lit: str) -> TBox:
+    """Bounding TBox of a typed literal — the cast ladder behind the
+    reference's boxops/posops operator matrix (`src/temporal_boxops.c`
+    range_to_tbox/period_to_tbox/... :560-720).  ``kind`` is the SQL
+    type name as written in the reference tests; ``num`` = a bare
+    numeric literal."""
+    import re as _re
+    from .types import (parse_period, parse_periodset, parse_temporal,
+                        parse_timestampset, parse_ts)
+    if kind == "tbox":
+        return parse_tbox(lit)
+    if kind == "num":
+        v = float(lit)
+        return tbox_make(v, v, 0, 0, has_x=True, has_t=False)
+    if kind in ("intrange", "floatrange"):
+        # raw lower/upper datums become xmin/xmax (range_to_tbox,
+        # temporal_boxops.c:599-614).  The 32-suite goldens show the
+        # reference's '[1,3]'::intrange reaching range_to_tbox with
+        # upper datum 3 (e.g. tint seqset up to 3 ~= intrange '[1,3]'
+        # is t, :2395-2399) — i.e. NO discrete +1 canonicalization in
+        # the tested build — so bounds are taken as written.
+        m = _re.match(r"\s*([\[\(])\s*([-\d.]+)\s*,\s*([-\d.]+)\s*([\]\)])",
+                      lit)
+        lo, hi = float(m.group(2)), float(m.group(3))
+        return tbox_make(lo, hi, 0, 0, has_x=True, has_t=False)
+    if kind == "timestamptz":
+        t = int(parse_ts(lit))
+        return tbox_make(0.0, 0.0, t, t, has_x=False, has_t=True)
+    if kind == "timestampset":
+        ts = parse_timestampset(lit)
+        return tbox_make(0.0, 0.0, int(min(ts)), int(max(ts)),
+                         has_x=False, has_t=True)
+    if kind == "period":
+        p = parse_period(lit)
+        return tbox_make(0.0, 0.0, int(p.lower), int(p.upper),
+                         has_x=False, has_t=True)
+    if kind == "periodset":
+        ps = parse_periodset(lit)
+        return tbox_make(0.0, 0.0, int(min(p.lower for p in ps)),
+                         int(max(p.upper for p in ps)),
+                         has_x=False, has_t=True)
+    if kind in ("tbool", "ttext"):
+        ts = [int(parse_ts(x)) for x in _re.findall(r"@([^,}\])]+)", lit)]
+        return tbox_make(0.0, 0.0, min(ts), max(ts),
+                         has_x=False, has_t=True)
+    if kind in ("tint", "tfloat"):
+        tv = parse_temporal(lit)
+        return tnumber_to_tbox(tv)
+    raise ValueError(f"unknown literal kind {kind!r}")
+
+
+def tbox_left(a: TBox, b: TBox) -> bool:
+    return a.xmax < b.xmin
+
+
+def tbox_overleft(a: TBox, b: TBox) -> bool:
+    return a.xmax <= b.xmax
+
+
+def tbox_right(a: TBox, b: TBox) -> bool:
+    return a.xmin > b.xmax
+
+
+def tbox_overright(a: TBox, b: TBox) -> bool:
+    return a.xmin >= b.xmin
+
+
+def tbox_before(a: TBox, b: TBox) -> bool:
+    return a.tmax < b.tmin
+
+
+def tbox_overbefore(a: TBox, b: TBox) -> bool:
+    return a.tmax <= b.tmax
+
+
+def tbox_after(a: TBox, b: TBox) -> bool:
+    return a.tmin > b.tmax
+
+
+def tbox_overafter(a: TBox, b: TBox) -> bool:
+    return a.tmin >= b.tmin
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,10 @@ def langid_col(text: Column, tie_order: list[str] | None = None) -> Column:
     """Stopword-overlap language ID: argmax over per-language stopword
     hit counts, ties broken by language code order."""
     langs = sorted(STOPWORDS) if tie_order is None else tie_order
-    toks = F.array_distinct(tokens_col(F.lower(text)))
+    # no array_distinct: array_intersect already returns distinct
+    # elements, and distinct-ing a string array first costs ~as much
+    # as the intersect itself (measured r2, see shingle notes)
+    toks = tokens_col(F.lower(text))
     scored = F.array(*[
         F.struct(
             F.size(F.array_intersect(toks, F.array(

@@ -34,6 +34,12 @@ def get_spark(app: str = "mobilitydb-spark", master: str | None = None,
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         # 32 MB input splits (not the 128 MB default): the bench
+         # fixtures are ~6 MB parquet files that pack into ~20 read
+         # partitions at 128 MB — a 16/32-core run then starves on the
+         # scan stage (r4: flagship 4->16 efficiency 0.52 -> 0.8+ after
+         # this change).  On a real cluster the input is thousands of
+         # files and this knob is overridden via spark-submit --conf.
+         .config("spark.sql.files.maxPartitionBytes", "33554432")
          .config("spark.ui.enabled", "false"))
     return b.getOrCreate()
