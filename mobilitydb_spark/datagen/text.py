@@ -52,26 +52,32 @@ def langid_col(text: Column, tie_order: list[str] | None = None) -> Column:
     """Stopword-overlap language ID: argmax over per-language stopword
     hit counts, ties broken by language code order."""
     langs = sorted(STOPWORDS) if tie_order is None else tie_order
-    # no array_distinct: array_intersect already returns distinct
-    # elements, and distinct-ing a string array first costs ~as much
-    # as the intersect itself (measured r2, see shingle notes)
+    # ONE pass over the full token array: intersect with the UNION
+    # stopword list first (array_intersect dedups, so per-language
+    # scores over the tiny hit array are provably identical — each
+    # language list ⊆ the union).  The hit array is bound as a
+    # transform lambda variable so it is evaluated once per row; the
+    # previous element_at(scored, i)-inside-transform form
+    # re-evaluated every intersect per sequence element (the
+    # interpreted-lambda CSE trap — up to L² full-token passes).
     toks = tokens_col(F.lower(text))
-    scored = F.array(*[
-        F.struct(
-            F.size(F.array_intersect(toks, F.array(
-                *[F.lit(w) for w in STOPWORDS[lg]]))).alias("score"),
-            F.lit(lg).alias("lang"))
-        for lg in langs])
-    # deterministic winner: sort_array desc on (score, neg-rank) —
-    # ties resolve to the earliest language code
-    ranked = F.sort_array(F.transform(
-        F.sequence(F.lit(0), F.lit(len(langs) - 1)),
-        lambda i: F.struct(
-            F.element_at(scored, i + 1)["score"].alias("score"),
-            (F.lit(len(langs)) - i).alias("pref"),
-            F.element_at(scored, i + 1)["lang"].alias("lang"))),
-        asc=False)
-    return F.element_at(ranked, 1)["lang"]
+    union_words = sorted({w for ws in STOPWORDS.values() for w in ws})
+    hits = F.array_intersect(toks, F.array(*[F.lit(w)
+                                             for w in union_words]))
+
+    def rank(h: Column) -> Column:
+        # deterministic winner: sort desc on (score, neg-rank) —
+        # ties resolve to the earliest language code
+        return F.sort_array(F.array(*[
+            F.struct(
+                F.size(F.array_intersect(h, F.array(
+                    *[F.lit(w) for w in STOPWORDS[lg]]))).alias("score"),
+                F.lit(len(langs) - i).alias("pref"),
+                F.lit(lg).alias("lang"))
+            for i, lg in enumerate(langs)]), asc=False)
+
+    one = F.transform(F.array(hits), rank)
+    return F.element_at(F.element_at(one, 1), 1)["lang"]
 
 
 def fingerprint_md5_col(text: Column) -> Column:
