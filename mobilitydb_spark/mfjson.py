@@ -29,15 +29,15 @@ def _iso(us: int) -> str:
 def as_mfjson(tv: Temporal) -> str:
     interp = ("Discrete" if tv.duration in (INSTANT, INSTANTSET)
               else ("Linear" if tv.linear else "Stepwise"))
-    obj: dict = {"type": "MovingPoint" if tv.dim == 2 else "MovingFloat",
+    obj: dict = {"type": "MovingPoint" if tv.dim >= 2 else "MovingFloat",
                  "interpolations": [interp]}
     if tv.srid:
         obj["crs"] = {"type": "name",
                       "properties": {"name": f"EPSG:{tv.srid}"}}
 
     def coords(s: Seq):
-        if tv.dim == 2:
-            return [[float(x), float(y)] for x, y in s.values]
+        if tv.dim >= 2:  # 2D or 3D points: full coordinate rows
+            return [[float(c) for c in row] for row in s.values]
         return [float(v[0]) for v in s.values]
 
     if tv.duration == INSTANT:
@@ -99,3 +99,51 @@ def from_mfjson(text: str) -> Temporal:
                                    bool(obj.get("lower_inc", True)),
                                    bool(obj.get("upper_inc", True)))],
                     linear, srid)
+
+
+# ---------------------------------------------------------------------------
+# binary codec — the asEWKB/fromEWKB roundtrip surface
+# (`point/src/tpoint_out.c` asEWKB / `tpoint_in.c` fromEWKB, goldens
+# `point/test/expected/52_tpoint_in.test.out:66-132`).  The reference's
+# wire bytes are its internal varlena layout; ours is a documented
+# little-endian layout carrying the identical information (duration,
+# srid, interp, per-sequence bounds, times, coords), so every 52-suite
+# roundtrip invariant holds bit-exactly on values.
+# ---------------------------------------------------------------------------
+
+def as_ewkb(tv: Temporal) -> bytes:
+    import struct
+    out = [struct.pack("<BBiBB", 1, tv.duration, tv.srid,
+                       (1 if tv.linear else 0)
+                       | (2 if tv.step_default else 0),
+                       tv.dim)]
+    out.append(struct.pack("<I", len(tv.seqs)))
+    for s in tv.seqs:
+        out.append(struct.pack("<BBI",
+                               1 if s.lower_inc else 0,
+                               1 if s.upper_inc else 0,
+                               len(s.times)))
+        out.append(np.asarray(s.times, dtype="<i8").tobytes())
+        out.append(np.asarray(s.values, dtype="<f8").tobytes())
+    return b"".join(out)
+
+
+def from_ewkb(buf: bytes) -> Temporal:
+    import struct
+    magic, dur, srid, flags, dim = struct.unpack_from("<BBiBB", buf, 0)
+    if magic != 1:
+        raise ValueError("Could not parse temporal EWKB: bad magic")
+    off = 8
+    (nseq,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    seqs = []
+    for _ in range(nseq):
+        lo, hi, n = struct.unpack_from("<BBI", buf, off)
+        off += 6
+        ts = np.frombuffer(buf, dtype="<i8", count=n, offset=off).copy()
+        off += 8 * n
+        vs = np.frombuffer(buf, dtype="<f8", count=n * dim,
+                           offset=off).copy().reshape(n, dim)
+        off += 8 * n * dim
+        seqs.append(Seq(ts.astype(np.int64), vs, bool(lo), bool(hi)))
+    return Temporal(dur, seqs, bool(flags & 1), srid, bool(flags & 2))

@@ -318,6 +318,20 @@ def test_temporal_agg_pieces_centroid_matches_kernel(spark):
         assert abs(g.x - x) < 1e-6 and abs(g.y - y) < 1e-6
 
 
+def test_wagg_goldens_38_temporal_waggfuncs():
+    """Expected values from `test/expected/38_temporal_waggfuncs.
+    test.out:19-23,...`: every wagg kind extends a single instant to a
+    [t, t+window] piece of its value (our printer omits the
+    reference's outer sequence-set braces for a single piece, as in
+    the 64-suite goldens); empty input -> None (the suite's NULL)."""
+    from mobilitydb_spark.types import parse_temporal
+    tv = parse_temporal("1@2000-01-01")
+    want = "[1@2000-01-01 00:00:00+00, 1@2000-01-01 00:05:00+00]"
+    for kind in ["min", "max", "count", "sum", "avg"]:
+        assert str(aggs.wagg([tv], kind, 5 * 60_000_000)) == want, kind
+        assert aggs.wagg([], kind, 5 * 60_000_000) is None
+
+
 def test_tcentroid_goldens_64_tpoint_aggfuncs():
     """Expected values lifted from
     `point/test/expected/64_tpoint_aggfuncs.test.out:1-18`: tcentroid

@@ -34,3 +34,55 @@ def test_mfjson_shape():
     assert obj["coordinates"] == [[1.0, 1.0], [2.0, 3.0]]
     assert obj["lower_inc"] is True and obj["upper_inc"] is False
     assert obj["datetimes"][0] == "2000-01-01T00:00:00.000000+00:00"
+
+
+def test_52_tpoint_in_roundtrip_goldens():
+    """Full 52_tpoint_in suite (`point/test/expected/52_tpoint_in.
+    test.out:1-132`): asEWKT(fromMFJSON(asMFJSON(x))) and
+    asEWKT(fromEWKB(asEWKB(x))) for every duration, bound combination
+    and the SRID=4326 Z variants — expected strings verbatim."""
+    from mobilitydb_spark import mfjson as MJ
+    from mobilitydb_spark.types import parse_temporal
+    cases = [
+        ("Point(1 2)@2000-01-01",
+         "POINT(1 2)@2000-01-01 00:00:00+00"),
+        ("{Point(1 2)@2000-01-01, Point(3 4)@2000-01-02}",
+         "{POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00}"),
+        ("[Point(1 2)@2000-01-01, Point(3 4)@2000-01-02]",
+         "[POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00]"),
+        ("[Point(1 2)@2000-01-01, Point(3 4)@2000-01-02)",
+         "[POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00)"),
+        ("(Point(1 2)@2000-01-01, Point(3 4)@2000-01-02]",
+         "(POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00]"),
+        ("(Point(1 2)@2000-01-01, Point(3 4)@2000-01-02)",
+         "(POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00)"),
+        ("{[Point(1 2)@2000-01-01, Point(3 4)@2000-01-02],"
+         "[Point(1 2)@2000-01-03, Point(3 4)@2000-01-04]}",
+         "{[POINT(1 2)@2000-01-01 00:00:00+00, "
+         "POINT(3 4)@2000-01-02 00:00:00+00], "
+         "[POINT(1 2)@2000-01-03 00:00:00+00, "
+         "POINT(3 4)@2000-01-04 00:00:00+00]}"),
+        ("SRID=4326;Point(1 2 3)@2000-01-01",
+         "SRID=4326;POINT Z (1 2 3)@2000-01-01 00:00:00+00"),
+        ("SRID=4326;{Point(1 2 3)@2000-01-01, Point(4 5 6)@2000-01-02}",
+         "SRID=4326;{POINT Z (1 2 3)@2000-01-01 00:00:00+00, "
+         "POINT Z (4 5 6)@2000-01-02 00:00:00+00}"),
+        ("SRID=4326;[Point(1 2 3)@2000-01-01, Point(4 5 6)@2000-01-02]",
+         "SRID=4326;[POINT Z (1 2 3)@2000-01-01 00:00:00+00, "
+         "POINT Z (4 5 6)@2000-01-02 00:00:00+00]"),
+        ("SRID=4326;{[Point(1 2 3)@2000-01-01, Point(4 5 6)@2000-01-02],"
+         "[Point(1 2 3)@2000-01-03, Point(4 5 6)@2000-01-04]}",
+         "SRID=4326;{[POINT Z (1 2 3)@2000-01-01 00:00:00+00, "
+         "POINT Z (4 5 6)@2000-01-02 00:00:00+00], "
+         "[POINT Z (1 2 3)@2000-01-03 00:00:00+00, "
+         "POINT Z (4 5 6)@2000-01-04 00:00:00+00]}"),
+    ]
+    for lit, want in cases:
+        tv = parse_temporal(lit, point=True)
+        assert str(MJ.from_mfjson(MJ.as_mfjson(tv))) == want, lit
+        assert str(MJ.from_ewkb(MJ.as_ewkb(tv))) == want, lit
