@@ -68,8 +68,10 @@ def tint_to_tfloat(tv: Temporal) -> Temporal:
 
 def tfloat_to_tint(tv: Temporal) -> Temporal:
     """tfloat → tint truncates values; only valid for stepwise
-    (a linear tfloat cannot become a step tint, temporal.c:1090)."""
-    if tv.linear:
+    (a linear tfloat cannot become a step tint, temporal.c:1090) —
+    instants/instant sets have no interpolation and always cast
+    (22-suite: tint(tfloat '1.5@2001-01-01') = 1@...)."""
+    if tv.linear and tv.duration not in (INSTANT, INSTANTSET):
         raise ValueError("cannot cast linear tfloat to tint")
     seqs = [Seq(s.times.copy(), np.trunc(s.values), s.lower_inc, s.upper_inc)
             for s in tv.seqs]

@@ -293,6 +293,14 @@ def minus_value(tv: Temporal, value) -> Temporal | None:
     return minus_periodset(tv, hit.get_time())
 
 
+def minus_values(tv: Temporal, targets: np.ndarray) -> Temporal | None:
+    """minusValues (temporal.c:2540): complement of atValues."""
+    hit = at_values(tv, targets)
+    if hit is None:
+        return tv
+    return minus_periodset(tv, hit.get_time())
+
+
 def at_range(tv: Temporal, lo: float, hi: float,
              lo_inc: bool = True, hi_inc: bool = True) -> Temporal | None:
     """atRange for tnumber (temporal.c:2583): clip the value dimension.

@@ -379,10 +379,12 @@ class Temporal:
         return int(sum(int(s.times[-1]) - int(s.times[0]) for s in self.seqs))
 
     def shift(self, delta_us: int) -> "Temporal":
-        return Temporal(self.duration,
-                        [Seq(s.times + np.int64(delta_us), s.values.copy(),
-                             s.lower_inc, s.upper_inc) for s in self.seqs],
-                        self.linear, self.srid)
+        out = Temporal(self.duration,
+                       [Seq(s.times + np.int64(delta_us), s.values.copy(),
+                            s.lower_inc, s.upper_inc) for s in self.seqs],
+                       self.linear, self.srid, self.step_default)
+        out.is_bool = self.is_bool
+        return out
 
     # -- interpolation (temporalseq.c:3111-3160) -----------------------
     def value_at(self, t: int):
