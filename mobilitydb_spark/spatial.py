@@ -70,7 +70,11 @@ def length(tv: Temporal) -> float:
 
 
 def cumulative_length(tv: Temporal) -> Temporal:
-    """tfloat of running length (`:942-1070`); linear interp."""
+    """tfloat of running length (`:942-1070`); inherits the input's
+    interpolation — stepwise motion never accumulates length, so a
+    step tpoint yields a step-constant profile with normalized knots
+    (56-suite goldens)."""
+    from .types import normalize_instants
     seqs = []
     run = 0.0
     for s in tv.seqs:
@@ -80,8 +84,15 @@ def cumulative_length(tv: Temporal) -> Temporal:
             d = np.sqrt((np.diff(s.values, axis=0) ** 2).sum(axis=1))
             cum = run + np.concatenate([[0.0], np.cumsum(d)])
             run = float(cum[-1])
-        seqs.append(Seq(s.times.copy(), cum[:, None], s.lower_inc, s.upper_inc))
-    return Temporal(tv.duration, seqs, True, tv.srid)
+        if tv.linear:
+            # keep every knot: the profile's interior knots mark the
+            # input's vertices even when collinear in time
+            ts2, v2 = s.times.copy(), cum[:, None]
+        else:
+            ts2, v2 = normalize_instants(s.times.copy(), cum[:, None],
+                                         False)
+        seqs.append(Seq(ts2, v2, s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration, seqs, tv.linear, tv.srid)
 
 
 def speed(tv: Temporal) -> Temporal | None:
@@ -95,7 +106,13 @@ def speed(tv: Temporal) -> Temporal | None:
             seqs.append(Seq(s.times.copy(), np.zeros((1, 1)),
                             s.lower_inc, s.upper_inc))
             continue
-        d = np.sqrt((np.diff(s.values, axis=0) ** 2).sum(axis=1))
+        if not tv.linear:
+            # stepwise motion has no continuous displacement: the
+            # speed is 0 everywhere (`tpoint_spatialfuncs.c:1073`,
+            # 56-suite goldens)
+            d = np.zeros(len(s.times) - 1)
+        else:
+            d = np.sqrt((np.diff(s.values, axis=0) ** 2).sum(axis=1))
         dt = np.diff(s.times) / 1e6
         sp = d / dt
         vals = np.concatenate([sp, sp[-1:]])[:, None]
@@ -196,12 +213,77 @@ def _segment_polygon_entries(p0: np.ndarray, p1: np.ndarray,
     return sorted(set(rs))
 
 
+def _line_segments(g: geo.Geometry):
+    parts = g.parts if g.kind == "MultiLineString" else [g.parts[0]]
+    for coords in parts:
+        for i in range(len(coords) - 1):
+            yield coords[i], coords[i + 1]
+
+
+def _on_line(pts: np.ndarray, g: geo.Geometry) -> np.ndarray:
+    best = np.full(len(pts), np.inf)
+    for a, b in _line_segments(g):
+        d, _ = geo.point_segment_dist(pts[:, 0], pts[:, 1],
+                                      a[0], a[1], b[0], b[1])
+        best = np.minimum(best, d)
+    return best <= geo.BOUNDARY_EPS
+
+
+def _line_geometry_periods(tv: Temporal, g: geo.Geometry) -> list[Period]:
+    """at_geometry against LINE geometries: the position is "inside"
+    exactly while ON the line — knot instants on the line, collinear
+    along-line runs (midpoint test), and interior crossing instants
+    (`tpoint_spatialfuncs.c:1627-1740` line branch)."""
+    out: list[Period] = []
+    for s in tv.seqs:
+        n = len(s.times)
+        on = _on_line(s.values, g)
+        if n == 1 or tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
+            for i in range(n):
+                if on[i]:
+                    t = int(s.times[i])
+                    out.append(Period(t, t))
+            if not tv.linear and n > 1:
+                for i in range(n - 1):
+                    if on[i]:
+                        out.append(Period(int(s.times[i]),
+                                          int(s.times[i + 1]), True, False))
+            continue
+        for i in range(n - 1):
+            p0, p1 = s.values[i], s.values[i + 1]
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            mid = (p0 + p1) / 2.0
+            if on[i] and on[i + 1] and bool(_on_line(mid[None, :], g)[0]):
+                out.append(Period(t0, t1))
+                continue
+            if on[i]:
+                out.append(Period(t0, t0))
+            if on[i + 1]:
+                out.append(Period(t1, t1))
+            for a, b in _line_segments(g):
+                hit = geo.segments_cross(p0[0], p0[1], p1[0], p1[1],
+                                         a[0], a[1], b[0], b[1])
+                if np.any(hit):
+                    d0 = (b[0] - a[0]) * (p0[1] - a[1]) \
+                        - (b[1] - a[1]) * (p0[0] - a[0])
+                    d1 = (b[0] - a[0]) * (p1[1] - a[1]) \
+                        - (b[1] - a[1]) * (p1[0] - a[0])
+                    if d0 != d1:
+                        r = d0 / (d0 - d1)
+                        tc = int(round(t0 + (t1 - t0) * r))
+                        if t0 < tc < t1:
+                            out.append(Period(tc, tc))
+    return normalize_periods(out)
+
+
 def at_geometry_periods(tv: Temporal, g: geo.Geometry) -> list[Period]:
     """Time periods during which the tpoint is inside/on the geometry
     (core of ``tpointseq_at_geometry1``,
     `tpoint_spatialfuncs.c:1627-1740`)."""
     if g.is_empty:
         return []
+    if g.kind in ("LineString", "MultiLineString"):
+        return _line_geometry_periods(tv, g)
     periods: list[Period] = []
     discrete = tv.duration in (INSTANT, INSTANTSET) or not tv.linear
     for s in tv.seqs:
@@ -637,6 +719,13 @@ def _point_geom_dist(p, g: geo.Geometry) -> float:
     if g.kind in ("Point", "MultiPoint"):
         pts = np.vstack(g.parts) if g.parts else np.empty((0, 2))
         return float(np.sqrt(((pts - p) ** 2).sum(axis=1)).min())
+    if g.kind in ("LineString", "MultiLineString"):
+        best = np.inf
+        for a, b in _line_segments(g):
+            d, _ = geo.point_segment_dist(p[0:1], p[1:2],
+                                          a[0], a[1], b[0], b[1])
+            best = min(best, float(d[0]))
+        return best
     return float(geo.point_polygon_dist(p[0:1], p[1:2], g)[0])
 
 
