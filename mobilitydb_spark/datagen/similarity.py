@@ -302,7 +302,14 @@ def band_signatures(df: DataFrame, id_col: str, vec: str,
             if not len(pdf):
                 continue
             mat = np.vstack(pdf[vec].to_numpy()).astype(np.float64)
-            bits = (mat @ planes) > 0
+            # strict left-fold over dim (NOT a BLAS matmul, whose
+            # pairwise summation can flip the sign of a near-zero
+            # projection vs the SQL oracle's sequential
+            # list_dot_product; the refine already folds this way)
+            proj = np.zeros((len(pdf), planes.shape[1]))
+            for d in range(planes.shape[0]):
+                proj += mat[:, d:d + 1] * planes[d]
+            bits = proj > 0
             keys = bits.reshape(len(pdf), bands, rows_per_band) @ w
             out = pdf[[id_col, vec]].copy()
             out["keys"] = list(keys.astype(np.int64))

@@ -475,6 +475,11 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     bad2 = bad.join(ok2, query_id, "left_anti")
     n_bad2 = bad2.count()
     keep2 = ranked2.select(query_id, cand_id, "dist", "rank")
+    # the persist existed to make the gating count cheap; release it
+    # lazily so long-lived sessions don't leak cached partitions
+    # (ranked2 is <= |Q|*k rows — a recompute on final evaluation is
+    # one window over a small relation)
+    ranked2.unpersist(blocking=False)
     if n_bad2 == 0:
         return good.unionByName(keep2)
     good2 = keep2.join(bad2, query_id, "left_anti")
@@ -528,14 +533,39 @@ def interval_join(left: DataFrame, right: DataFrame,
         spans = l.select((F.col("l_t1") - F.col("l_t0")).alias("s")) \
             .unionByName(r.select((F.col("r_t1") - F.col("r_t0"))
                                   .alias("s")))
-        med = spans.approxQuantile("s", [0.5], 0.05)
-        W = max(int(2 * med[0]), 1) if med else 86_400_000_000
+        # Floor with p90, not just the median: on bimodal inputs
+        # (half instants, half month-long spans) the median is ~0, so
+        # W=1us would class every long span as "long" and broadcast
+        # an unbounded relation into the nested-loop pass.
+        qs = spans.approxQuantile("s", [0.5, 0.9], 0.05)
+        W = (max(int(2 * qs[0]), int(qs[1]), 1) if qs
+             else 86_400_000_000)
     else:
         W = int(bucket_us)
-    l_nb = F.floor(F.col("l_t1") / W) - F.floor(F.col("l_t0") / W) + 1
-    r_nb = F.floor(F.col("r_t1") / W) - F.floor(F.col("r_t0") / W) + 1
-    ls, ll = l.where(l_nb <= max_buckets), l.where(l_nb > max_buckets)
-    rs, rl = r.where(r_nb <= max_buckets), r.where(r_nb > max_buckets)
+
+    def _split(W):
+        l_nb = (F.floor(F.col("l_t1") / W)
+                - F.floor(F.col("l_t0") / W) + 1)
+        r_nb = (F.floor(F.col("r_t1") / W)
+                - F.floor(F.col("r_t0") / W) + 1)
+        return (l.where(l_nb <= max_buckets), l.where(l_nb > max_buckets),
+                r.where(r_nb <= max_buckets), r.where(r_nb > max_buckets))
+
+    ls, ll, rs, rl = _split(W)
+    if bucket_us == "auto":
+        # Broadcast-safety: the long sides feed F.broadcast() below.
+        # If a quantile misfire still leaves too many long rows,
+        # widen the bucket until the long tail is broadcastable
+        # (bounded retries; W growth is geometric so 4 steps cover
+        # a 4096x quantile error).
+        for _ in range(4):
+            n_long = (ll.select(F.lit(1).alias("one"))
+                      .unionByName(rl.select(F.lit(1).alias("one")))
+                      .limit(100_001).count())
+            if n_long <= 100_000:
+                break
+            W *= 8
+            ls, ll, rs, rl = _split(W)
     start = F.greatest(F.col("l_t0"), F.col("r_t0"))
     end = F.least(F.col("l_t1"), F.col("r_t1"))
     sel = [F.col(left_id), F.col(right_id),

@@ -115,7 +115,8 @@ def as_ewkb(tv: Temporal) -> bytes:
     import struct
     out = [struct.pack("<BBiBB", 1, tv.duration, tv.srid,
                        (1 if tv.linear else 0)
-                       | (2 if tv.step_default else 0),
+                       | (2 if tv.step_default else 0)
+                       | (4 if tv.is_bool else 0),
                        tv.dim)]
     out.append(struct.pack("<I", len(tv.seqs)))
     for s in tv.seqs:
@@ -146,4 +147,6 @@ def from_ewkb(buf: bytes) -> Temporal:
                            offset=off).copy().reshape(n, dim)
         off += 8 * n * dim
         seqs.append(Seq(ts.astype(np.int64), vs, bool(lo), bool(hi)))
-    return Temporal(dur, seqs, bool(flags & 1), srid, bool(flags & 2))
+    out = Temporal(dur, seqs, bool(flags & 1), srid, bool(flags & 2))
+    out.is_bool = bool(flags & 4)
+    return out

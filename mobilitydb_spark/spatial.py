@@ -260,6 +260,35 @@ def _line_geometry_periods(tv: Temporal, g: geo.Geometry) -> list[Period]:
                 out.append(Period(t0, t0))
             if on[i + 1]:
                 out.append(Period(t1, t1))
+            # collinear PARTIAL overlap: the movement segment lies
+            # along a line segment but extends past it (or contains
+            # it), so the endpoint/midpoint test above sees at most
+            # one endpoint on the line.  Clip the line segment onto
+            # the movement parameter and emit the overlap run
+            # (reference tpointseq_at_geometry1 computes the true
+            # intersection, `tpoint_spatialfuncs.c:1627-1740`).
+            d = p1 - p0
+            dlen = float(np.hypot(d[0], d[1]))
+            if dlen > 0.0:
+                for a, b in _line_segments(g):
+                    da = abs(d[0] * (a[1] - p0[1])
+                             - d[1] * (a[0] - p0[0])) / dlen
+                    db = abs(d[0] * (b[1] - p0[1])
+                             - d[1] * (b[0] - p0[0])) / dlen
+                    if da > geo.BOUNDARY_EPS or db > geo.BOUNDARY_EPS:
+                        continue
+                    dd = float(d[0] * d[0] + d[1] * d[1])
+                    ra = float((a[0] - p0[0]) * d[0]
+                               + (a[1] - p0[1]) * d[1]) / dd
+                    rb = float((b[0] - p0[0]) * d[0]
+                               + (b[1] - p0[1]) * d[1]) / dd
+                    rlo = max(min(ra, rb), 0.0)
+                    rhi = min(max(ra, rb), 1.0)
+                    if rlo > rhi:
+                        continue
+                    ta = int(round(t0 + (t1 - t0) * rlo))
+                    tb = int(round(t0 + (t1 - t0) * rhi))
+                    out.append(Period(ta, tb))
             for a, b in _line_segments(g):
                 hit = geo.segments_cross(p0[0], p0[1], p1[0], p1[1],
                                          a[0], a[1], b[0], b[1])

@@ -67,7 +67,9 @@ def parse_ts(s: str) -> np.int64:
     off_us = 0
     if m and not re.match(r".*\d{4}-\d{2}$", m.group(1)):
         base, hh, mm = m.group(1), m.group(2), m.group(3)
-        if len(base) > 10:  # has a time part → trailing ±HH is an offset
+        if len(base) >= 10:  # time part, or bare date → ±HH is an offset
+            # (date-only '2001-01-01+00' = offset from midnight, the
+            # pre-junk-check behaviour; PG accepts it the same way)
             s = base
             off_us = int(hh) * 3600_000_000
             if mm:

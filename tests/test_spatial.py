@@ -279,3 +279,27 @@ def test_tdwithin_touch_at_instant():
                 "[Point(4 3)@2000-01-04, Point(5 3)@2000-01-05]", 1) == \
         ("{[1@2000-01-04 00:00:00+00], "
          "(0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
+
+
+def test_at_line_collinear_partial_overlap():
+    # segment lies ALONG the line but extends past it: the overlap is a
+    # run, not an instant (r4 ADVICE; reference tpointseq_at_geometry1
+    # computes the true intersection)
+    import numpy as np
+    from mobilitydb_spark.types import parse_temporal
+    tv = parse_temporal("[Point(0 0)@2000-01-01, Point(2 0)@2000-01-03]",
+                        point=True)
+    g = geo.Geometry("LineString", [np.array([[0., 0.], [1., 0.]])])
+    ps = spatial.at_geometry_periods(tv, g)
+    assert [str(p) for p in ps] == \
+        ["[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00]"]
+    # middle overlap: neither endpoint on the line
+    tv2 = parse_temporal("[Point(0 0)@2000-01-01, Point(3 0)@2000-01-04]",
+                         point=True)
+    g2 = geo.Geometry("LineString", [np.array([[1., 0.], [2., 0.]])])
+    ps2 = spatial.at_geometry_periods(tv2, g2)
+    assert [str(p) for p in ps2] == \
+        ["[2000-01-02 00:00:00+00, 2000-01-03 00:00:00+00]"]
+    # collinear but disjoint: nothing
+    g4 = geo.Geometry("LineString", [np.array([[5., 0.], [6., 0.]])])
+    assert spatial.at_geometry_periods(tv2, g4) == []
