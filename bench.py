@@ -28,6 +28,40 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000,
                "sf1": 2_000_000}
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _proc_jiffies() -> tuple[int, int]:
+    """(host_busy_jiffies, own_subtree_jiffies) — the self-attestation
+    counters (r4 verdict: the official bench artifact could not prove
+    it ran on a quiet host).  Host busy time comes from /proc/stat;
+    our own share walks the live process subtree (this python + the
+    Spark JVM), so `(host_busy - own) / wall` is the average number of
+    cores OTHER tenants burned while a query ran — loadavg alone can't
+    separate our 32-thread bursts from external contention."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    busy = sum(vals) - vals[3] - vals[4]  # total - idle - iowait
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    own, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        own += procs.get(p, (0, 0))[1]
+        stack.extend(kids.get(p, []))
+    return busy, own
+
 
 def main() -> None:
     from pyspark.sql import functions as F
@@ -50,7 +84,8 @@ def main() -> None:
     grid = fixtures.polygons_pd("grid", 4096)
 
     timings: dict[str, float] = {}
-    raw_reps: dict[str, list[float]] = {}
+    raw_reps: dict[str, list[list[float]]] = {}
+    ext_cores: dict[str, float] = {}
 
     def force(df):
         """Evaluate EVERY output column — a bare .count() lets
@@ -62,26 +97,38 @@ def main() -> None:
                          F.bit_xor(F.xxhash64(*cols)).alias("chk")).collect()
 
     def run(name, fn):
-        """Warm median-of-3 per query (noise robustness on a shared
-        host: single cold runs flapped 2-3x between rounds with zero
-        code change).  Expensive queries trim reps to bound the suite:
-        first rep <= 20 s -> 3 reps (median), <= 90 s -> 2 reps (min of
-        the two: the slower one is the straggler), else 1 rep."""
-        reps = []
-        t0 = time.time()
-        fn()
-        reps.append(time.time() - t0)
-        # a cold first rep on this host can spike 2-10x, so even slow
-        # queries get a second (warm) rep before we trust the number
-        max_reps = 3 if reps[0] <= 20.0 else (2 if reps[0] <= 90.0 else 1)
-        while len(reps) < max_reps:
+        """Warm reps per query, each self-attested with the external
+        busy-core average over its window (r4 verdict: 13 rows were
+        host-contention artifacts and the bench could not prove it).
+        Statistic: MIN of 3 warm reps when the query is short (first
+        rep <= 5 s — min is the right noise-robust statistic for
+        CPU-bound work), median-of-3 up to 20 s, min-of-2 to 90 s,
+        else 1 rep.  Reported external cores belong to the CHOSEN rep,
+        so the printed time attests its own window."""
+        reps: list[list[float]] = []  # [sec, ext_cores] per rep
+
+        def one_rep():
+            b0, o0 = _proc_jiffies()
             t0 = time.time()
             fn()
-            reps.append(time.time() - t0)
-        reps_s = sorted(reps)
-        val = reps_s[1] if len(reps_s) == 3 else reps_s[0]
-        timings[name] = round(val, 3)
-        raw_reps[name] = [round(r, 3) for r in reps]
+            wall = time.time() - t0
+            b1, o1 = _proc_jiffies()
+            ext = max(0.0, ((b1 - b0) - (o1 - o0)) / _CLK_TCK / wall)
+            reps.append([round(wall, 3), round(ext, 2)])
+
+        one_rep()
+        # a cold first rep on this host can spike 2-10x, so even slow
+        # queries get a second (warm) rep before we trust the number
+        first = reps[0][0]
+        max_reps = 3 if first <= 20.0 else (2 if first <= 90.0 else 1)
+        while len(reps) < max_reps:
+            one_rep()
+        ordered = sorted(reps)
+        chosen = (ordered[1] if len(ordered) == 3 and first > 5.0
+                  else ordered[0])
+        timings[name] = chosen[0]
+        ext_cores[name] = chosen[1]
+        raw_reps[name] = reps
 
     # JVM/JIT + Arrow warm-up (untimed): the first query in a fresh
     # session otherwise absorbs codegen/JIT cost and skews per-core
@@ -161,13 +208,19 @@ def main() -> None:
     with open(reps_path, "w") as fh:
         json.dump({"sf": sf_name, "master": spark.sparkContext.master,
                    "reps": raw_reps}, fh, indent=1)
+    contended = sorted(n for n, e in ext_cores.items() if e > 2.0)
     out = {
         "metric": "spatial-join+tile-assignment headline suite",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "rep_policy": "median-of-3 warm; 2 reps (min) if first >20s; "
-                      "1 rep if >90s; raw reps in " +
+        "external_cores": ext_cores,
+        "contended": contended,
+        "rep_policy": "warm reps: min-of-3 if first<=5s, median-of-3 "
+                      "to 20s, min-of-2 to 90s, else 1; external_cores "
+                      "= avg non-our busy cores during the chosen rep "
+                      "(/proc/stat minus own subtree); contended = "
+                      "queries with >2 external cores; raw reps in " +
                       os.path.relpath(reps_path, REPO),
         "sf": sf_name,
         "n_pages": n_pages,
