@@ -192,7 +192,8 @@ def main() -> None:
                  # trajectory WKT, projected rels table, range clip
                  "interval_join", "cosine_neardup_lsh",
                  "trajectory_wkt", "spatial_rels_rect",
-                 "at_range_clip", "cosine_neardup_banded"]:
+                 "at_range_clip", "cosine_neardup_banded",
+                 "nad_line"]:
         fn, _ = reg[name]
         run(name, lambda fn=fn: force(fn(spark, SF_DIR)))
 

@@ -133,3 +133,20 @@ def geog_covers(g: geo.Geometry, tv: Temporal) -> bool | None:
 
 def geog_coveredby(tv: Temporal, g: geo.Geometry) -> bool | None:
     return geog_covers(g, tv)
+
+
+def geog_distance_spheroid(a: Temporal, b) -> Temporal | None:
+    """Reference-parity temporal distance for geographies: WGS84
+    spheroid meters (Vincenty ≡ PostGIS `geog_distance`,
+    `point/src/tpoint_distance.c:43-51, 245-340`), turning instants
+    from the planar lon/lat closest-approach solver
+    (`tpointseq_min_dist_at_timestamp`, tpoint_distance.c:165-235 —
+    the reference, too, derives the fraction from planar coordinate
+    algebra for tpoint↔tpoint).  PostGIS geography ignores Z, so 3D
+    operands measure on their lon/lat alone.  `geog_distance`
+    (haversine) stays the table-op/oracle path."""
+    if not isinstance(b, Temporal):
+        b = const_temporal(np.asarray(b, dtype=np.float64), a)
+    return lift_binary(
+        lambda x, y: geo.vincenty_m(x[:, 0], x[:, 1], y[:, 0], y[:, 1]),
+        a, b, turnfn=turn_distance)

@@ -418,3 +418,41 @@ def tdistance(a: Temporal, b: Temporal) -> Temporal | None:
             a, b, turnfn=turn_distance)
     point = np.atleast_1d(np.asarray(b, dtype=np.float64))
     return tdistance(a, const_temporal(point, a))
+
+
+def tdistance_checked(a: Temporal, b, geodetic: bool = False):
+    """Temporal distance with the reference's operand validation and
+    geometry/geography dispatch (`point/src/tpoint_distance.c:245-398`
+    distance_geo_tpoint / distance_tpoint_geo / distance_tpoint_tpoint,
+    parameter tests `tpoint_spatialfuncs.c:35-90`): non-point
+    geometries, mixed SRIDs and mixed dimensionality raise the
+    reference's exact errors; an empty geometry operand returns NULL.
+    ``geodetic`` selects WGS84 spheroid meters with planar turning
+    instants (geog.geog_distance_spheroid)."""
+    from . import geo as _geo
+
+    if isinstance(b, Temporal):
+        if a.srid != b.srid:
+            raise ValueError("The temporal points must be in the same SRID")
+        if a.dim != b.dim:
+            raise ValueError(
+                "The temporal points must be of the same dimensionality")
+        point = None
+    elif isinstance(b, _geo.Geometry):
+        if b.kind != "Point":
+            raise ValueError("Only point geometries accepted")
+        if b.srid != a.srid:
+            raise ValueError(
+                "The temporal point and the geometry must be in the same SRID")
+        if b.is_empty:
+            return None
+        point = np.asarray(b.parts[0][0], dtype=np.float64)
+        if len(point) != a.dim:
+            raise ValueError("The temporal point and the geometry "
+                             "must be of the same dimensionality")
+    else:
+        point = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    if geodetic:
+        from .geog import geog_distance_spheroid
+        return geog_distance_spheroid(a, b if point is None else point)
+    return tdistance(a, b if point is None else point)

@@ -785,3 +785,60 @@ def shortest_line(tv: Temporal, other) -> np.ndarray:
                     best = (float(d[k]), qq)
             q = best[1]
     return np.vstack([p, q])
+
+
+def tdistance_geometry(tv: Temporal, g: geo.Geometry) -> Temporal | None:
+    """EXTENSION: temporal distance profile (tfloat) from a tpoint to
+    an arbitrary geometry (Point/MultiPoint/LineString/
+    MultiLineString/Polygon/MultiPolygon).
+
+    The reference ERRORS on non-point distance operands
+    (`ensure_point_type`, `point/src/tpoint_distance.c:250,297` —
+    asserted verbatim in tests/test_distance62_suite.py); point
+    parity lives in lifting.tdistance_checked.  This profile follows
+    the same tfloat model the reference uses for point operands:
+    exact distances at knots plus closest-approach candidate instants
+    (per-pair convex minimizers from the NAD kernels, polygon
+    entry/exit crossings), linear interpolation between — the
+    distance-to-road profile for the table ops."""
+    if g.is_empty:
+        return None
+    out_seqs: list[Seq] = []
+    discrete = tv.duration in (INSTANT, INSTANTSET) or not tv.linear
+
+    def dist_at(vals: np.ndarray) -> np.ndarray:
+        return np.array([_point_geom_dist(v, g) for v in vals])[:, None]
+
+    for s in tv.seqs:
+        n = len(s.times)
+        if discrete or n == 1:
+            out_seqs.append(Seq(s.times.copy(), dist_at(s.values),
+                                s.lower_inc, s.upper_inc))
+            continue
+        times: list[int] = []
+        for i in range(n - 1):
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            p0, p1 = s.values[i], s.values[i + 1]
+            times.append(t0)
+            cands: list[float] = []
+            if g.kind in ("Point", "MultiPoint"):
+                for q in np.vstack(g.parts):
+                    cands.append(_seg_point_min(p0, p1, q)[1])
+            else:
+                rings = g.rings() or [(r, False) for r in g.parts]
+                for ring, _ in rings:
+                    for k in range(len(ring) - 1):
+                        cands.append(
+                            _seg_seg_min(p0, p1, ring[k], ring[k + 1])[1])
+                if g.kind in ("Polygon", "MultiPolygon"):
+                    cands.extend(_segment_polygon_entries(p0, p1, g))
+            for r in cands:
+                tc = int(round(t0 + (t1 - t0) * r))
+                if t0 < tc < t1:
+                    times.append(tc)
+        times.append(int(s.times[-1]))
+        ts = np.array(sorted(set(times)), dtype=np.int64)
+        vals = np.vstack([tv.value_at(int(t)) for t in ts])
+        out_seqs.append(Seq(ts, dist_at(vals), s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration, out_seqs, tv.linear, tv.srid,
+                    tv.step_default)

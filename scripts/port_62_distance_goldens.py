@@ -15,11 +15,13 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "goldens", "distance_62.json")
 
 CASE = re.compile(r"^SELECT round\((.+?) <-> (.+), (\d+)\);$")
+ERR_OUT = OUT.replace("distance_62.json", "distance_62_errors.json")
 
 
 def main() -> None:
     lines = open(SRC).read().splitlines()
     cases = []
+    errors = []
     i = 0
     while i < len(lines):
         m = CASE.match(lines[i])
@@ -27,6 +29,8 @@ def main() -> None:
             i += 1
             continue
         if lines[i + 1].startswith("ERROR"):
+            errors.append([m.group(1), m.group(2),
+                           lines[i + 1].split("ERROR:", 1)[1].strip()])
             i += 2
             continue
         j = i + 1
@@ -41,9 +45,11 @@ def main() -> None:
         cases.append([m.group(1), m.group(2), int(m.group(3)),
                       lines[j + 1].strip()])
         i = j + 2
-    print(len(cases))
+    print(len(cases), "cases,", len(errors), "errors")
     with open(OUT, "w") as fh:
         json.dump(cases, fh, indent=0)
+    with open(ERR_OUT, "w") as fh:
+        json.dump(errors, fh, indent=0)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 # with 0 rows on both sides, proving nothing about the math)
 NONEMPTY = {"geog_dwithin_join", "cosine_dedup", "cosine_neardup_lsh",
             "dwithin_join", "interval_join", "minhash_dedup",
-            "simhash_pairs"}
+            "simhash_pairs", "cosine_neardup_banded", "trajectory_wkt",
+            "spatial_rels_rect", "nad_line"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))

@@ -303,3 +303,27 @@ def test_at_line_collinear_partial_overlap():
     # collinear but disjoint: nothing
     g4 = geo.Geometry("LineString", [np.array([[5., 0.], [6., 0.]])])
     assert spatial.at_geometry_periods(tv2, g4) == []
+
+
+def test_tdistance_geometry_profile():
+    # extension profile: reference errors on line operands (62-suite
+    # error block); the profile must agree with the NAD kernel at its
+    # minimum and with exact point distances at every knot
+    import numpy as np
+    from mobilitydb_spark.types import parse_temporal
+    tv = parse_temporal("[Point(0 0)@2000-01-01, Point(4 0)@2000-01-05]",
+                        point=True)
+    g = geo.Geometry("LineString", [np.array([[2., 1.], [2., 3.]])])
+    prof = spatial.tdistance_geometry(tv, g)
+    nai_t, nad = spatial.nearest_approach_instant(tv, g)
+    assert abs(float(prof.min_value()[0]) - nad) < 1e-12
+    for s in prof.seqs:
+        for t, v in zip(s.times, s.values[:, 0]):
+            p = tv.value_at(int(t))
+            assert abs(spatial._point_geom_dist(p, g) - v) < 1e-12
+    # polygon operand: zero inside, positive outside
+    sq = geo.Geometry("Polygon", [np.array(
+        [[1., -1.], [3., -1.], [3., 1.], [1., 1.], [1., -1.]])])
+    prof2 = spatial.tdistance_geometry(tv, sq)
+    assert float(prof2.min_value()[0]) == 0.0
+    assert spatial.tdistance_geometry(tv, geo.Geometry("Polygon", [])) is None
