@@ -122,16 +122,25 @@ def main() -> None:
 
     med: dict[str, float] = {}
     raw: dict[str, list[float]] = {k: [] for k in ops}
+    from bench import _CLK_TCK, _proc_jiffies
+    ext: dict[str, list[float]] = {k: [] for k in ops}
     for _ in range(args.reps):
         for name, fn in ops.items():
+            b0, o0 = _proc_jiffies()
             t0 = time.time()
             fn()
-            raw[name].append(round(time.time() - t0, 3))
+            wall = time.time() - t0
+            b1, o1 = _proc_jiffies()
+            raw[name].append(round(wall, 3))
+            # avg busy cores NOT in our own process subtree during the
+            # rep — each rep attests its own window (r4 verdict)
+            ext[name].append(round(max(
+                0.0, ((b1 - b0) - (o1 - o0)) / _CLK_TCK / wall), 2))
     for name in ops:
         med[name] = round(statistics.median(raw[name]), 3)
     print(json.dumps({
         "cpus": args.cpus, "n_pages": args.pages, "reps": args.reps,
-        "median_sec": med, "raw_sec": raw,
+        "median_sec": med, "raw_sec": raw, "external_cores": ext,
         **({"flagship_pages_per_sec":
             round(args.pages / med["flagship"], 1)}
            if "flagship" in med else {}),
