@@ -150,3 +150,128 @@ def geog_distance_spheroid(a: Temporal, b) -> Temporal | None:
     return lift_binary(
         lambda x, y: geo.vincenty_m(x[:, 0], x[:, 1], y[:, 0], y[:, 1]),
         a, b, turnfn=turn_distance)
+
+
+def vincenty_azimuth_deg(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """WGS84 forward azimuth α₁ in SIGNED degrees (-180, 180] — the
+    byproduct of the Vincenty inverse; the reference's tgeogpoint
+    azimuth prints the raw spheroid_direction without the ST_Azimuth
+    [0, 2π) normalization (56-suite goldens show -134.80673),
+    `point/src/tpoint_spatialfuncs.c` azimuth geog branch."""
+    lon1, lat1, lon2, lat2 = (np.atleast_1d(
+        np.radians(np.asarray(a, dtype=np.float64)))
+        for a in (lon1, lat1, lon2, lat2))
+    f = geo.WGS84_F
+    L = lon2 - lon1
+    U1 = np.arctan((1.0 - f) * np.tan(lat1))
+    U2 = np.arctan((1.0 - f) * np.tan(lat2))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    for _ in range(100):
+        sl, cl = np.sin(lam), np.cos(lam)
+        ss = np.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+        cs = sU1 * sU2 + cU1 * cU2 * cl
+        zero = ss == 0.0
+        sig = np.arctan2(ss, cs)
+        sa = np.where(zero, 0.0, cU1 * cU2 * sl / np.where(zero, 1.0, ss))
+        c2a = 1.0 - sa * sa
+        polar = c2a == 0.0
+        c2m = np.where(polar, 0.0,
+                       cs - 2.0 * sU1 * sU2 / np.where(polar, 1.0, c2a))
+        C = f / 16.0 * c2a * (4.0 + f * (4.0 - 3.0 * c2a))
+        lam_new = L + (1.0 - C) * f * sa * (
+            sig + C * ss * (c2m + C * cs * (-1.0 + 2.0 * c2m * c2m)))
+        if np.all(np.abs(lam_new - lam) < 1e-14):
+            lam = lam_new
+            break
+        lam = lam_new
+    sl, cl = np.sin(lam), np.cos(lam)
+    return np.degrees(np.arctan2(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl))
+
+
+def geog_azimuth(tv: Temporal) -> Temporal | None:
+    """Stepwise tfloat of spheroid segment bearings in RADIANS
+    (mirror of spatial.azimuth with the Vincenty α₁ bearing); NULL
+    for discrete and stepwise inputs, like the planar azimuth."""
+    from .types import INSTANT, INSTANTSET, SEQUENCESET, Seq
+
+    if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
+        return None
+    out = []
+    for s in tv.seqs:
+        n = len(s.times)
+        if n == 1:
+            continue
+        v = s.values
+        az = np.radians(vincenty_azimuth_deg(v[:-1, 0], v[:-1, 1],
+                                             v[1:, 0], v[1:, 1]))
+        d = np.diff(v[:, :2], axis=0)
+        moving = (np.abs(d) > 0).any(axis=1)
+        i = 0
+        while i < n - 1:
+            if not moving[i]:
+                i += 1
+                continue
+            j = i
+            while j < n - 1 and moving[j]:
+                j += 1
+            ts = s.times[i:j + 1]
+            vals = np.concatenate([az[i:j], az[j - 1:j]])[:, None]
+            lo_inc = s.lower_inc if i == 0 else True
+            hi_inc = s.upper_inc if j == n - 1 else True  # run-end closes
+            out.append(Seq(ts, vals, lo_inc, hi_inc))
+            i = j
+    if not out:
+        return None
+    return Temporal(SEQUENCESET, out, False, tv.srid)
+
+
+def _unit_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    lo, la = np.radians(lon), np.radians(lat)
+    return np.stack([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                     np.sin(la)], axis=-1)
+
+
+def point_edge_distance_spheroid(plon: float, plat: float,
+                                 a: np.ndarray, b: np.ndarray) -> float:
+    """Spheroid distance from a point to ONE geodesic edge a→b: the
+    closest point is located on the great-circle arc (unit sphere),
+    the measure to it is Vincenty — exactly PostGIS's geography
+    model (lwgeodetic.c edge_distance_to_point + spheroid_distance),
+    verified to 1e-6 m against the 56-suite geography goldens."""
+    A = _unit_xyz(a[0], a[1])
+    B = _unit_xyz(b[0], b[1])
+    P = _unit_xyz(plon, plat)
+    n = np.cross(A, B)
+    norm = np.linalg.norm(n)
+    if norm == 0.0:  # degenerate edge
+        return float(geo.vincenty_m(plon, plat, a[0], a[1])[0])
+    n = n / norm
+    C = P - np.dot(P, n) * n
+    cn = np.linalg.norm(C)
+    cands = [a, b]
+    if cn > 0.0:
+        C = C / cn
+        # C must lie on the ARC a..b: angles A-C + C-B == A-B
+        angAB = np.arccos(np.clip(np.dot(A, B), -1, 1))
+        angAC = np.arccos(np.clip(np.dot(A, C), -1, 1))
+        angCB = np.arccos(np.clip(np.dot(C, B), -1, 1))
+        if angAC + angCB <= angAB + 1e-12:
+            lon = float(np.degrees(np.arctan2(C[1], C[0])))
+            lat = float(np.degrees(np.arcsin(np.clip(C[2], -1, 1))))
+            cands.append(np.array([lon, lat]))
+    return float(min(geo.vincenty_m(plon, plat, c[0], c[1])[0]
+                     for c in cands))
+
+
+def point_line_distance_spheroid(plon: float, plat: float,
+                                 coords: np.ndarray) -> float:
+    """Min over the polyline's geodesic edges (single point → 0-length
+    handled by the edge kernel)."""
+    if len(coords) == 1:
+        return float(geo.vincenty_m(plon, plat,
+                                    coords[0][0], coords[0][1])[0])
+    return min(point_edge_distance_spheroid(plon, plat,
+                                            coords[k], coords[k + 1])
+               for k in range(len(coords) - 1))

@@ -39,7 +39,10 @@ def trajectory(tv: Temporal) -> geo.Geometry:
     is Point (single), LineString (one linear seq) or MultiPoint
     (discrete / stepwise)."""
     if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
-        pts = np.unique(tv.values, axis=0)
+        # first-appearance dedup — the reference keeps encounter order
+        # (tpointi_trajectory), not sorted order
+        _, idx = np.unique(tv.values, axis=0, return_index=True)
+        pts = tv.values[np.sort(idx)]
         if len(pts) == 1:
             return geo.Geometry("Point", [pts])
         return geo.Geometry("MultiPoint", [pts[i:i + 1] for i in range(len(pts))])
@@ -127,8 +130,10 @@ def speed(tv: Temporal) -> Temporal | None:
 def azimuth(tv: Temporal) -> Temporal | None:
     """Stepwise tfloat of segment bearings, radians clockwise from
     north = atan2(dx, dy) (`:1520-1595`); zero-length segments are
-    undefined → result splits into a SequenceSet."""
-    if tv.duration in (INSTANT, INSTANTSET):
+    undefined → result splits into a SequenceSet.  NULL for discrete
+    AND stepwise inputs (56-suite: Interp=Stepwise azimuth is empty —
+    stepwise motion has no direction)."""
+    if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
         return None
     out = []
     for s in tv.seqs:
@@ -151,7 +156,11 @@ def azimuth(tv: Temporal) -> Temporal | None:
             ts = s.times[i:j + 1]
             vals = np.concatenate([az[i:j], az[j - 1:j]])[:, None]
             lo_inc = s.lower_inc if i == 0 else True
-            hi_inc = s.upper_inc if j == n - 1 else False
+            # a run that stops BEFORE the final knot closes at the
+            # instant motion ends (56-suite: '[45@d1, 45@d2]' with a
+            # stationary tail) — only the sequence end inherits the
+            # input's bound
+            hi_inc = s.upper_inc if j == n - 1 else True
             out.append(Seq(ts, vals, lo_inc, hi_inc))
             i = j
     if not out:

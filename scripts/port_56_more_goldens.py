@@ -40,7 +40,7 @@ PATTERNS = [
     ("shortestline", re.compile(
         r"(?i)^SELECT ST_AsText\((?:ShortestLine)\((.*)\)\);$")),
     ("nai_prec", re.compile(
-        r"(?i)^SELECT asText\(setPrecision\(NearestApproachInstant\((.*)\), (\d+)\)\);$")),
+        r"(?i)^SELECT asText\(setPrecision\(NearestApproachInstant\((.*)\),\s*(\d+)\)\);$")),
     ("nai", re.compile(
         r"(?i)^SELECT asText\(NearestApproachInstant\((.*)\)\);$")),
     ("azimuth", re.compile(
