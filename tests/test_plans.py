@@ -165,3 +165,25 @@ def test_interval_join_is_equi_join_on_bucket(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_spatial_rels_jvm_matches_kernel(spark):
+    """The JVM-side Liang-Barsky table op (the default since r5) must
+    produce exactly the everops kernel path's booleans, with a
+    Python-free plan (r4 verdict What's wrong #2)."""
+    import pandas as pd
+
+    from mobilitydb_spark.queries import (q_spatial_rels_rect,
+                                          q_spatial_rels_rect_kernel)
+    sf = "/root/testdata/sf0.001"
+    a = q_spatial_rels_rect(spark, sf).toPandas() \
+        .sort_values(["key", "rect_id"]).reset_index(drop=True)
+    b = q_spatial_rels_rect_kernel(spark, sf).toPandas() \
+        .sort_values(["key", "rect_id"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    plan = q_spatial_rels_rect(spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas"):
+        assert bad not in plan, bad
