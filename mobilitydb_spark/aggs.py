@@ -209,20 +209,23 @@ def tagg(values: list[Temporal], kind: str,
             subs = [a] + sorted(rs) + [b]
         else:
             subs = [a, b]
-        for lo, hi in zip(subs[:-1], subs[1:]):
+        for si, (lo, hi) in enumerate(zip(subs[:-1], subs[1:])):
             r_lo = (lo - a) / (b - a)
             r_hi = (hi - a) / (b - a)
             w0 = v0 + (v1 - v0) * r_lo
             w1 = v0 + (v1 - v0) * r_hi
+            # si > 0: interior crossing subdivision — continuous with
+            # the previous sub-interval by construction (no knot atom
+            # exists at a crossing instant)
             intervals.append((lo, hi, fin(_combine(kind, w0)),
-                              fin(_combine(kind, w1))))
+                              fin(_combine(kind, w1)), si > 0))
 
     if not knots and not intervals:
         return None
 
     # 3. assemble maximal sequences
     atoms: list[tuple] = [("k", t, v) for t, v in knots] + \
-        [("i", lo, hi, v0, v1) for lo, hi, v0, v1 in intervals]
+        [("i", lo, hi, v0, v1, cont) for lo, hi, v0, v1, cont in intervals]
     atoms.sort(key=lambda at: (at[1], 0 if at[0] == "k" else 1))
 
     seqs: list[Seq] = []
@@ -252,6 +255,15 @@ def tagg(values: list[Temporal], kind: str,
     def close(u, w):
         return bool(np.all(np.abs(u - w) <= 1e-12))
 
+    # instant at which the result is DEFINED and absorbed into `cur`
+    # — an interval may only continue `cur` across a joint that has a
+    # knot: two spans abutting with both bounds exclusive leave the
+    # shared instant undefined, and the reference keeps them as two
+    # sequences even when the values agree (temporalseqarr_normalize
+    # requires `adjacent` = upper_inc OR lower_inc; 36/38 `_tbl`
+    # numSequences goldens)
+    joint_ok: int | None = None
+
     for at in atoms:
         if at[0] == "k":
             t, v = at[1], at[2]
@@ -262,10 +274,20 @@ def tagg(values: list[Temporal], kind: str,
                 seqs.append(Seq(np.array([kt], dtype=np.int64), kv[None, :]))
                 pending_knot = None
             if cur_t and cur_t[-1] == t:
+                joint_ok = t
                 if close(cur_v[-1], v):
+                    cur_hi_inc = True
+                elif not result_linear:
+                    # STEP result: a value change AT an interior knot
+                    # is representable in one sequence ([a@t0, b@t1]
+                    # = a on [t0,t1), b at t1) — the reference's
+                    # skiplist splice keeps one sequence here; only
+                    # coverage gaps split (36_tbl numSequences)
+                    cur_v[-1] = v
                     cur_hi_inc = True
                 else:
                     # discontinuity: close exclusive, knot pends
+                    joint_ok = None
                     cur_hi_inc = False
                     flush()
                     pending_knot = (t, v)
@@ -274,7 +296,7 @@ def tagg(values: list[Temporal], kind: str,
                     flush()
                 pending_knot = (t, v)
             continue
-        lo, hi, v0, v1 = at[1], at[2], at[3], at[4]
+        lo, hi, v0, v1, cont = at[1], at[2], at[3], at[4], at[5]
         if pending_knot is not None:
             kt, kv = pending_knot
             pending_knot = None
@@ -282,9 +304,11 @@ def tagg(values: list[Temporal], kind: str,
                 flush()
                 cur_t, cur_v = [kt], [kv]
                 cur_lo_inc = True
+                joint_ok = kt
             else:
                 seqs.append(Seq(np.array([kt], dtype=np.int64), kv[None, :]))
-        if cur_t and cur_t[-1] == lo and close(cur_v[-1], v0):
+        if cur_t and cur_t[-1] == lo and close(cur_v[-1], v0) \
+                and (joint_ok == lo or cont):
             cur_t.append(hi)
             cur_v.append(v1)
             cur_hi_inc = False
@@ -321,32 +345,79 @@ def extent(values: list[Temporal]):
 
 def wagg(values: list[Temporal], kind: str, window_us: int) -> Temporal | None:
     """Window aggregates w{count,sum,min,max,avg}
-    (`src/temporal_waggfuncs.c:31-60`): every instant/segment extended
-    by the interval and aggregated as an independent piece — pieces of
-    the SAME input that overlap after extension aggregate with each
-    other too (``temporalinst_extend`` emits one sequence per
-    instant/segment, each a separate skiplist splice)."""
+    (`src/temporal_waggfuncs.c:31-258`): every instant/segment
+    extended by the interval into an independent piece, then swept by
+    ``tagg``.  Piece shapes match the reference exactly (36/38 `_tbl`
+    numSequences goldens):
+
+    - instants / instant sets: one CLOSED [t, t+w] constant piece per
+      instant (``temporalinst_extend`` / ``temporali_extend``)
+    - step / constant segments: [t_i, t_{i+1}+w] constant at v_i, the
+      sequence's own lower bound on its first piece, upper bound only
+      on its last (``tstepwseq_extend``, ``temporalseq_transform_*``)
+    - linear min/max segments (``tlinearseq_extend``): rising∧min or
+      falling∧max holds the start value for one window then tracks
+      [v0@t0, v0@t0+w, v1@t1+w]; otherwise the segment runs and the
+      end value holds: [v0@t0, v1@t1, v1@t1+w]
+    - wsum over LINEAR float sequences errors, like the reference
+      (`temporal_waggfuncs.c:637`)
+    """
+    minflag = kind == "min"
     pieces: list[Temporal] = []
     for v in values:
         if v is None:
             continue
+        # piece interpolation mirrors the reference's transforms:
+        # wcount is INT4 step; wavg is double2 LINEAR always
+        # (tnumberinst/tintseq_transform_wavg set linear=true); the
+        # extend-based kinds inherit the BASE TYPE default
+        # (temporalinst_extend: linear_interpolation(valuetypid)) —
+        # the flag decides whether the swept result may merge value
+        # jumps at knots, i.e. the 38_tbl numSequences counts
+        if kind == "count":
+            inst_linear = False
+        elif kind == "avg":
+            inst_linear = True
+        else:
+            inst_linear = not v.step_default and not v.is_bool
+        discrete = v.duration in (INSTANT, INSTANTSET)
         for s in v.seqs:
-            if len(s.times) == 1:
-                pieces.append(Temporal(SEQUENCE, [Seq(
-                    np.array([s.times[0], s.times[0] + window_us]),
-                    np.vstack([s.values[0], s.values[0]]), True, True)],
-                    False, v.srid, True))
-            else:
-                for i in range(len(s.times) - 1):
+            n = len(s.times)
+            if discrete or n == 1:
+                for i in range(n):
+                    t = int(s.times[i])
                     pieces.append(Temporal(SEQUENCE, [Seq(
-                        np.array([s.times[i], s.times[i + 1] + window_us]),
-                        np.vstack([s.values[i], s.values[i]]), True, False)],
-                        False, v.srid, True))
-                if s.upper_inc:
+                        np.array([t, t + window_us]),
+                        np.vstack([s.values[i], s.values[i]]),
+                        True, True)], inst_linear, v.srid,
+                        not inst_linear))
+                continue
+            if kind == "sum" and v.linear:
+                raise ValueError(
+                    "Operation not supported for temporal float sequences")
+            lower = s.lower_inc
+            for i in range(n - 1):
+                upper_inc = s.upper_inc if i == n - 2 else False
+                t0, t1 = int(s.times[i]), int(s.times[i + 1])
+                v0, v1 = s.values[i], s.values[i + 1]
+                if kind in ("min", "max") and v.linear \
+                        and not np.array_equal(v0, v1):
+                    rising = float(v1[0]) > float(v0[0])
+                    if rising == minflag:
+                        ts = np.array([t0, t0 + window_us, t1 + window_us])
+                        vs = np.vstack([v0, v0, v1])
+                    else:
+                        ts = np.array([t0, t1, t1 + window_us])
+                        vs = np.vstack([v0, v1, v1])
                     pieces.append(Temporal(SEQUENCE, [Seq(
-                        np.array([s.times[-1], s.times[-1] + window_us]),
-                        np.vstack([s.values[-1], s.values[-1]]), True, True)],
-                        False, v.srid, True))
+                        ts, vs, lower, upper_inc)], True, v.srid))
+                else:
+                    seg_linear = kind == "avg"  # transform_wavg: true
+                    pieces.append(Temporal(SEQUENCE, [Seq(
+                        np.array([t0, t1 + window_us]),
+                        np.vstack([v0, v0]), lower, upper_inc)],
+                        seg_linear, v.srid, not seg_linear))
+                lower = True
     return tagg(pieces, kind)
 
 

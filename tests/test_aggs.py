@@ -32,8 +32,13 @@ def test_tcount_overlapping_sequences():
     a = tstep("[1@2000-01-01, 1@2000-01-03]")
     b = tstep("[1@2000-01-02, 1@2000-01-04]")
     got = aggs.tagg([a, b], "count")
-    assert out(got) == ("{[1@2000-01-01 00:00:00+00, 1@2000-01-02 00:00:00+00)"
-                        ", [2@2000-01-02 00:00:00+00, 2@2000-01-03 00:00:00+00]"
+    # r5: canonical normalized form — an exclusive-upper step sequence
+    # joins its successor carrying the value change at the knot
+    # (temporalseqarr_normalize rule `..., 1@t1, 1@t2) [2@t2 -> join`,
+    # src/temporalseq.c:470-560; pinned by the 36_tbl numSequences
+    # goldens).  The inclusive]-( joint with a value change stays split.
+    assert out(got) == ("{[1@2000-01-01 00:00:00+00, 2@2000-01-02 00:00:00+00"
+                        ", 2@2000-01-03 00:00:00+00]"
                         ", (1@2000-01-03 00:00:00+00, 1@2000-01-04 00:00:00+00]}")
 
 
@@ -147,7 +152,10 @@ def test_spark_temporal_aggregate(spark):
     df = spark.createDataFrame(pdf)
     got = aggs.temporal_aggregate(df, "count", linear=False).toPandas()
     got = got.sort_values(["seq_idx", "t"]).reset_index(drop=True)
-    assert got["v"].tolist() == [1.0, 1.0, 2.0, 2.0, 1.0, 1.0]
+    # r5 canonical form: the d1-d2 piece joins across its exclusive
+    # upper bound, the knot at d2 carrying the new value (see
+    # test_tcount_overlapping_sequences)
+    assert got["v"].tolist() == [1.0, 2.0, 2.0, 1.0, 1.0]
 
 
 def test_wcount_single_input_overlap():
