@@ -159,8 +159,6 @@ def _lerp_at_probes(points: DataFrame, probes_us: list[int],
     """
     from pyspark.sql import Window, functions as F
     spark = points.sparkSession
-    probes_df = F.broadcast(spark.createDataFrame(
-        [(int(p),) for p in sorted(set(probes_us))], "p_us bigint"))
     pts = points.select(
         key, F.unix_micros(F.col(t).cast("timestamp")).alias("t_us"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols])
@@ -184,10 +182,41 @@ def _lerp_at_probes(points: DataFrame, probes_us: list[int],
     # a probe belongs to the half-open segment [t_us, _nt); the last
     # knot is its own terminal row (_nt null) matching p == t_us, so
     # the closed upper domain bound is covered exactly once
-    on_seg = (F.col("_nt").isNotNull() & (F.col("p_us") >= F.col("t_us"))
-              & (F.col("p_us") < F.col("_nt")))
-    on_last = F.col("_nt").isNull() & (F.col("p_us") == F.col("t_us"))
-    cand = seg.join(probes_df, on_seg | on_last)
+    ps = sorted(set(int(p) for p in probes_us))
+    steps = {ps[i + 1] - ps[i] for i in range(len(ps) - 1)}
+    if len(ps) > 2 and len(steps) == 1:
+        # UNIFORM probe grid (the common time-bucketed shape): the
+        # covered probe-index range of each segment is pure per-row
+        # arithmetic + a bounded explode — O(segments + matches).
+        # The general broadcast range join below evaluates every
+        # (segment, probe) pair: 16M segments x 240 probes = 3.8e9
+        # codegen predicate rounds, the r4/r5 tagg scaling ceiling.
+        base, stp, nprobes = ps[0], steps.pop(), len(ps)
+        a = F.col("t_us") - F.lit(base)
+        # integer ceil/floor via non-negative pmod (timestamps exceed
+        # double's exact-integer range at µs scale, so no doubles)
+        lo = (a + F.pmod(-a, F.lit(stp))) / F.lit(stp)
+        b = F.when(F.col("_nt").isNotNull(),
+                   F.col("_nt") - 1 - F.lit(base)).otherwise(a)
+        hi = (b - F.pmod(b, F.lit(stp))) / F.lit(stp)
+        # terminal knot rows match a probe only exactly
+        lo = F.greatest(lo.cast("bigint"), F.lit(0))
+        hi = F.least(hi.cast("bigint"), F.lit(nprobes - 1))
+        cand = (seg.withColumn(
+                    "_pidx", F.explode(F.when(
+                        lo <= hi, F.sequence(lo, hi)
+                    ).otherwise(F.array().cast("array<bigint>"))))
+                .withColumn("p_us",
+                            F.lit(base) + F.col("_pidx") * F.lit(stp))
+                .drop("_pidx"))
+    else:
+        probes_df = F.broadcast(spark.createDataFrame(
+            [(int(p),) for p in ps], "p_us bigint"))
+        on_seg = (F.col("_nt").isNotNull()
+                  & (F.col("p_us") >= F.col("t_us"))
+                  & (F.col("p_us") < F.col("_nt")))
+        on_last = F.col("_nt").isNull() & (F.col("p_us") == F.col("t_us"))
+        cand = seg.join(probes_df, on_seg | on_last)
     ratio = (F.col("p_us") - F.col("t_us")).cast("double") \
         / (F.col("_nt") - F.col("t_us"))
     sel = [F.col(key), F.col("p_us").alias("t_us")]

@@ -35,14 +35,21 @@ def main() -> None:
                     help="comma list to restrict ops (e.g. minhash)")
     ap.add_argument("--minhash-mod", type=int, default=5,
                     help="keep docs with xxhash64(url) %% mod == 0")
+    ap.add_argument("--shuffle-mult", type=int, default=1,
+                    help="shuffle partitions = mult * cpus")
     args = ap.parse_args()
 
     from mobilitydb_spark import fixtures, joins, pipeline, tiles
     from mobilitydb_spark.session import get_spark
 
-    # 4x cores shuffle partitions: multiple waves even out stragglers
+    # 1x cores shuffle partitions (the get_spark default): the old
+    # "4x waves even out stragglers" heuristic COST the 16-core tagg
+    # half ~70% (sp=64: 7.1-7.9 s vs sp=16: 4.2 s, in-process clean
+    # windows, r5) — four task waves of fixed overhead on a 240-group
+    # reduce, while the straggler risk it hedged is now visible
+    # directly in the per-rep external_cores attestation.
     spark = get_spark("scaling", master=f"local[{args.cpus}]",
-                      shuffle_partitions=4 * args.cpus)
+                      shuffle_partitions=args.shuffle_mult * args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     def pages_at(n):
