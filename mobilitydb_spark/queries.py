@@ -3137,34 +3137,36 @@ _NAD_LINE = ("(VALUES (0.0, 50.0, 25.0, 40.0), (25.0, 40.0, 50.0, 60.0), "
              "AS line(qx0, qy0, qx1, qy1)")
 
 
-def _pt_seg_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
-    """Point-to-segment distance as shared SQL (clamped projection)."""
+def _proj_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Clamped projection parameter of point P onto segment A→B."""
     l2 = f"(({bx}-{ax})*({bx}-{ax})+({by}-{ay})*({by}-{ay}))"
-    s = (f"(CASE WHEN {l2} = 0.0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, "
-         f"(({px}-{ax})*({bx}-{ax})+({py}-{ay})*({by}-{ay}))/{l2})) END)")
+    return (f"(CASE WHEN {l2} = 0.0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, "
+            f"(({px}-{ax})*({bx}-{ax})+({py}-{ay})*({by}-{ay}))/{l2})) END)")
+
+
+def _leg_sql(px, py, ax, ay, bx, by, s):
     dx = f"({px}-({ax}+({bx}-{ax})*{s}))"
     dy = f"({py}-({ay}+({by}-{ay})*{s}))"
     return f"sqrt({dx}*{dx}+{dy}*{dy})"
 
 
-def _segseg_dist_sql() -> str:
-    """Segment-to-segment distance over columns (px0..py1, qx0..qy1):
-    0 on proper crossing, else min of the 4 endpoint-to-segment
-    distances (the _seg_seg_min kernel, spatial.py, as SQL)."""
+def _nad_line_sql(pts_src: str) -> str:
+    # segment-to-segment distance staged through NAMED projection
+    # columns: the r5 bench caught the fully-inlined form at 7.1 s
+    # clean (the clamped projection expanded ~4x inside each leg with
+    # no CSE in codegen); naming s1..s4 in their own projection layer
+    # keeps the arithmetic identical per value (same text, same AST in
+    # BOTH engines — bit-exact parity preserved) while each
+    # subexpression evaluates once
     d1 = "((qx1-qx0)*(py0-qy0)-(qy1-qy0)*(px0-qx0))"
     d2 = "((qx1-qx0)*(py1-qy0)-(qy1-qy0)*(px1-qx0))"
     d3 = "((px1-px0)*(qy0-py0)-(py1-py0)*(qx0-px0))"
     d4 = "((px1-px0)*(qy1-py0)-(py1-py0)*(qx1-px0))"
     legs = ", ".join([
-        _pt_seg_sql("px0", "py0", "qx0", "qy0", "qx1", "qy1"),
-        _pt_seg_sql("px1", "py1", "qx0", "qy0", "qx1", "qy1"),
-        _pt_seg_sql("qx0", "qy0", "px0", "py0", "px1", "py1"),
-        _pt_seg_sql("qx1", "qy1", "px0", "py0", "px1", "py1")])
-    return (f"CASE WHEN {d1}*{d2} < 0.0 AND {d3}*{d4} < 0.0 THEN 0.0 "
-            f"ELSE LEAST({legs}) END")
-
-
-def _nad_line_sql(pts_src: str) -> str:
+        _leg_sql("px0", "py0", "qx0", "qy0", "qx1", "qy1", "s1"),
+        _leg_sql("px1", "py1", "qx0", "qy0", "qx1", "qy1", "s2"),
+        _leg_sql("qx0", "qy0", "px0", "py0", "px1", "py1", "s3"),
+        _leg_sql("qx1", "qy1", "px0", "py0", "px1", "py1", "s4")])
     return f"""
     WITH pts AS ({pts_src}),
     seg AS (
@@ -3172,10 +3174,19 @@ def _nad_line_sql(pts_src: str) -> str:
                LEAD(x) OVER (PARTITION BY key ORDER BY t) AS px1,
                LEAD(y) OVER (PARTITION BY key ORDER BY t) AS py1
         FROM pts),
-    paird AS (
-        SELECT key, {_segseg_dist_sql()} AS d
+    pairs AS (
+        SELECT key, px0, py0, px1, py1, qx0, qy0, qx1, qy1,
+               {_proj_sql("px0", "py0", "qx0", "qy0", "qx1", "qy1")} AS s1,
+               {_proj_sql("px1", "py1", "qx0", "qy0", "qx1", "qy1")} AS s2,
+               {_proj_sql("qx0", "qy0", "px0", "py0", "px1", "py1")} AS s3,
+               {_proj_sql("qx1", "qy1", "px0", "py0", "px1", "py1")} AS s4
         FROM seg CROSS JOIN {_NAD_LINE}
-        WHERE px1 IS NOT NULL)
+        WHERE px1 IS NOT NULL),
+    paird AS (
+        SELECT key,
+               CASE WHEN {d1}*{d2} < 0.0 AND {d3}*{d4} < 0.0 THEN 0.0
+                    ELSE LEAST({legs}) END AS d
+        FROM pairs)
     SELECT key, ROUND(MIN(d), 6) AS nad_line_r,
            ROUND(MAX(d), 6) AS far_line_r,
            CAST(SUM(CASE WHEN d = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
