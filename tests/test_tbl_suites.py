@@ -90,6 +90,8 @@ TABLES = {
     "tbl_int": ("i", int),
     "tbl_float": ("f", float),
     "tbl_text": ("t", str),
+    "tbl_interval": ("i", str),     # parsed by the time-suite runner
+    "tbl_tstzrange": ("r", str),
     "tbl_tbool": ("temp", parse_temporal),
     "tbl_tint": ("temp", parse_temporal),
     "tbl_tfloat": ("temp", parse_temporal),
