@@ -92,6 +92,8 @@ TABLES = {
     "tbl_text": ("t", str),
     "tbl_interval": ("i", str),     # parsed by the time-suite runner
     "tbl_tstzrange": ("r", str),
+    "tbl_intrange": ("i", str),
+    "tbl_floatrange": ("f", str),
     "tbl_tbool": ("temp", parse_temporal),
     "tbl_tint": ("temp", parse_temporal),
     "tbl_tfloat": ("temp", parse_temporal),

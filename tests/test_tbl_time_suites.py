@@ -285,3 +285,80 @@ def test_tbl_27_textfuncs():
     assert fails == 0
 
 
+
+
+def test_tbl_07_rangeops():
+    """Range-extension operators (<< >> &< &> -|-) over range x scalar
+    tables (`src/rangetypes_ext.c:233-425`; 07-suite literal cases
+    already ported).  The elem variants compare the element against
+    the BOUND VALUES directly (PG quirk: `[11,15) &< 15` is true
+    because upper.val <= elem ignores the exclusivity); adjacency
+    goes through canonical bound ranges (discrete int step included)."""
+    from mobilitydb_spark import rangeops
+
+    def left_re(r, v):   # range << elem
+        return r.upper < v or (r.upper == v and not r.upper_inc)
+
+    def right_re(r, v):  # range >> elem
+        return r.lower > v or (r.lower == v and not r.lower_inc)
+
+    def overleft_re(r, v):
+        return r.upper <= v
+
+    def overright_re(r, v):
+        return r.lower >= v
+
+    def adj_re(r, v, is_int):
+        elem = rangeops.NumRange.parse(f"[{v},{v}]", int_range=is_int) \
+            if is_int else rangeops.NumRange(v, v, True, True)
+        return rangeops.range_adjacent(r, elem)
+
+    # elem-LEFT variants are NOT mirrors: elem &< range is
+    # v <= upper.val (elem_overleft_range), etc.
+    def left_er(r, v):   # elem << range
+        return v < r.lower or (v == r.lower and not r.lower_inc)
+
+    def right_er(r, v):  # elem >> range
+        return v > r.upper or (v == r.upper and not r.upper_inc)
+
+    def overleft_er(r, v):
+        return v <= r.upper
+
+    def overright_er(r, v):
+        return v >= r.lower
+
+    OPS = {"<<": left_re, ">>": right_re, "&<": overleft_re,
+           "&>": overright_re, "-|-": adj_re}
+    OPS_ELEM_LEFT = {"<<": left_er, ">>": right_er, "&<": overleft_er,
+                     "&>": overright_er, "-|-": adj_re}
+    cases = json.load(open(os.path.join(GOLD,
+                                        "tbl_07_rangetype_ext_tbl.json")))
+    assert len(cases) == 20
+    fails = []
+    for i, (sql, want) in enumerate(cases):
+        m = re.match(
+            r"(?i)^select count\(\*\) from (tbl_\w+) t1, (tbl_\w+) t2 "
+            r"where t1\.\w+ (<<|>>|&<|&>|-\|-) t2\.\w+;$", sql.strip())
+        assert m, sql
+        ta, tb, op = m.groups()
+        range_left_side = "range" in ta
+        rt = ta if range_left_side else tb
+        st = tb if range_left_side else ta
+        is_int = "intrange" in rt
+        ranges = [None if v is None else rangeops.NumRange.parse(
+            v, int_range=is_int) for v in load_fileorder(rt)]
+        scalars = load_fileorder(st)
+        f = OPS[op] if range_left_side else OPS_ELEM_LEFT[op]
+        n = 0
+        for r in ranges:
+            if r is None or r.empty:
+                continue
+            for v in scalars:
+                if v is None:
+                    continue
+                ok = f(r, v, is_int) if op == "-|-" else f(r, float(v))
+                if ok:
+                    n += 1
+        if str(n) != str(want):
+            fails.append((i, sql[:70], want, n))
+    assert not fails, fails
