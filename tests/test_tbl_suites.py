@@ -95,7 +95,7 @@ TABLES = {
     "tbl_intrange": ("i", str),
     "tbl_floatrange": ("f", str),
     "tbl_tbool": ("temp", parse_temporal),
-    "tbl_tint": ("temp", parse_temporal),
+    "tbl_tint": ("temp", _parse_tint),  # step by TYPE
     "tbl_tfloat": ("temp", parse_temporal),
     "tbl_ttext": ("temp", _parse_ttext),
 }
