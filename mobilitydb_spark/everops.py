@@ -108,7 +108,7 @@ def _traj_checked(tv: Temporal) -> geo.Geometry:
         lens = [len(p) for p in g.parts]
         if any(n == 1 for n in lens) and any(n > 1 for n in lens):
             raise ValueError(
-                "Relate Operation called with a LWGEOMCOLLECTION type. "
+                "Relate Operation called with a LWGEOMCOLLECTION type.  "
                 "This is unsupported.")
         if all(n == 1 for n in lens):
             g = geo.Geometry("MultiPoint", g.parts, g.srid)

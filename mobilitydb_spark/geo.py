@@ -88,7 +88,8 @@ class Geometry:
     def bounds(self):
         """(lon_min, lat_min, lon_max, lat_max); None when empty."""
         arrs = []
-        if self.kind in ("Point", "LineString"):
+        if self.kind in ("Point", "LineString", "MultiPoint",
+                         "MultiLineString"):
             arrs = list(self.parts)
         elif self.kind == "Polygon":
             arrs = list(self.parts)
