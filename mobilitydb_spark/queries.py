@@ -1521,25 +1521,33 @@ def _oracle_tdwithin() -> str:
                (2.0 * (d0x * ddx + d0y * ddy)) AS qb,
                (d0x * d0x + d0y * d0y - {d} * {d}) AS qc
         FROM qd),
+    -- Viete root pairing exactly as the engine solver (no
+    -- subtractive cancellation), and the crossing timestamp as
+    -- t0 + floor(duration * frac) so the integer add never rounds
+    -- away sub-microsecond bits of the product
     w0 AS (
+        SELECT pair, t0, t1, qa, qb, qc,
+               (qb * qb - 4 * qa * qc) AS disc
+        FROM qq),
+    w1 AS (
         SELECT pair, t0, t1,
                CASE WHEN qa = 0 THEN (CASE WHEN qc <= 0 THEN 0.0 END)
-                    WHEN qb * qb - 4 * qa * qc < 0 THEN NULL
-                    ELSE GREATEST(0.0, LEAST(
-                        (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa),
-                        (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)))
+                    WHEN disc < 0 THEN NULL
+                    WHEN qb >= 0 THEN
+                        GREATEST(0.0, (-qb - sqrt(disc)) / (2 * qa))
+                    ELSE GREATEST(0.0, (2 * qc) / (-qb + sqrt(disc)))
                END AS rlo,
                CASE WHEN qa = 0 THEN (CASE WHEN qc <= 0 THEN 1.0 END)
-                    WHEN qb * qb - 4 * qa * qc < 0 THEN NULL
-                    ELSE LEAST(1.0, GREATEST(
-                        (-qb - sqrt(qb * qb - 4 * qa * qc)) / (2 * qa),
-                        (-qb + sqrt(qb * qb - 4 * qa * qc)) / (2 * qa)))
+                    WHEN disc < 0 THEN NULL
+                    WHEN qb >= 0 THEN
+                        LEAST(1.0, (2 * qc) / (-qb - sqrt(disc)))
+                    ELSE LEAST(1.0, (-qb + sqrt(disc)) / (2 * qa))
                END AS rhi
-        FROM qq),
+        FROM w0),
     per AS (
-        SELECT pair, {_round_even_sql("t0 + (t1 - t0) * rlo")} AS ta,
-               {_round_even_sql("t0 + (t1 - t0) * rhi")} AS tb
-        FROM w0 WHERE rlo IS NOT NULL AND rhi IS NOT NULL AND rlo <= rhi),
+        SELECT pair, t0 + CAST(FLOOR((t1 - t0) * rlo) AS BIGINT) AS ta,
+               t0 + CAST(FLOOR((t1 - t0) * rhi) AS BIGINT) AS tb
+        FROM w1 WHERE rlo IS NOT NULL AND rhi IS NOT NULL AND rlo <= rhi),
     isl AS (
         SELECT pair, ta, tb,
                CASE WHEN LAG(tb) OVER (PARTITION BY pair ORDER BY ta, tb)

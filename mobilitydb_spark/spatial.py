@@ -436,7 +436,10 @@ def _tbool_from_periods(tv: Temporal, true_ps: list[Period]) -> Temporal:
     dom = tv.get_time()
     pieces: list[tuple[Period, float]] = []
     for p in true_ps:
-        pieces.append((p, 1.0))
+        for d in dom:
+            inter = p.intersection(d)
+            if inter is not None:
+                pieces.append((inter, 1.0))
     # false = domain minus true periods
     comp = complement_periods(true_ps) if true_ps else \
         [Period(-2**62, 2**62)]
@@ -481,6 +484,14 @@ def trelate(a, b, pattern: str | None = None):
     from .ttext import TText
 
     if isinstance(a, Temporal) and isinstance(b, Temporal):
+        if pattern is None:
+            # reference defect replicated verbatim: trelate_tpoint_tpoint
+            # (`tpoint_tempspatialrels.c:2200-2216`) lifts geom_relate —
+            # which returns a text datum — through
+            # sync_tfunc2_temporal_temporal_cross with valuetypid BOOLOID,
+            # so every palloc'd matrix pointer reads as boolean TRUE and
+            # the DE-9IM matrix is never exposed
+            return _trelate_cross_boolref(a, b)
         # per-instant relate of two points: coincident ⇔ teq
         from .everops import _sync_pair
         from .lifting import lift_comparison
@@ -498,6 +509,8 @@ def trelate(a, b, pattern: str | None = None):
     geom_first = not isinstance(a, Temporal)
     if g.is_empty:
         return None
+    if pattern is not None:
+        return _trelate3_geo(tv, g, pattern, geom_first)
     point_g = g.kind in ("Point", "MultiPoint")
     if point_g:
         pts = np.unique(np.vstack(g.parts), axis=0)
@@ -602,25 +615,480 @@ def _trelate_finish(tt, pattern: str | None):
                       result_step_default=True)
 
 
+# ---------------------------------------------------------------------------
+# verbatim ports of the reference trelate execution paths
+# ---------------------------------------------------------------------------
+
+def _pieces_to_tbool(pieces, duration=SEQUENCESET) -> Temporal:
+    """Build a stepwise tbool from ``(times, values, lower_inc,
+    upper_inc)`` pieces (values 0/1 floats, printed as 0/1 — the
+    68-suite runner flips is_bool for the t/f form)."""
+    seqs = [Seq(np.asarray(ts, dtype=np.int64),
+                np.asarray(vs, dtype=np.float64).reshape(-1, 1), li, ui)
+            for ts, vs, li, ui in pieces]
+    return Temporal(duration, seqs, False, 0, True)
+
+
+def _normalize_step_pieces(pieces):
+    """Port of ``temporalseqarr_normalize`` (`src/temporalseq.c:470-563`)
+    for STEPWISE sequences over ``(times, values, lower_inc,
+    upper_inc)`` pieces.  ``values`` entries are comparable datums —
+    floats for real booleans, or unique tokens to replicate the
+    pointer-inequality of the BOOLOID-defect path (where only the
+    value-blind exclusive-upper rule `:532-539` can ever fire)."""
+    out = []
+    t1, v1, li1, ui1 = pieces[0]
+    for (t2, v2, li2, ui2) in pieces[1:]:
+        adjacent = t1[-1] == t2[0] and (ui1 or li2)
+        join = None
+        if adjacent and len(t1) > 1 and len(t2) > 1 and \
+                v1[-2] == v1[-1] == v2[0]:
+            join = (True, True)       # stepwise constant-tail rule :499-507
+        elif adjacent and not ui1:
+            join = (True, False)      # value-blind exclusive-upper :532-539
+        elif adjacent and v1[-1] == v2[0]:
+            join = (False, True)      # equal last/first value :541-557
+        if join is None:
+            out.append((t1, v1, li1, ui1))
+            t1, v1, li1, ui1 = t2, v2, li2, ui2
+            continue
+        drop_last, drop_first = join
+        t1 = (t1[:-1] if drop_last else t1) + (t2[1:] if drop_first else t2)
+        v1 = (v1[:-1] if drop_last else v1) + (v2[1:] if drop_first else v2)
+        ui1 = ui2
+    out.append((t1, v1, li1, ui1))
+    return out
+
+
+def _tpointseg_cross_time(t1: int, t2: int, p1, e1, p2, e2):
+    """Port of tpointseq_intersect_at_timestamp
+    (`src/temporalseq.c:1170-1270`): per-axis linear solve with the
+    EPSILON interior clip, fraction truncated onto microseconds."""
+    fracs, denums = [], []
+    for ax in range(len(p1)):
+        den = (e1[ax] - p1[ax]) - (e2[ax] - p2[ax])
+        denums.append(den)
+        if den != 0.0:
+            f = (p2[ax] - p1[ax]) / den
+            if f <= EPSILON or f >= 1.0 - EPSILON:
+                return None
+            fracs.append(f)
+    if not fracs:
+        return None  # parallel
+    if any(abs(fracs[0] - f) > EPSILON for f in fracs[1:]):
+        return None  # axes cross at different times
+    return t1 + int(float(t2 - t1) * fracs[0])
+
+
+def _trelate_cross_boolref(a: Temporal, b: Temporal):
+    """trelate(tpoint, tpoint) without a pattern — verbatim port of the
+    reference's defective execution (`tpoint_tempspatialrels.c:2200`):
+    geom_relate's text results lifted as BOOLOID through
+    sync_tfunc2_temporal_temporal_cross (`src/lifting.c:2434-2713`).
+    Every piece value prints ``t`` (nonzero pointer) and compares
+    UNEQUAL to every other (distinct pallocs), so normalization keeps
+    the raw cross pieces except for the value-blind join."""
+    from .everops import _sync_pair
+    got = _sync_pair(a, b)
+    if got is None:
+        return None
+    sa, sb = got
+    if sa.duration in (INSTANT, INSTANTSET):
+        seqs = [Seq(s.times.copy(), np.ones((len(s.times), 1)),
+                    s.lower_inc, s.upper_inc) for s in sa.seqs]
+        return Temporal(sa.duration, seqs, False, 0, True)
+
+    pieces = []   # (times, lower_inc, upper_inc) — all values print t
+    for s1, s2 in zip(sa.seqs, sb.seqs):
+        ts, va, vb = s1.times, s1.values, s2.values
+        if len(ts) == 1:
+            pieces.append(([int(ts[0])], True, True))
+            continue
+        for k in range(len(ts) - 1):
+            li = s1.lower_inc if k == 0 else True
+            ui = s1.upper_inc if k == len(ts) - 2 else False
+            t1, t2 = int(ts[k]), int(ts[k + 1])
+            v1s, v1e, v2s, v2e = va[k], va[k + 1], vb[k], vb[k + 1]
+            if np.array_equal(v1s, v1e) and np.array_equal(v2s, v2e):
+                # both segments constant: one [t1, t2] piece :2449-2461
+                pieces.append(([t1, t2], li, ui))
+                continue
+            if np.array_equal(v1s, v2s) or np.array_equal(v1e, v2e):
+                # equal start (or end) values: start singleton, open
+                # middle, end singleton :2463-2509
+                if li:
+                    pieces.append(([t1], True, True))
+                pieces.append(([t1, t2], False, False))
+                if ui:
+                    pieces.append(([t2], True, True))
+                continue
+            ct = _tpointseg_cross_time(t1, t2, v1s, v1e, v2s, v2e)
+            if ct is None:
+                # no crossing :2524-2547
+                pieces.append(([t1, t2], li, False))
+                if ui:
+                    pieces.append(([t2], True, True))
+                continue
+            # crossing at ct :2549-2576
+            pieces.append(([t1, ct], li, False))
+            pieces.append(([ct], True, True))
+            pieces.append(([ct, t2], False, ui))
+    if not pieces:
+        return None
+    # pointer inequality: only the value-blind rule can join
+    tagged = [(ts, list(range(i * 64, i * 64 + len(ts))), li, ui)
+              for i, (ts, li, ui) in enumerate(pieces)]
+    merged = _normalize_step_pieces(tagged)
+    return _pieces_to_tbool([(ts, [1.0] * len(ts), li, ui)
+                             for ts, _tok, li, ui in merged])
+
+
+def _seg_geo_inter_components(p1, p2, g: geo.Geometry):
+    """2D components of st_intersection(segment p1→p2, g) for Point /
+    MultiPoint / LineString / MultiLineString operands, as PostGIS
+    enumerates them (`tpoint_tempspatialrels.c:40-69`): a list of
+    ``('pt', xy)`` and ``('ln', xy1, xy2)`` entries, point components
+    deduplicated the way GEOS noding does."""
+    ax, ay = float(p1[0]), float(p1[1])
+    bx, by = float(p2[0]), float(p2[1])
+    dx, dy = bx - ax, by - ay
+    comps = []
+    if g.kind in ("Point", "MultiPoint"):
+        for part in g.parts:
+            for q in np.atleast_2d(part):
+                if geo._on_segment(float(q[0]), float(q[1]),
+                                   ax, ay, bx, by):
+                    comps.append(("pt", (float(q[0]), float(q[1]))))
+    elif g.kind in ("LineString", "MultiLineString"):
+        for part in g.parts:
+            pts = np.atleast_2d(part)
+            for j in range(len(pts) - 1):
+                qx, qy = float(pts[j, 0]), float(pts[j, 1])
+                rx, ry = float(pts[j + 1, 0]), float(pts[j + 1, 1])
+                ex, ey = rx - qx, ry - qy
+                denom = dx * ey - dy * ex
+                wx, wy = qx - ax, qy - ay
+                if denom == 0.0:
+                    if wx * dy - wy * dx != 0.0:
+                        continue  # parallel, not collinear
+                    ll = dx * dx + dy * dy
+                    if ll == 0.0:
+                        continue
+                    s1 = (wx * dx + wy * dy) / ll
+                    s2 = ((rx - ax) * dx + (ry - ay) * dy) / ll
+                    lo, hi = min(s1, s2), max(s1, s2)
+                    lo, hi = max(lo, 0.0), min(hi, 1.0)
+                    if hi < lo:
+                        continue
+                    pa = (ax + lo * dx, ay + lo * dy)
+                    pb = (ax + hi * dx, ay + hi * dy)
+                    comps.append(("pt", pa) if hi == lo
+                                 else ("ln", pa, pb))
+                    continue
+                t = (wx * ey - wy * ex) / denom
+                u = (wx * dy - wy * dx) / denom
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    comps.append(("pt", (ax + t * dx, ay + t * dy)))
+    else:
+        raise NotImplementedError(
+            f"trelate pattern over {g.kind} geometry")
+    # GEOS-style dedup: identical points and points covered by an
+    # overlap component collapse
+    out, seen = [], set()
+    for c in comps:
+        if c[0] == "ln":
+            out.append(c)
+    for c in comps:
+        if c[0] != "pt":
+            continue
+        if c[1] in seen:
+            continue
+        covered = any(geo._on_segment(c[1][0], c[1][1], ln[1][0], ln[1][1],
+                                      ln[2][0], ln[2][1])
+                      for ln in out if ln[0] == "ln")
+        if not covered:
+            seen.add(c[1])
+            out.append(c)
+    return out
+
+
+def _line_locate_frac(pt, p1, p2) -> float:
+    """PostGIS line_locate_point on the segment p1→p2."""
+    dx, dy = float(p2[0]) - float(p1[0]), float(p2[1]) - float(p1[1])
+    ll = dx * dx + dy * dy
+    if ll == 0.0:
+        return 0.0
+    f = ((pt[0] - float(p1[0])) * dx + (pt[1] - float(p1[1])) * dy) / ll
+    return min(max(f, 0.0), 1.0)
+
+
+def _trelate3_geo(tv: Temporal, g: geo.Geometry, pattern: str,
+                  geom_first: bool):
+    """trelate_pattern over (tpoint, geometry) — verbatim port of
+    tspatialrel3_tpoint_geo (`tpoint_tempspatialrels.c:400-657,
+    1432-1450`) with geom_relate_pattern, including its two defects:
+    constant segments collapse to a single instant at the segment
+    start (`:407-418`), and the constant/no-intersection branches
+    evaluate the relate matrix with the OPPOSITE operand orientation
+    from the intersection branches (`:410 vs :455`)."""
+    from . import de9im
+    invert = geom_first
+
+    def val(pt, swapped: bool) -> float:
+        point_first = invert if swapped else not invert
+        pg = geo.Geometry("Point", [np.array([[float(pt[0]),
+                                               float(pt[1])]])], g.srid)
+        m = de9im.relate_geoms(pg, g)
+        if not point_first:
+            m = de9im._transpose(m)
+        return 1.0 if de9im.matches_pattern(m, pattern) else 0.0
+
+    if tv.duration in (INSTANT, INSTANTSET):
+        seqs = [Seq(s.times.copy(),
+                    np.array([[val(v, False)] for v in s.values]),
+                    s.lower_inc, s.upper_inc) for s in tv.seqs]
+        return Temporal(tv.duration, seqs, False, 0, True)
+
+    pieces = []   # (times, values, lower_inc, upper_inc)
+    for s in tv.seqs:
+        ts, vs = s.times, s.values
+        if len(ts) == 1:
+            pieces.append(([int(ts[0])], [val(vs[0], False)], True, True))
+            continue
+        for k in range(len(ts) - 1):
+            li = s.lower_inc if k == 0 else True
+            ui = s.upper_inc if k == len(ts) - 2 else False
+            t1, t2 = int(ts[k]), int(ts[k + 1])
+            p1, p2 = vs[k], vs[k + 1]
+            if np.array_equal(p1, p2) or not tv.linear:
+                # constant segment: single instant at the start :407-418
+                pieces.append(([t1], [val(p1, True)], True, True))
+                continue
+            comps = _seg_geo_inter_components(p1, p2, g)
+            if not comps:
+                # empty intersection, swapped orientation :424-438
+                v = val(p1, True)
+                pieces.append(([t1, t2], [v, v], li, ui))
+                continue
+            # instants of intersection (`:76-150`): fraction → truncated
+            # microsecond timestamp, exclusive bounds skipped
+            dur = float(t2 - t1)
+            inst = []
+            for c in comps:
+                cand = [c[1]] if c[0] == "pt" else [c[1], c[2]]
+                prev_t = None
+                for pt in cand:
+                    tt = t1 + int(dur * _line_locate_frac(pt, p1, p2))
+                    if (li or tt != t1) and (ui or tt != t2) \
+                            and tt != prev_t:
+                        inst.append((tt, pt))
+                    prev_t = tt
+            inst.sort(key=lambda ip: ip[0])
+            inst = [ip for n, ip in enumerate(inst)
+                    if n == 0 or ip[0] != inst[n - 1][0]]
+            if not inst:
+                # intersection only at an exclusive bound: value at the
+                # middle instant :449-470
+                mid = t1 + (t2 - t1) // 2
+                f = (mid - t1) / dur
+                v = val(p1 + (p2 - p1) * f, False)
+                pieces.append(([t1, t2], [v, v], li, ui))
+                continue
+            before = t1 != inst[0][0]
+            after = t2 != inst[-1][0]
+            if before:
+                v = val(p1, False)
+                pieces.append(([t1, inst[0][0]], [v, v], li, False))
+            for n, (ti, pt) in enumerate(inst):
+                pieces.append(([ti], [val(pt, False)], True, True))
+                if n < len(inst) - 1:
+                    mid = ti + (inst[n + 1][0] - ti) // 2
+                    f = (mid - t1) / dur
+                    v = val(p1 + (p2 - p1) * f, False)
+                    pieces.append(([ti, inst[n + 1][0]], [v, v],
+                                   False, False))
+            if after:
+                v = val(p2, False)
+                pieces.append(([inst[-1][0], t2], [v, v], False, ui))
+    if not pieces:
+        return None
+    return _pieces_to_tbool(_normalize_step_pieces(pieces))
+
+
+def _tdw_solve(sv1, ev1, sv2, ev2, lower: int, upper: int, d: float):
+    """The reference tdwithin quadratic solver, operation for
+    operation (`tpoint_tempspatialrels.c:952-1098`): coefficients
+    summed per-axis in double, discriminant and the quadratic/Viète
+    root mixture in 80-bit long double (sqrtl), crossing timestamps
+    ``lower + (long)(t * duration)`` — the product TRUNCATES before
+    the integer add (golden 68 tdwithin ``.94821`` vs the float-sum
+    form's ``.948211``), and near-equal roots collapse to a single
+    instant under EPSILON.  Returns (n_solutions, t1, t2)."""
+    da = (ev1 - sv1) - (ev2 - sv2)
+    dc = sv1 - sv2
+    qa = float((da * da).sum())
+    qb = float((2.0 * da * dc).sum())
+    qc = float((dc * dc).sum()) - d * d
+    if qa == 0.0:
+        # parallel, same velocity: constant distance
+        if float(np.sqrt((dc * dc).sum())) > d:
+            return 0, 0, 0
+        return 2, lower, upper
+    la, lb, lc = np.longdouble(qa), np.longdouble(qb), np.longdouble(qc)
+    ldur = np.longdouble(np.float64(upper - lower))
+    disc = lb * lb - 4 * la * lc
+    if disc == 0:
+        t5 = (-lb) / (2 * la)
+        if t5 < 0.0 or t5 > 1.0:
+            return 0, 0, 0
+        return 1, lower + int(t5 * ldur), 0
+    if disc < 0:
+        return 0, 0, 0
+    sq = np.sqrt(disc)
+    if qb >= 0:
+        t5 = (-lb - sq) / (2 * la)
+        t6 = (2 * lc) / (-lb - sq)
+    else:
+        t5 = (2 * lc) / (-lb + sq)
+        t6 = (-lb + sq) / (2 * la)
+    if t6 < 0.0 or t5 > 1.0:
+        return 0, 0, 0
+    t7 = max(np.longdouble(0.0), t5)
+    t8 = min(np.longdouble(1.0), t6)
+    if abs(t7 - t8) < EPSILON:
+        return 1, lower + int(t7 * ldur), 0
+    return 2, lower + int(t7 * ldur), lower + int(t8 * ldur)
+
+
+def _seq_atoms(lo: int, hi: int, li: bool, ui: bool, v1: float,
+               v2: float | None = None) -> list[tuple]:
+    """Step atoms of a reference mini bool sequence
+    ``[v1@lo, v2@hi]`` with bounds (li, ui) — or a single instant
+    when lo == hi."""
+    if lo == hi:
+        return [(lo, lo, True, True, v1)]
+    out = []
+    if li:
+        out.append((lo, lo, True, True, v1))
+    out.append((lo, hi, False, False, v1))
+    if ui:
+        out.append((hi, hi, True, True, v1 if v2 is None else v2))
+    return out
+
+
+def _tdwithin_segment(atoms: list, sv1, ev1, sv2, ev2, lower: int,
+                      upper: int, lin1: bool, lin2: bool, li: bool,
+                      ui: bool, d: float) -> None:
+    """One synchronized segment of the tdwithin machinery, mirroring
+    `tpoint_tempspatialrels.c:1101-1290`
+    (tdwithin_tpointseq_tpointseq2) branch for branch: both-constant
+    and both-stepwise short-circuits, stepwise operands frozen at
+    their start value for the solve, ``upper_inc1`` only when both
+    operands are linear, and the exact inclusive/exclusive bound
+    pattern of each solution-count branch."""
+    def within(p, q):
+        return 1.0 if float(np.sqrt(((p - q) ** 2).sum())) <= d else 0.0
+
+    t_, f_ = 1.0, 0.0
+    if np.array_equal(sv1, ev1) and np.array_equal(sv2, ev2):
+        atoms += _seq_atoms(lower, upper, li, ui, within(sv1, sv2))
+        return
+    if not lin1 and not lin2:
+        atoms += _seq_atoms(lower, upper, li, False, within(sv1, sv2))
+        if ui:
+            atoms += _seq_atoms(upper, upper, True, True, within(ev1, ev2))
+        return
+    sev1 = ev1 if lin1 else sv1
+    sev2 = ev2 if lin2 else sv2
+    nsol, t1, t2 = _tdw_solve(sv1, sev1, sv2, sev2, lower, upper, d)
+    ui1 = lin1 and lin2 and ui
+    if nsol == 0:
+        atoms += _seq_atoms(lower, upper, li, ui1, f_)
+    elif nsol == 1:
+        if (t1 == lower and not li) or (t1 == upper and not ui):
+            atoms += _seq_atoms(lower, upper, li, ui1, f_)
+        elif t1 == lower:
+            atoms += _seq_atoms(lower, lower, True, True, t_)
+            atoms += _seq_atoms(lower, upper, False, ui1, f_)
+        elif t1 == upper:
+            atoms += _seq_atoms(lower, upper, li, ui1, f_,
+                                t_ if ui1 else f_)
+        else:
+            atoms += _seq_atoms(lower, t1, li, False, f_)
+            atoms += _seq_atoms(t1, t1, True, True, t_)
+            atoms += _seq_atoms(t1, upper, False, ui1, f_)
+    else:
+        if lower == t1 and upper == t2:
+            atoms += _seq_atoms(lower, upper, li, ui1, t_)
+        elif lower != t1 and upper == t2:
+            atoms += _seq_atoms(lower, t1, li, False, f_)
+            atoms += _seq_atoms(t1, upper, True, ui1, t_)
+        elif lower == t1 and upper != t2:
+            atoms += _seq_atoms(lower, t2, li, False, t_)
+            atoms += _seq_atoms(t2, upper, True, ui1, f_)
+        else:
+            atoms += _seq_atoms(lower, t1, li, False, f_)
+            atoms += _seq_atoms(t1, t2, True, True, t_)
+            atoms += _seq_atoms(t2, upper, False, ui1, f_)
+    # extra final instant when exactly one operand is stepwise
+    if ui and (not lin1 or not lin2):
+        atoms += _seq_atoms(upper, upper, True, True, within(ev1, ev2))
+
+
 def tdwithin(a: Temporal, b: Temporal | np.ndarray, dist: float) -> Temporal | None:
-    """tdwithin(tpoint, tpoint|point, d) → stepwise tbool: solves
-    ‖Δp(t)‖ = d per synchronized segment (quadratic, 0/1/2 roots —
-    `tpoint_tempspatialrels.c:952-1098`)."""
-    from .lifting import const_temporal
-    if not isinstance(b, Temporal):
+    """tdwithin(tpoint, tpoint|point, d) → stepwise tbool.
+
+    tpoint×tpoint runs the reference per-segment machinery verbatim
+    (`tpoint_tempspatialrels.c:952-1290`): quadratic crossing solve
+    with long-double Viète roots, product-truncated timestamps,
+    EPSILON root collapse, stepwise operands held at segment start,
+    and the branch-exact bound pattern.  A static point operand keeps
+    the period/complement route (the reference routes it through
+    at_geometry over the buffered geometry,
+    `tpoint_tempspatialrels.c:657-760`, whose clipped crossing
+    timestamps the truncated product reproduces on the goldens)."""
+    from .lifting import assemble_step_atoms, const_temporal
+    b_temporal = isinstance(b, Temporal)
+    if not b_temporal:
         b = const_temporal(np.asarray(b, dtype=np.float64), a)
     pieces = synchronize(a, b)
     if not pieces:
         return None
+    discrete = a.duration in (INSTANT, INSTANTSET) \
+        or b.duration in (INSTANT, INSTANTSET)
+    if b_temporal and not discrete:
+        # tpoint × tpoint sequences: reference per-segment assembly
+        atoms: list[tuple] = []
+        for ts, va, vb, lo_inc, hi_inc in pieces:
+            if len(ts) == 1:
+                within = float(np.sqrt(((va[0] - vb[0]) ** 2).sum())) <= dist
+                atoms += _seq_atoms(int(ts[0]), int(ts[0]), True, True,
+                                    1.0 if within else 0.0)
+                continue
+            for i in range(len(ts) - 1):
+                _tdwithin_segment(
+                    atoms, va[i], va[i + 1], vb[i], vb[i + 1],
+                    int(ts[i]), int(ts[i + 1]), a.linear, b.linear,
+                    lo_inc if i == 0 else True,
+                    hi_inc if i == len(ts) - 2 else False, dist)
+        atoms.sort(key=lambda at: (at[0], at[1]))
+        seqs = assemble_step_atoms(atoms)
+        return Temporal(SEQUENCESET, seqs, False, 0, True)
+    if discrete:
+        dur = INSTANT if (a.duration == INSTANT
+                          or (b_temporal and b.duration == INSTANT)) \
+            else INSTANTSET
+        seqs = []
+        for ts, va, vb, _li, _hi in pieces:
+            within = float(np.sqrt(((va[0] - vb[0]) ** 2).sum())) \
+                <= dist + EPSILON
+            seqs.append(Seq(np.array([int(ts[0])], dtype=np.int64),
+                            np.array([[1.0 if within else 0.0]])))
+        seqs.sort(key=lambda s: int(s.times[0]))
+        return Temporal(dur, seqs, False, 0, True)
+    # tpoint × static point: quadratic per segment, period assembly
     true_ps: list[Period] = []
-    dom: list[Period] = []
     for ts, va, vb, lo_inc, hi_inc in pieces:
-        if len(ts) == 1:
-            dom.append(Period(int(ts[0]), int(ts[0])))
-            if float(np.sqrt(((va[0] - vb[0]) ** 2).sum())) <= dist + EPSILON:
-                true_ps.append(Period(int(ts[0]), int(ts[0])))
-            continue
-        dom.append(Period(int(ts[0]), int(ts[-1]), lo_inc, hi_inc))
         for i in range(len(ts) - 1):
             t0, t1 = int(ts[i]), int(ts[i + 1])
             d0 = vb[i] - va[i]
@@ -642,13 +1110,15 @@ def tdwithin(a: Temporal, b: Temporal | np.ndarray, dist: float) -> Temporal | N
                     lo, hi = max(0.0, min(r1, r2)), min(1.0, max(r1, r2))
                     within = [(lo, hi)] if lo <= hi else []
             for lo, hi in within:
-                ta = int(round(t0 + (t1 - t0) * lo))
-                tb = int(round(t0 + (t1 - t0) * hi))
+                # C TimestampTz cast truncates the PRODUCT before the
+                # integer add (`tpoint_tempspatialrels.c:1040-1060`;
+                # golden 68 tdwithin .94821 vs float-sum .948211)
+                ta = t0 + int(np.longdouble(lo) * np.longdouble(t1 - t0))
+                tb = t0 + int(np.longdouble(hi) * np.longdouble(t1 - t0))
                 true_ps.append(Period(ta, tb))
     shape = Temporal(a.duration, [Seq(ts, va, li, hi) for ts, va, _, li, hi
                                   in pieces], a.linear, a.srid)
-    out = _tbool_from_periods(shape, normalize_periods(true_ps))
-    return out
+    return _tbool_from_periods(shape, normalize_periods(true_ps))
 
 
 # ---------------------------------------------------------------------------

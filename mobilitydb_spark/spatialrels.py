@@ -471,3 +471,155 @@ def spatial_rel(fn: str, a, b, param=None, *, geodetic: bool = False,
     if a_t:
         return _st(fn, t, g)
     return _st(fn, g, t)
+
+
+# ---------------------------------------------------------------------------
+# temporal spatial relationships (68_tpoint_tempspatialrels)
+# ---------------------------------------------------------------------------
+
+TEMP_SPATIAL_RELS = ("tcontains", "tcovers", "tcoveredby", "tdisjoint",
+                     "tequals", "tintersects", "ttouches", "twithin",
+                     "tdwithin", "trelate")
+
+
+def _tdwithin_spherical_instants(sa: Temporal, sb, d_m: float):
+    """Per-instant spherical dwithin profile for INST/ISET geography
+    operands (haversine meters; `tpoint_spatialrels.c:163-170`)."""
+    from . import geo as _geo
+    from .spatial import _tbool_from_periods
+    from .types import Period
+    true_ps = []
+    for s in sa.seqs:
+        for k, t in enumerate(s.times):
+            pa = s.values[k]
+            pb = sb.value_at(int(t)) if isinstance(sb, Temporal) else sb
+            d = float(_geo.haversine_m(
+                np.array([pa[0]]), np.array([pa[1]]),
+                np.array([pb[0]]), np.array([pb[1]]))[0])
+            if d <= d_m:
+                true_ps.append(Period(int(t), int(t)))
+    return _tbool_from_periods(sa, true_ps)
+
+
+def temp_spatial_rel(fn: str, a, b, param=None, *, geodetic: bool = False,
+                     a_dim: int | None = None, b_dim: int | None = None):
+    """Temporal spatial relationship ``fn`` -> tbool / ttext Temporal
+    (`point/src/tpoint_tempspatialrels.c:1456-2290`), operands in
+    SQL-argument order.
+
+    The per-instant predicate of a moving POINT against a point
+    geometry degenerates for every containment-family relationship
+    (tcontains / tcovers / tcoveredby / twithin / tequals /
+    tintersects, both operand orders) to the position-equality
+    profile; ttouches is constantly false (points have no boundary)
+    and tdisjoint is the negated equality profile.  Line/polygon
+    geometry operands route to the at_geometry / boundary-period
+    kernels (spatial.tintersects, everops.ttouches/tcontains/
+    tcovers).  tdwithin solves the planar quadratic crossing in
+    coordinate units for geographies too — replicating the
+    reference, whose tdwithin_tpointseq_tpointseq turning-point
+    machinery is planar regardless of base type
+    (`tpoint_tempspatialrels.c:952-1098`; golden fractional
+    crossings 68_…out tdwithin geography block)."""
+    from .everops import _sync_pair, tcontains, tcovers, tdisjoint, tequals, ttouches
+    from .lifting import lift_comparison, tnot
+    from .spatial import tdwithin, tintersects, trelate
+
+    res = _temp_spatial_rel(fn, a, b, param, geodetic, a_dim, b_dim)
+    # a tbool/ttext result carries no SRID (reference temporal_out)
+    if isinstance(res, Temporal):
+        res.srid = 0
+    return res
+
+
+def _temp_spatial_rel(fn, a, b, param, geodetic, a_dim, b_dim):
+    from .everops import _sync_pair, tcontains, tcovers, tdisjoint, tequals, ttouches
+    from .lifting import lift_comparison, tnot
+    from .spatial import tdwithin, tintersects, trelate
+
+    a_t, b_t = isinstance(a, Temporal), isinstance(b, Temporal)
+
+    if a_t and b_t:
+        _validate_pair_tt(a, b)
+        if fn == "tdwithin" and not geodetic:
+            return tdwithin(a, b, float(param))
+        if fn == "trelate":
+            return trelate(a, b, None if param is None else str(param))
+        got = _sync_pair(a, b)
+        if got is None:
+            return None
+        sa, sb = got
+        if fn == "tdwithin":
+            # geography: INST/ISET durations evaluate the per-instant
+            # SPHERICAL geog_dwithin; SEQ/SS durations run the PLANAR
+            # quadratic machinery (reference dispatch
+            # `tpoint_tempspatialrels.c:2100-2180` routes only
+            # instant durations through spatialrel3 with geog_dwithin)
+            from .types import INSTANT, INSTANTSET
+            if sa.duration in (INSTANT, INSTANTSET):
+                return _tdwithin_spherical_instants(sa, sb, float(param))
+            return tdwithin(a, b, float(param))
+        eq = lift_comparison("eq", sa, sb)
+        if eq is None:
+            return None
+        if fn == "ttouches":
+            # two moving points never touch (no boundary): all-false
+            # with the synchronized result's duration/shape
+            from .lifting import tand
+            return tand(eq, tnot(eq))
+        if fn == "tdisjoint":
+            return tnot(eq)
+        # tcontains/tcovers/tcoveredby/twithin/tequals/tintersects of
+        # two moving points: the equality profile
+        return eq
+
+    tv, g, gdim = (a, b, b_dim) if a_t else (b, a, a_dim)
+    _validate_pair_tg(tv, g, gdim)
+    if g.is_empty:
+        return None
+    if fn == "tdwithin":
+        if g.kind not in _POINTY:
+            raise NotImplementedError(
+                "tdwithin: non-point geometry operands not supported")
+        pt = np.asarray(g.parts[0][0][:tv.dim], dtype=np.float64)
+        from .types import INSTANT, INSTANTSET
+        if geodetic and tv.duration in (INSTANT, INSTANTSET):
+            return _tdwithin_spherical_instants(tv, pt, float(param))
+        if geodetic and tv.dim == 3:
+            # the reference converts geography→geometry and clips
+            # against the planar 2D buffer even for 3D operands
+            # (`tpoint_tempspatialrels.c:836-845` via
+            # tdwithin_tpointseq_geo, which ignores Z): golden 68
+            # expects the 2D answer for 3D geography tdwithin
+            from .types import Seq as _Seq
+            tv = Temporal(tv.duration,
+                          [_Seq(s.times.copy(), s.values[:, :2].copy(),
+                                s.lower_inc, s.upper_inc)
+                           for s in tv.seqs], tv.linear, tv.srid)
+            pt = pt[:2]
+        return tdwithin(tv, pt, float(param))
+    if fn == "trelate":
+        return trelate(a, b, None if param is None else str(param))
+    if g.kind in _POINTY:
+        if fn == "ttouches":
+            return ttouches(tv, g)
+        # a moving point vs a point geometry: every containment-family
+        # relationship (and tintersects) is the position-equality
+        # profile; tdisjoint its negation
+        eq = tequals(tv, np.asarray(g.parts[0][0][:tv.dim],
+                                    dtype=np.float64))
+        if fn == "tdisjoint":
+            return None if eq is None else tnot(eq)
+        return eq
+    if fn == "tintersects":
+        return tintersects(tv, g)
+    if fn == "tdisjoint":
+        return tdisjoint(tv, g)
+    if fn == "ttouches":
+        return ttouches(tv, g)
+    if fn == "tcontains" and not a_t:
+        return tcontains(g, tv)
+    if fn == "tcovers" and not a_t:
+        return tcovers(g, tv)
+    raise NotImplementedError(
+        f"{fn} over {g.kind} geometry in this operand order")

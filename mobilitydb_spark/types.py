@@ -89,8 +89,8 @@ def parse_ts(s: str) -> np.int64:
 def fmt_ts(us: int) -> str:
     dt = np.datetime64(int(us), "us")
     s = str(dt)
-    if s.endswith(".000000"):
-        s = s[:-7]
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
     s = s.replace("T", " ")
     if len(s) == 10:
         s += " 00:00:00"

@@ -166,13 +166,20 @@ def test_trelate_pattern_tbool():
 
 
 def test_trelate_tpoint_tpoint_crossing():
+    # verbatim reference defect (`tpoint_tempspatialrels.c:2200-2216`):
+    # geom_relate's text results are lifted with valuetypid BOOLOID, so
+    # the 2-arg tpoint×tpoint trelate is a tbool that is constantly
+    # TRUE (nonzero pointer), split at the crossing instant and never
+    # merged (pointer-inequality normalization); the DE-9IM matrix is
+    # never exposed (68_…out:1740+)
     a = parse_temporal("[Point(0 0)@2000-01-01, Point(2 2)@2000-01-03]")
     b = parse_temporal("[Point(2 0)@2000-01-01, Point(0 2)@2000-01-03]")
-    tt = trelate(a, b)
-    mid = np.datetime64("2000-01-02").astype("datetime64[us]").astype(int)
-    assert tt.value_at(int(mid)) == "0FFFFFFF2"
-    t0 = np.datetime64("2000-01-01").astype("datetime64[us]").astype(int)
-    assert tt.value_at(int(t0)) == "FF0FFF0F2"
+    tb = trelate(a, b)
+    tb.is_bool = True
+    assert str(tb) == ("{[t@2000-01-01 00:00:00+00, "
+                       "t@2000-01-02 00:00:00+00], "
+                       "(t@2000-01-02 00:00:00+00, "
+                       "t@2000-01-03 00:00:00+00]}")
 
 
 def test_trelate_polygon_classification():

@@ -255,14 +255,14 @@ def test_tdwithin_solution_contains_segment():
 
 
 def test_tdwithin_overlap_left():
-    # reference comment shows "{[t@d3, f@d4, f@d5]}" (exit-root instant
-    # EXCLUDED) — but its own "two solutions contained" example INCLUDES
-    # the exit root (t@d4).  dist(d4) == d exactly, so ≤-semantics make
-    # it true; we keep the consistent inclusive form:
+    # reference comment "{[t@d3, f@d4, f@d5]}"
+    # (`tpoint_tempspatialrels.c:1110-1140`, lower == t1 && upper != t2
+    # branch): the within-run covers [d3, d4) and the exit-root instant
+    # belongs to the FALSE tail — the verbatim solver reproduces it
     assert _tdw("[Point(3 3)@2000-01-03, Point(5 5)@2000-01-05]",
                 "[Point(3 3)@2000-01-03, Point(5 3)@2000-01-05]", 1) == \
-        ("{[1@2000-01-03 00:00:00+00, 1@2000-01-04 00:00:00+00], "
-         "(0@2000-01-04 00:00:00+00, 0@2000-01-05 00:00:00+00]}")
+        ("{[1@2000-01-03 00:00:00+00, 0@2000-01-04 00:00:00+00, "
+         "0@2000-01-05 00:00:00+00]}")
 
 
 def test_tdwithin_overlap_right():
