@@ -13,8 +13,10 @@ Two forms:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,10 +40,20 @@ class STBox:
     has_x: bool = True
     has_t: bool = True
     geodetic: bool = False
+    # MOBDB Z *flag* as distinct from z-value presence: a 2D geodetic
+    # box stores the geocentric z bounds but keeps Z=false
+    # (`tpoint_boxops.c:59-65` copies gbox z when GEODETIC but sets
+    # MOBDB_FLAGS_SET_Z from FLAGS_GET_Z(gs)); box predicates compare z
+    # only when BOTH operands carry the flag. None = derive from zmin.
+    zflag: bool | None = None
 
     @property
     def has_z(self) -> bool:
         return self.zmin is not None
+
+    @property
+    def z_flag(self) -> bool:
+        return self.has_z if self.zflag is None else self.zflag
 
     @staticmethod
     def of(tv: Temporal) -> "STBox":
@@ -62,25 +74,34 @@ class STBox:
 
 
 def _both_z(a: STBox, b: STBox) -> bool:
-    return a.has_z and b.has_z
+    return a.z_flag and b.z_flag
 
 
 def overlaps(a: STBox, b: STBox) -> bool:
-    """&& — all shared dimensions intersect."""
+    """&& — every dimension shared by both boxes intersects
+    (`tpoint_boxops.c:overlaps_stbox_stbox_internal`)."""
+    if a.has_x and b.has_x and not (
+            a.xmin <= b.xmax and b.xmin <= a.xmax
+            and a.ymin <= b.ymax and b.ymin <= a.ymax):
+        return False
     if _both_z(a, b) and not (a.zmin <= b.zmax and b.zmin <= a.zmax):
         return False
-    return (a.xmin <= b.xmax and b.xmin <= a.xmax
-            and a.ymin <= b.ymax and b.ymin <= a.ymax
-            and a.tmin <= b.tmax and b.tmin <= a.tmax)
+    if a.has_t and b.has_t and not (a.tmin <= b.tmax and b.tmin <= a.tmax):
+        return False
+    return True
 
 
 def contains(a: STBox, b: STBox) -> bool:
-    """@>"""
+    """@> (`tpoint_boxops.c:contains_stbox_stbox_internal`)."""
+    if a.has_x and b.has_x and not (
+            a.xmin <= b.xmin and b.xmax <= a.xmax
+            and a.ymin <= b.ymin and b.ymax <= a.ymax):
+        return False
     if _both_z(a, b) and not (a.zmin <= b.zmin and b.zmax <= a.zmax):
         return False
-    return (a.xmin <= b.xmin and b.xmax <= a.xmax
-            and a.ymin <= b.ymin and b.ymax <= a.ymax
-            and a.tmin <= b.tmin and b.tmax <= a.tmax)
+    if a.has_t and b.has_t and not (a.tmin <= b.tmin and b.tmax <= a.tmax):
+        return False
+    return True
 
 
 def contained(a: STBox, b: STBox) -> bool:
@@ -88,8 +109,17 @@ def contained(a: STBox, b: STBox) -> bool:
 
 
 def same(a: STBox, b: STBox) -> bool:
-    """~="""
-    return a == b
+    """~= — equality on the dimensions shared by both boxes
+    (`tpoint_boxops.c:same_stbox_stbox_internal`)."""
+    if a.has_x and b.has_x and not (
+            a.xmin == b.xmin and a.xmax == b.xmax
+            and a.ymin == b.ymin and a.ymax == b.ymax):
+        return False
+    if _both_z(a, b) and not (a.zmin == b.zmin and a.zmax == b.zmax):
+        return False
+    if a.has_t and b.has_t and not (a.tmin == b.tmin and a.tmax == b.tmax):
+        return False
+    return True
 
 
 # position ops (`tpoint_posops.c:38-44` left_stbox_stbox_internal etc.)
@@ -234,6 +264,138 @@ def position_ops_table(points: DataFrame, box: STBox, key: str = "key",
 # `point/test/expected/50_stbox.test.out`) — error messages verbatim
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Geodetic (GEODSTBOX) boxes — the PostGIS geocentric float4 model
+# ---------------------------------------------------------------------------
+# A tgeogpoint/geography box lives on the unit sphere
+# (x=cos(lat)cos(lon), y=cos(lat)sin(lon), z=sin(lat)); the exact
+# bounds replicate PostGIS's serialization/rounding so the suite
+# goldens print verbatim (`point/src/tpoint_boxops.c:44-69` copies the
+# GBOX from gserialized_get_gbox_p):
+#  - POINT geographies carry no cached box; the on-the-fly path rounds
+#    x/y outward to float4 and z only when the point has a Z ordinate
+#    (PostGIS gbox_float_round checks FLAGS_GET_Z, not GEODETIC).
+#  - Sequence boxes come from the trajectory geometry
+#    (`src/temporal_boxops.c:297-318` comment); a non-degenerate
+#    trajectory is a LINESTRING whose *cached* serialized box rounds
+#    all three geocentric dims outward (gserialized_from_gbox geodetic
+#    branch). A constant sequence degenerates to a POINT → point rule.
+#  - Instant sets union per-instant point boxes.
+# Limitation (documented): edge great-circle bulge beyond the vertex
+# hull is not modelled; at the float4 ulp it is invisible for the arcs
+# the reference suites exercise.
+
+def f4_down(d: float) -> float:
+    """PostGIS next_float_down: largest float4 <= d."""
+    r = np.float32(d)
+    return float(r) if float(r) <= d else float(np.nextafter(r, np.float32(-np.inf)))
+
+
+def f4_up(d: float) -> float:
+    """PostGIS next_float_up: smallest float4 >= d."""
+    r = np.float32(d)
+    return float(r) if float(r) >= d else float(np.nextafter(r, np.float32(np.inf)))
+
+
+def _unit_sphere(lon: float, lat: float) -> tuple[float, float, float]:
+    lo, la = math.radians(lon), math.radians(lat)
+    return (math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo),
+            math.sin(la))
+
+
+def _geog_point_bounds(lon: float, lat: float, has_z_ord: bool):
+    """(xmin,xmax,ymin,ymax,zmin,zmax) of one geography point."""
+    x, y, z = _unit_sphere(lon, lat)
+    if has_z_ord:
+        return (f4_down(x), f4_up(x), f4_down(y), f4_up(y),
+                f4_down(z), f4_up(z))
+    return (f4_down(x), f4_up(x), f4_down(y), f4_up(y), z, z)
+
+
+def _geog_traj_bounds(pts, has_z_ord: bool):
+    """Bounds of a sequence trajectory: cached-linestring rounding on
+    all dims when >1 distinct vertex, else the point rule."""
+    uniq = {(float(p[0]), float(p[1])) for p in pts}
+    if len(uniq) == 1:
+        lon, lat = next(iter(uniq))
+        return _geog_point_bounds(lon, lat, has_z_ord)
+    xyz = [_unit_sphere(float(p[0]), float(p[1])) for p in pts]
+    xs, ys, zs = zip(*xyz)
+    return (f4_down(min(xs)), f4_up(max(xs)), f4_down(min(ys)),
+            f4_up(max(ys)), f4_down(min(zs)), f4_up(max(zs)))
+
+
+def _union_bounds(parts):
+    mins_maxs = list(zip(*parts))
+    return (min(mins_maxs[0]), max(mins_maxs[1]), min(mins_maxs[2]),
+            max(mins_maxs[3]), min(mins_maxs[4]), max(mins_maxs[5]))
+
+
+def tpoint_stbox(tv: Temporal, geodetic: bool = False) -> STBox:
+    """tpoint → STBOX cast with time bounds; geodetic temporal points
+    take the geocentric float4 model above."""
+    from .types import INSTANT, INSTANTSET, SEQUENCE
+    tmin, tmax = tv.start_timestamp(), tv.end_timestamp()
+    if not geodetic:
+        b = STBox.of(tv)
+        return STBox(b.xmin, b.xmax, b.ymin, b.ymax, tmin, tmax,
+                     b.zmin, b.zmax)
+    has_z_ord = tv.dim > 2
+    if tv.duration in (INSTANT, INSTANTSET):
+        parts = [_geog_point_bounds(float(v[0]), float(v[1]), has_z_ord)
+                 for v in tv.values]
+    elif tv.duration == SEQUENCE:
+        parts = [_geog_traj_bounds(tv.seqs[0].values, has_z_ord)]
+    else:  # sequence set: union of per-sequence trajectory boxes
+        parts = [_geog_traj_bounds(s.values, has_z_ord) for s in tv.seqs]
+    xmin, xmax, ymin, ymax, zmin, zmax = _union_bounds(parts)
+    return STBox(xmin, xmax, ymin, ymax, tmin, tmax, zmin, zmax,
+                 geodetic=True, zflag=has_z_ord)
+
+
+def geo_stbox(coords, dim: int, geodetic: bool) -> STBox | None:
+    """geometry/geography (point) → STBOX; None for empty (the
+    reference returns SQL NULL, `tpoint_boxops.c:74-86`). The box has
+    no T dimension; planar points box in full doubles (PostGIS peeks
+    point coords without float4 rounding)."""
+    if len(coords) == 0:
+        return None
+    if geodetic:
+        parts = [_geog_point_bounds(float(p[0]), float(p[1]), dim > 2)
+                 for p in coords]
+        xmin, xmax, ymin, ymax, zmin, zmax = _union_bounds(parts)
+        return STBox(xmin, xmax, ymin, ymax, 0, 0, zmin, zmax,
+                     has_t=False, geodetic=True, zflag=dim > 2)
+    xs = [float(p[0]) for p in coords]
+    ys = [float(p[1]) for p in coords]
+    zs = [float(p[2]) for p in coords] if dim > 2 else None
+    return STBox(min(xs), max(xs), min(ys), max(ys), 0, 0,
+                 min(zs) if zs else None, max(zs) if zs else None,
+                 has_t=False)
+
+
+def expand_spatial(b: STBox, d: float) -> STBox:
+    """expandSpatial (`tpoint_boxops.c:440-460`): ±d on x/y, and on z
+    when the box has Z values or is geodetic."""
+    grow_z = b.has_z or b.geodetic
+    return STBox(b.xmin - d, b.xmax + d, b.ymin - d, b.ymax + d,
+                 b.tmin, b.tmax,
+                 b.zmin - d if grow_z else None,
+                 b.zmax + d if grow_z else None,
+                 has_x=b.has_x, has_t=b.has_t, geodetic=b.geodetic,
+                 zflag=b.zflag)
+
+
+def expand_temporal(b: STBox, dt_us: int) -> STBox:
+    """expandTemporal (`tpoint_boxops.c:500-520`)."""
+    if not b.has_t:
+        raise ValueError("The box must have T dimension")
+    return STBox(b.xmin, b.xmax, b.ymin, b.ymax,
+                 b.tmin - dt_us, b.tmax + dt_us, b.zmin, b.zmax,
+                 has_x=b.has_x, has_t=True, geodetic=b.geodetic,
+                 zflag=b.zflag)
+
+
 def _parse_double(tok: str) -> float:
     try:
         return float(tok)
@@ -352,11 +514,14 @@ def parse_stbox(s: str) -> STBox:
     else:
         tmin = tmax = 0
     return STBox(xmin, xmax, ymin, ymax, tmin, tmax, zmin, zmax,
-                 has_x=has_x, has_t=hast_eff, geodetic=geodetic)
+                 has_x=has_x, has_t=hast_eff, geodetic=geodetic,
+                 zflag=hasz and has_x)
 
 
 def _num(v: float) -> str:
-    return f"{v:.15g}"
+    # the reference prints box coords with %.8g (stbox.c:95-115,
+    # tbox.c:64-72)
+    return f"{v:.8g}"
 
 
 def stbox_out(b: STBox) -> str:
