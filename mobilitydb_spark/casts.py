@@ -170,6 +170,32 @@ def tbox_same(a: TBox, b: TBox) -> bool:
     return True
 
 
+def tbox_cmp(a: TBox, b: TBox) -> int:
+    """B-tree total order (`src/tbox.c:274-308` tbox_cmp_internal):
+    shared-dimension minima first, then shared maxima; drives the
+    <, <=, >, >= operators."""
+    for ka, kb, shared in (
+            (a.xmin, b.xmin, _hx(a) and _hx(b)),
+            (a.tmin, b.tmin, _ht(a) and _ht(b)),
+            (a.xmax, b.xmax, _hx(a) and _hx(b)),
+            (a.tmax, b.tmax, _ht(a) and _ht(b))):
+        if shared:
+            if ka < kb:
+                return -1
+            if ka > kb:
+                return 1
+    return 0
+
+
+def tbox_eq(a: TBox, b: TBox) -> bool:
+    """= (`src/tbox.c:369-380` tbox_eq_internal): flag equality plus
+    raw-field equality — unlike ~=, no shared-dimension projection."""
+    if _hx(a) != _hx(b) or _ht(a) != _ht(b):
+        return False
+    return (a.xmin == b.xmin and a.tmin == b.tmin
+            and a.xmax == b.xmax and a.tmax == b.tmax)
+
+
 # position operators over the value (x) / time (t) dimension
 # (`src/temporal_posops.c:32-...`; both operands must carry the dim —
 # the SQL operator matrix guarantees it)
