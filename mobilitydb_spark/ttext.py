@@ -90,8 +90,13 @@ class TText:
             dur = INSTANT
         elif a.duration == INSTANTSET or b.duration == INSTANTSET:
             dur = INSTANTSET
+        elif a.duration == SEQUENCE and b.duration == SEQUENCE:
+            dur = SEQUENCE
         else:
-            dur = SEQUENCE if len(seqs) == 1 else SEQUENCESET
+            # a sequence-set operand keeps the result a sequence set
+            # even when one piece survives (sync_tfunc returns
+            # TemporalS; 27-suite golden braces a single sequence)
+            dur = SEQUENCESET
         return TText(Temporal(dur, seqs, False, 0, True), vocab)
 
     def at_value(self, word: str) -> "TText | None":

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""One-time golden extractor for the base-layer 27_temporal_textfuncs
+reference suite (expected values lifted verbatim — the accepted use of
+reference goldens): `test/expected/27_temporal_textfuncs.test.out` →
+tests/goldens/textfuncs_27.json as [[expr, want], ...]."""
+
+from __future__ import annotations
+
+import json
+import os
+
+REF = "/root/reference/test/expected/27_temporal_textfuncs.test.out"
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "goldens",
+    "textfuncs_27.json")
+
+
+def main() -> None:
+    lines = open(REF, encoding="utf-8-sig").read().splitlines()
+    cases = []
+    i = 0
+    while i < len(lines):
+        if not lines[i].startswith("SELECT "):
+            i += 1
+            continue
+        stmt = lines[i]
+        while not stmt.rstrip().endswith(";"):
+            i += 1
+            stmt += " " + lines[i].strip()
+        i += 1
+        expr = stmt.rstrip().rstrip(";")[len("SELECT "):].strip()
+        assert " FROM " not in expr.upper(), expr
+        if i < len(lines) and lines[i].startswith("ERROR"):
+            cases.append([expr, {"error":
+                                 lines[i].split(":", 1)[1].strip()}])
+            i += 1
+            continue
+        assert lines[i + 1].startswith("--"), (expr, lines[i + 1])
+        cases.append([expr, lines[i + 2].strip() or None])
+        i += 4
+    with open(OUT, "w") as fh:
+        json.dump(cases, fh, indent=0)
+    print(len(cases), "cases")
+
+
+if __name__ == "__main__":
+    main()
