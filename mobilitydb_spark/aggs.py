@@ -155,6 +155,14 @@ def tagg(values: list[Temporal], kind: str,
     if finalize_divide and kind != "sum":
         raise ValueError("finalize_divide requires kind='sum'")
     dim = values[0].dim
+    if dim > 1:  # tpoint operands: the reference's transfn validation
+        # (`point/src/tpoint_aggfuncs.c:40-49`, 64-suite error block)
+        if any(v.srid != values[0].srid for v in values):
+            raise ValueError("Geometries must have the same SRID for "
+                             "temporal aggregation")
+        if any(v.dim != dim for v in values):
+            raise ValueError("Geometries must have the same "
+                             "dimensionality for temporal aggregation")
     result_linear = (kind not in _STEP_KINDS) and all(
         v.linear for v in values)
     if kind in ("count", "and", "or"):

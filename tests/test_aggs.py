@@ -361,3 +361,24 @@ def test_tcentroid_goldens_64_tpoint_aggfuncs():
     assert str(aggs.tagg(m3, "centroid")) == \
         ("[POINT Z (1 1 1)@2000-01-01 00:00:00+00, "
          "POINT Z (4 4 4)@2000-01-04 00:00:00+00)")
+    # the suite's /* Errors */ block (64_tpoint_aggfuncs.test.out:
+    # 19-36): transfn operand validation, messages verbatim
+    import pytest
+    with pytest.raises(ValueError, match="same SRID for temporal"):
+        aggs.tagg([T.parse_temporal("Point(0 0)@2000-01-01"),
+                   T.parse_temporal("SRID=5676;Point(1 1)@2000-01-01"),
+                   T.parse_temporal("Point(2 2)@2000-01-01")],
+                  "centroid")
+    with pytest.raises(ValueError,
+                       match="same dimensionality for temporal"):
+        aggs.tagg([T.parse_temporal("Point(0 0)@2000-01-01"),
+                   T.parse_temporal("Point(1 1)@2000-01-01"),
+                   T.parse_temporal("Point(2 2 2)@2000-01-01")],
+                  "centroid")
+    with pytest.raises(ValueError,
+                       match="same dimensionality for temporal"):
+        aggs.tagg([T.parse_temporal("Point(0 0)@2000-01-01"),
+                   T.parse_temporal(
+                       "{Point(1 1)@2000-01-01, Point(2 2)@2000-01-02}"),
+                   T.parse_temporal("Point(2 2 2)@2000-01-01")],
+                  "centroid")
