@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from . import geo
@@ -212,20 +214,37 @@ def mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
     return lon, lat
 
 
+def _remap_xy(tv: Temporal, fn, srid_to: int) -> Temporal:
+    """Apply an (n,2)→(n,2) coordinate map to x/y, keeping any z."""
+    from .types import Seq
+    out = []
+    for s in tv.seqs:
+        xy = fn(s.values[:, :2])
+        vals = (np.hstack([xy, s.values[:, 2:]])
+                if s.values.shape[1] > 2 else xy)
+        out.append(Seq(s.times.copy(), vals, s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration, out, tv.linear, srid_to, tv.step_default)
+
+
 def transform(tv: Temporal, srid_to: int) -> Temporal:
-    """setSRID/transform between 4326 and 3857."""
+    """setSRID/transform between the closed-form CRS pairs this
+    engine ships: 4326⇄3857 (web mercator) and 4326⇄5676
+    (Gauss-Krüger zone 2, the reference's projection_gk.c datum —
+    the general-PROJ surface is a documented environment limit)."""
     if tv.srid == srid_to:
         return tv
-    if {tv.srid, srid_to} != {4326, 3857}:
-        raise ValueError(f"unsupported transform {tv.srid}->{srid_to}")
-    fn = lonlat_to_mercator if srid_to == 3857 else mercator_to_lonlat
-    out = []
-    from .types import Seq
-    for s in tv.seqs:
-        x, y = fn(s.values[:, 0], s.values[:, 1])
-        out.append(Seq(s.times.copy(), np.stack([x, y], axis=1),
-                       s.lower_inc, s.upper_inc))
-    return Temporal(tv.duration, out, tv.linear, srid_to, tv.step_default)
+    pair = {tv.srid, srid_to}
+    if pair == {4326, 3857}:
+        fn = lonlat_to_mercator if srid_to == 3857 else mercator_to_lonlat
+
+        def xy(v):
+            x, y = fn(v[:, 0], v[:, 1])
+            return np.stack([x, y], axis=1)
+        return _remap_xy(tv, xy, srid_to)
+    if pair == {4326, 5676}:
+        return _remap_xy(
+            tv, _gk_np if srid_to == 5676 else gk_inverse_np, srid_to)
+    raise ValueError(f"unsupported transform {tv.srid}->{srid_to}")
 
 
 # -- Gauss-Krüger (Secondo/Hagen variant, `point/src/projection_gk.c`) ------
@@ -314,8 +333,198 @@ def transform_gk_geom(g: geo.Geometry) -> geo.Geometry:
     (`geometry_transform_gk_internal`)."""
     if g.is_empty:
         return g
+    if g.kind not in ("Point", "LineString"):
+        raise ValueError("Component geometry/geography must be of "
+                         "type Point(Z)M or LineString")
     return geo.Geometry(g.kind, [_gk_np(np.atleast_2d(p)) for p in g.parts],
                         4326)
+
+
+def gk_inverse_np(vals: np.ndarray) -> np.ndarray:
+    """Inverse of ``_gk_np``: Gauss-Krüger zone-2 easting/northing →
+    WGS84 lon/lat.  The reference reaches SRID 5676 through PROJ;
+    this closed-form inverse of the same Secondo/Hagen pipeline is
+    the engine's stand-in: 2D Newton on the analytic Bessel→GK
+    forward, Bessel geodetic → geocentric, exact inverse of the
+    small-angle Helmert matrix, then the BLRauenberg fixed point on
+    the WGS84 ellipsoid.  Forward∘inverse roundtrips to ~1e-9° for
+    in-zone coordinates (pytest-gated)."""
+    e = np.asarray(vals[:, 0], dtype=np.float64)
+    n = np.asarray(vals[:, 1], dtype=np.float64)
+    eqbes = (_GK_ABES ** 2 - _GK_BBES ** 2) / _GK_ABES ** 2
+    nk = (_GK_ABES - _GK_BBES) / (_GK_ABES + _GK_BBES)
+    yy = e - _GK_MDC * 1_000_000.0 - 500_000.0
+
+    def fwd(b, dl):
+        k = np.cos(b)
+        t = np.sin(b) / k
+        vq = 1.0 + eqbes * k * k
+        ng = _GK_ABES ** 2 / (_GK_BBES * np.sqrt(vq))
+        xx = (ng * t * k ** 2 * dl ** 2) / 2.0 \
+            + (ng * t * (9.0 * vq - t * t - 4.0) * k ** 4 * dl ** 4) / 24.0
+        gg = b + ((-3.0 * nk / 2.0 + 9.0 * nk ** 3 / 16.0)
+                  * np.sin(2.0 * b)
+                  + 15.0 * nk ** 2 * np.sin(4.0 * b) / 16.0
+                  - 35.0 * nk ** 3 * np.sin(6.0 * b) / 48.0)
+        north = gg * 180.0 * _GK_CBES / np.pi + xx
+        east = ng * k * dl + ng * (vq - t * t) * k ** 3 * dl ** 3 / 6.0 \
+            + ng * (5.0 - 18.0 * t * t + t ** 4) * k ** 5 * dl ** 5 / 120.0
+        return east, north
+
+    # 2D Newton in Bessel space with finite-difference jacobian;
+    # fixed iteration budget keeps the map total and deterministic
+    b = np.clip(n * np.pi / (180.0 * _GK_CBES), -1.4, 1.4)
+    ng0 = _GK_ABES ** 2 / (_GK_BBES * np.sqrt(1.0 + eqbes))
+    dl = yy / (ng0 * np.maximum(np.cos(b), 1e-6))
+    h = 1e-8
+    for _ in range(25):
+        fe, fn_ = fwd(b, dl)
+        rx, ry = fe - yy, fn_ - n
+        if max(np.abs(rx).max(initial=0.0),
+               np.abs(ry).max(initial=0.0)) < 1e-10:
+            break
+        feb, fnb = fwd(b + h, dl)
+        fed, fnd = fwd(b, dl + h)
+        j11, j12 = (feb - fe) / h, (fed - fe) / h   # ∂e/∂b, ∂e/∂dl
+        j21, j22 = (fnb - fn_) / h, (fnd - fn_) / h
+        det = j11 * j22 - j12 * j21
+        b = b - (rx * j22 - ry * j12) / det
+        dl = dl - (ry * j11 - rx * j21) / det
+        b = np.clip(b, -1.5, 1.5)
+    ll = dl + np.pi * (3.0 * _GK_MDC) / 180.0
+    # Bessel geodetic → Bessel-datum geocentric
+    nbes = _GK_ABES / np.sqrt(1.0 - eqbes * np.sin(b) ** 2)
+    x = nbes * np.cos(b) * np.cos(ll)
+    y = nbes * np.cos(b) * np.sin(ll)
+    z = (1.0 - eqbes) * nbes * np.sin(b)
+    # exact inverse of the forward Helmert (small-angle matrix)
+    rot = np.array([[1.0, _GK_ROTZ, -_GK_ROTY],
+                    [-_GK_ROTZ, 1.0, _GK_ROTX],
+                    [_GK_ROTY, -_GK_ROTX, 1.0]])
+    rhs = np.stack([(x - _GK_DX) / _GK_SC, (y - _GK_DY) / _GK_SC,
+                    (z - _GK_DZ) / _GK_SC])
+    xq, yq, zq = np.linalg.solve(rot, rhs)
+    # WGS84 geocentric → geodetic (BLRauenberg fixed point, eqwgs)
+    eqwgs = (_GK_AWGS ** 2 - _GK_BWGS ** 2) / _GK_AWGS ** 2
+    rxy = np.sqrt(xq * xq + yq * yq)
+    p = zq / rxy
+    f = np.arctan(p / (1.0 - eqwgs))
+    for _ in range(100):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zw = _GK_AWGS / np.sqrt(1.0 - eqwgs * np.sin(f) ** 2)
+            nnq = 1.0 - (eqwgs * zw / (rxy / np.cos(f)))
+            f1 = np.arctan(p / nnq)
+        bad = np.isnan(f1)
+        if np.abs(np.where(bad, 0.0, f - f1)).max(initial=0.0) < 1e-12:
+            f = f1
+            break
+        f = f1
+    lon = np.degrees(np.arctan2(yq, xq))
+    lat = np.degrees(f)
+    return np.stack([lon, lat], axis=1)
+
+
+def set_precision(tv: Temporal, digits: int) -> Temporal:
+    """setprecision(tpoint, n): round every coordinate to ``digits``
+    decimals (`tpoint_spatialfuncs.c tpoint_set_precision`)."""
+    from .types import Seq
+    seqs = [Seq(s.times.copy(), np.round(s.values, digits),
+                s.lower_inc, s.upper_inc) for s in tv.seqs]
+    return Temporal(tv.duration, seqs, tv.linear, tv.srid, tv.step_default)
+
+
+# -- tpoint ⇄ geometry-with-M, WKT text form (`tpoint_spatialfuncs.c:
+# 2766-3118` geo_to_tpoint/tpoint_to_geo; the WKB pair lives below) --
+
+def _wkt_num(v: float) -> str:
+    return f"{float(v):.15g}"
+
+
+def tpoint_to_geo_m_wkt(tv: Temporal) -> str:
+    """ST_AsText(tpoint::geometry): POINT M / MULTIPOINT M /
+    LINESTRING M / MULTILINESTRING M with unix-epoch seconds in M."""
+    from .types import INSTANT, INSTANTSET, SEQUENCE
+    zdim = tv.dim > 2
+
+    def row(vals, t):
+        coords = " ".join(_wkt_num(c) for c in vals)
+        return f"{coords} {_wkt_num(t / 1e6)}"
+
+    tag = "ZM" if zdim else "M"
+    if tv.duration == INSTANT:
+        s = tv.seqs[0]
+        return f"POINT {tag} ({row(s.values[0], s.times[0])})"
+    if tv.duration == INSTANTSET:
+        body = ",".join(row(s.values[0], s.times[0]) for s in tv.seqs)
+        return f"MULTIPOINT {tag} ({body})"
+    if tv.duration == SEQUENCE:
+        s = tv.seqs[0]
+        body = ",".join(row(s.values[i], s.times[i])
+                        for i in range(len(s.times)))
+        return f"LINESTRING {tag} ({body})"
+    parts = ",".join(
+        "(" + ",".join(row(s.values[i], s.times[i])
+                       for i in range(len(s.times))) + ")"
+        for s in tv.seqs)
+    return f"MULTILINESTRING {tag} ({parts})"
+
+
+_WKT_M_RE = re.compile(
+    r"(?i)^\s*(POINT|LINESTRING|MULTIPOINT|MULTILINESTRING|POLYGON|"
+    r"GEOMETRYCOLLECTION)\s*(ZM|Z|M)?\s*(EMPTY|\(.*\))\s*$", re.S)
+
+
+def geo_m_wkt_to_tpoint(wkt: str, srid: int = 0,
+                        linear: bool = True) -> Temporal:
+    """geometry-with-M → tpoint with the reference's validation
+    errors (`tpoint_spatialfuncs.c geo_to_tpoint`)."""
+    m = _WKT_M_RE.match(wkt)
+    if not m:
+        raise ValueError(f"unparsed WKT {wkt!r}")
+    kind, flags, body = (m.group(1).upper(), (m.group(2) or "").upper(),
+                        m.group(3))
+    if body.upper() == "EMPTY":
+        raise ValueError("Only non-empty geometries accepted")
+    if kind == "GEOMETRYCOLLECTION":
+        raise ValueError("Component geometry/geography must be of "
+                         "type Point(Z)M or Linestring(Z)M")
+    if "M" not in flags:
+        raise ValueError("Only geometries with M dimension accepted")
+    if kind not in ("POINT", "MULTIPOINT", "LINESTRING",
+                    "MULTILINESTRING"):
+        raise ValueError("Invalid geometry type for trajectory")
+
+    def rows(txt):
+        out = []
+        for tok in txt.split(","):
+            c = [float(v) for v in tok.split()]
+            out.append((np.array(c[:-1]), int(round(c[-1] * 1e6))))
+        return out
+
+    def seq_of(txt):
+        pts = rows(txt)
+        times = np.array([t for _, t in pts], dtype=np.int64)
+        vals = np.stack([v for v, _ in pts])
+        if len(times) > 1 and not np.all(np.diff(times) > 0):
+            raise ValueError("Trajectory must be valid")
+        return times, vals
+
+    inner = body.strip()[1:-1]
+    if kind == "MULTILINESTRING":
+        from .types import SEQUENCESET, Seq
+        seqs = []
+        for part in re.findall(r"\(([^()]*)\)", inner):
+            times, vals = seq_of(part)
+            seqs.append(Seq(times, vals))
+        return Temporal(SEQUENCESET, seqs, linear, srid)
+    times, vals = seq_of(inner.replace("(", " ").replace(")", " "))
+    if kind == "POINT":
+        return Temporal.instant(int(times[0]), vals[0], srid=srid,
+                                linear=linear)
+    if kind == "MULTIPOINT":
+        return Temporal.instant_set(times, vals, srid=srid, linear=linear)
+    return Temporal.sequence(times, vals, srid=srid, linear=linear,
+                             normalize=False)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,23 @@ class Geometry:
                 float(pts[:, 0].max()), float(pts[:, 1].max()))
 
 
+def wkt(g: Geometry) -> str:
+    """ST_AsText for Point/LineString (PostGIS formatting: %.15g
+    coordinates, EMPTY uppercase, no space before the paren)."""
+    tag = g.kind.upper()
+    if g.is_empty:
+        return f"{tag} EMPTY"
+
+    def fmt(rows):
+        return ",".join(" ".join(f"{float(c):.15g}" for c in row)
+                        for row in np.atleast_2d(rows))
+
+    if g.kind in ("Point", "LineString"):
+        return f"{tag}({fmt(g.parts[0])})"
+    body = ",".join("(" + fmt(p) + ")" for p in g.parts)
+    return f"{tag}({body})"
+
+
 def _ring_bytes(ring: np.ndarray) -> bytes:
     ring = np.asarray(ring, dtype="<f8")
     return struct.pack("<I", len(ring)) + ring.tobytes()

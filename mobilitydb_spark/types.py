@@ -414,10 +414,17 @@ class Temporal:
             if x == int(x):
                 return str(int(x))
             return repr(float(x))
+
+        def coord(x):
+            # point coordinates print through PostGIS lwprint (%.15g),
+            # unlike plain tfloat values (PG float8out shortest-repr)
+            # — visible on transform_gk outputs (56-suite goldens)
+            return str(int(x)) if x == int(x) else f"{float(x):.15g}"
         if self.dim == 3:
-            return f"POINT Z ({num(v[0])} {num(v[1])} {num(v[2])})"
+            return (f"POINT Z ({coord(v[0])} {coord(v[1])} "
+                    f"{coord(v[2])})")
         if self.dim == 2:
-            return f"POINT({num(v[0])} {num(v[1])})"
+            return f"POINT({coord(v[0])} {coord(v[1])})"
         if self.is_bool:
             return "t" if v[0] > 0.5 else "f"
         return num(v[0])
