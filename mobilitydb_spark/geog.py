@@ -275,3 +275,101 @@ def point_line_distance_spheroid(plon: float, plat: float,
     return min(point_edge_distance_spheroid(plon, plat,
                                             coords[k], coords[k + 1])
                for k in range(len(coords) - 1))
+
+
+# ---------------------------------------------------------------------------
+# _ST_BestSRID UTM projection — the reference's geography NAI /
+# value-at-timestamp pipeline (`src/temporalseq.c:3157-3177`,
+# `point/src/tpoint_spatialfuncs.c:2152-2215`): geography segments are
+# transformed to the best UTM zone, handled planar there, and carried
+# back to 4326.  Krüger series to n⁴ (≈nm agreement with PROJ tmerc
+# inside a zone — far below the suites' 1e-6° print precision).
+# ---------------------------------------------------------------------------
+
+_WGS_A = 6378137.0
+_WGS_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+
+
+def _kruger_coeffs():
+    n = _WGS_F / (2.0 - _WGS_F)
+    A = _WGS_A / (1.0 + n) * (1.0 + n ** 2 / 4.0 + n ** 4 / 64.0)
+    alpha = (n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0
+             + 41.0 * n ** 4 / 180.0,
+             13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0
+             + 557.0 * n ** 4 / 1440.0,
+             61.0 * n ** 3 / 240.0 - 103.0 * n ** 4 / 140.0,
+             49561.0 * n ** 4 / 161280.0)
+    beta = (n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0
+            - n ** 4 / 360.0,
+            n ** 2 / 48.0 + n ** 3 / 15.0 - 437.0 * n ** 4 / 1440.0,
+            17.0 * n ** 3 / 480.0 - 37.0 * n ** 4 / 840.0,
+            4397.0 * n ** 4 / 161280.0)
+    delta = (2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3
+             + 116.0 * n ** 4 / 45.0,
+             7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0
+             - 227.0 * n ** 4 / 45.0,
+             56.0 * n ** 3 / 15.0 - 136.0 * n ** 4 / 35.0,
+             4279.0 * n ** 4 / 630.0)
+    return n, A, alpha, beta, delta
+
+
+_KN, _KA, _KALPHA, _KBETA, _KDELTA = _kruger_coeffs()
+
+
+def best_utm_lon0(lons: np.ndarray) -> float:
+    """Central meridian of the PostGIS _ST_BestSRID UTM zone for the
+    operands' combined extent (geography_measurement.c zone pick)."""
+    cx = (float(np.min(lons)) + float(np.max(lons))) / 2.0
+    zone = int(np.floor((cx + 180.0) / 6.0))
+    zone = min(max(zone, 0), 59)
+    return zone * 6.0 - 180.0 + 3.0
+
+
+def utm_forward_np(lonlat: np.ndarray, lon0: float) -> np.ndarray:
+    lon = np.radians(np.asarray(lonlat[:, 0], dtype=np.float64) - lon0)
+    lat = np.radians(np.asarray(lonlat[:, 1], dtype=np.float64))
+    es = 2.0 * np.sqrt(_KN) / (1.0 + _KN)
+    t = np.sinh(np.arctanh(np.sin(lat))
+                - es * np.arctanh(es * np.sin(lat)))
+    xi = np.arctan2(t, np.cos(lon))
+    eta = np.arcsinh(np.sin(lon) / np.sqrt(t * t + np.cos(lon) ** 2))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(_KALPHA, start=1):
+        x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    return np.stack([_UTM_E0 + _UTM_K0 * _KA * x,
+                     _UTM_K0 * _KA * y], axis=1)
+
+
+def utm_inverse_np(en: np.ndarray, lon0: float) -> np.ndarray:
+    xi = np.asarray(en[:, 1], dtype=np.float64) / (_UTM_K0 * _KA)
+    eta = (np.asarray(en[:, 0], dtype=np.float64) - _UTM_E0) \
+        / (_UTM_K0 * _KA)
+    xin, etan = xi.copy(), eta.copy()
+    for j, b in enumerate(_KBETA, start=1):
+        xin -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etan -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xin) / np.cosh(etan))
+    lat = chi.copy()
+    for j, d in enumerate(_KDELTA, start=1):
+        lat += d * np.sin(2 * j * chi)
+    lon = np.arctan2(np.sinh(etan), np.cos(xin))
+    return np.stack([np.degrees(lon) + lon0, np.degrees(lat)], axis=1)
+
+
+def geog_interpolate_point(p1: np.ndarray, p2: np.ndarray,
+                           ratio: float) -> np.ndarray:
+    """tgeogpoint value-at-timestamp: linear interpolation of the
+    BestSRID-projected chord carried back to 4326; any z ordinate
+    interpolates linearly (temporalseq.c:3157-3177)."""
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    lon0 = best_utm_lon0(np.array([p1[0], p2[0]]))
+    seg = utm_forward_np(np.stack([p1[:2], p2[:2]]), lon0)
+    mid = seg[0] + (seg[1] - seg[0]) * ratio
+    out = utm_inverse_np(mid[None, :], lon0)[0]
+    if len(p1) > 2:
+        out = np.append(out, p1[2] + (p2[2] - p1[2]) * ratio)
+    return out

@@ -135,6 +135,80 @@ def planar_distf(g: geo.Geometry):
     return lambda p: spatial._point_geom_dist(np.asarray(p), g)
 
 
+def geog_value_at(tv: Temporal, t: int) -> np.ndarray:
+    """tgeogpoint value-at-timestamp: vertex when t is a knot, else
+    the BestSRID-projected chord interpolation
+    (temporalseq.c:3111-3177 geography branch)."""
+    for s in tv.seqs:
+        n = len(s.times)
+        for i in range(n):
+            if int(s.times[i]) == t:
+                return s.values[i]
+        for i in range(n - 1):
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            if t0 < t < t1:
+                ratio = (t - t0) / (t1 - t0)
+                if np.array_equal(s.values[i], s.values[i + 1]):
+                    return s.values[i]
+                return geog.geog_interpolate_point(
+                    s.values[i], s.values[i + 1], ratio)
+    return tv.value_at(t)
+
+
+def _nai_seq_geo_geog(tv: Temporal, g: geo.Geometry):
+    """Geography NAI against a geometry operand
+    (NAI_tpointseq_geo1, tpoint_spatialfuncs.c:2152-2215): per linear
+    segment the witness fraction comes from the planar closest point
+    in the _ST_BestSRID UTM plane; t truncates; the witness value
+    re-interpolates through the projected chord; the arg-min distance
+    is the spheroid distance.  Discrete/stepwise durations take the
+    min-distance vertex."""
+    distf = geog_distf(g)
+    discrete = tv.duration in (INSTANT, INSTANTSET) or not tv.linear
+    best = (np.inf, None, None)
+    g2 = None
+    for s in tv.seqs:
+        n = len(s.times)
+        if discrete or n == 1:
+            for i in range(n):
+                d = distf(s.values[i])
+                if d < best[0]:
+                    best = (d, s.values[i], int(s.times[i]))
+            continue
+        for i in range(n - 1):
+            p0, p1 = s.values[i], s.values[i + 1]
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            if np.array_equal(p0, p1):
+                val, t = p0, t0
+            else:
+                lons = np.concatenate(
+                    [[p0[0], p1[0]]] + [np.atleast_2d(p)[:, 0]
+                                        for p in g.parts])
+                lon0 = geog.best_utm_lon0(lons)
+                seg2 = geog.utm_forward_np(
+                    np.stack([p0[:2], p1[:2]]), lon0)
+                g2 = geo.Geometry(
+                    g.kind, [np.hstack([
+                        geog.utm_forward_np(np.atleast_2d(p)[:, :2],
+                                            lon0),
+                        np.atleast_2d(p)[:, 2:]])
+                        for p in g.parts], g.srid)
+                _, r = spatial._seg_geom_min(seg2[0], seg2[1], g2)
+                r = float(r)
+                if r == 0.0:
+                    val, t = p0, t0
+                elif r == 1.0:
+                    val, t = p1, t1
+                else:
+                    t = t0 + int((t1 - t0) * r)
+                    ratio = (t - t0) / (t1 - t0)
+                    val = geog.geog_interpolate_point(p0, p1, ratio)
+            d = distf(val)
+            if d < best[0]:
+                best = (d, val, t)
+    return best[1], best[2]
+
+
 def geog_distf(g: geo.Geometry):
     def f(p):
         p = np.asarray(p)
@@ -224,14 +298,6 @@ def run_case(fam, a_tok, b_tok, digits):
         return rnd_numeric(d, digits)
 
     if fam in ("nai", "nai_prec"):
-        if gflag:
-            # the reference's geography NAI routes every per-segment
-            # witness through _ST_BestSRID-projected LWGEOM closest
-            # points (tpoint_spatialfuncs.c:2152-2215) — a PostGIS
-            # projection pipeline whose exact witness coordinates
-            # (e.g. POINT(1.999848 2.000002) for two crossing
-            # diagonals) are not reproducible without PROJ
-            raise Skip("geography NAI (BestSRID projection witness)")
         if isinstance(other, Temporal):
             if gflag:
                 prof = geog.geog_distance_spheroid(a, other)
@@ -246,14 +312,41 @@ def run_case(fam, a_tok, b_tok, digits):
                 if s.values[i, 0] < best_d:
                     best_d = float(s.values[i, 0])
                     best_t = int(s.times[i])
-            return fmt_inst(a.value_at(best_t), best_t, digits)
-        df = geog_distf(other) if gflag else planar_distf(other)
-        val, t = _nai_seq_geo(a, other, df)
+            val = (geog_value_at(a, best_t) if gflag
+                   else a.value_at(best_t))
+            return fmt_inst(val, best_t, digits)
+        if gflag:
+            val, t = _nai_seq_geo_geog(a, other)
+            return fmt_inst(val, t, digits)
+        val, t = _nai_seq_geo(a, other, planar_distf(other))
         return fmt_inst(val, t, digits)
 
     if fam == "shortestline":
-        if gflag:
-            raise Skip("geography shortestline (BestSRID projection)")
+        if gflag and isinstance(other, Temporal) and \
+                (a.duration == INSTANT) == (other.duration == INSTANT):
+            # geography shortestLine(tpoint, tpoint): the reference
+            # syncs the spheroid distance with NO turning function
+            # (shortestline_tpointseq_tpointseq passes turnfn=NULL,
+            # tpoint_spatialfuncs.c:2610-2635), so the minimum is over
+            # sync knots only, earliest first; values re-read through
+            # the geography at-timestamp path
+            from mobilitydb_spark.lifting import synchronize
+            best_t, best_d = None, np.inf
+            for ts, va, vb, _lo, _hi in synchronize(a, other):
+                for i in range(len(ts)):
+                    d = float(geo.vincenty_m(va[i][0], va[i][1],
+                                             vb[i][0], vb[i][1])[0])
+                    if d < best_d:
+                        best_d, best_t = d, int(ts[i])
+            if best_t is None:
+                return ""
+            seg = np.vstack([geog_value_at(a, best_t),
+                             geog_value_at(other, best_t)])
+            return wkt(geo.Geometry("LineString", [seg]), seg.shape[1])
+        # geography shortestLine(tpoint, geo) dispatches to the SAME
+        # planar LWGEOM_shortestline2d over raw lon/lat coordinates
+        # (tpoint_spatialfuncs.c:2539-2565 — no BestSRID here), so the
+        # planar path below covers geography operands verbatim
         if isinstance(other, Temporal):
             if (a.duration == INSTANT) != (other.duration == INSTANT):
                 # reference quirk: synchronize() for instant x
@@ -302,6 +395,20 @@ def _tie_ok(fam, a_tok, b_tok, want, got) -> bool:
         b = to_operand(b_tok) if b_tok else None
         if not isinstance(a, Temporal):
             a, b = b, a
+        if isinstance(b, Temporal) and is_geog(a_tok):
+            # geography tpoint×tpoint argmin tie: the knots-only
+            # spheroid profile has bit-equal minima at several knots
+            # and the pick follows the geodesic solver's last-ulp
+            # argument-order bias — accept any witness pair realizing
+            # the same spheroid distance (crossing-diagonal cases)
+            wp, gp = _wit_points(want), _wit_points(got)
+            if len(wp) < 2 or len(gp) < 2:
+                return False
+            dw = float(geo.vincenty_m(wp[0][0], wp[0][1],
+                                      wp[1][0], wp[1][1])[0])
+            dg = float(geo.vincenty_m(gp[0][0], gp[0][1],
+                                      gp[1][0], gp[1][1])[0])
+            return abs(dw - dg) <= 1e-6
         if not isinstance(b, geo.Geometry):
             return False
         df = planar_distf(b)
@@ -333,5 +440,7 @@ def test_56_more_suite():
             fails.append((i, fam, a_tok[:40], (b_tok or "")[:30],
                           want[:60], (got or "")[:60]))
     assert not fails, (len(fails), fails[:10])
-    assert ran >= 300, (ran, skipped)
+    # r5: the geography NAI/ShortestLine skips are gone — every case
+    # runs (BestSRID UTM pipeline in geog.py)
+    assert skipped == 0 and ran == len(cases), (ran, skipped)
     assert ties <= 20, ties
