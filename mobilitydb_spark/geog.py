@@ -373,3 +373,25 @@ def geog_interpolate_point(p1: np.ndarray, p2: np.ndarray,
     if len(p1) > 2:
         out = np.append(out, p1[2] + (p2[2] - p1[2]) * ratio)
     return out
+
+
+def geog_value_at(tv: Temporal, t: int) -> np.ndarray | None:
+    """tgeogpoint valueAtTimestamp: exact vertex at knots, the
+    BestSRID chord interpolation inside linear segments
+    (`src/temporalseq.c:3111-3177` geography branch).  The planar
+    ``Temporal.value_at`` remains the tgeompoint path."""
+    for s in tv.seqs:
+        n = len(s.times)
+        for i in range(n):
+            if int(s.times[i]) == t:
+                return s.values[i]
+        if not tv.linear:
+            continue
+        for i in range(n - 1):
+            t0, t1 = int(s.times[i]), int(s.times[i + 1])
+            if t0 < t < t1:
+                if np.array_equal(s.values[i], s.values[i + 1]):
+                    return s.values[i]
+                return geog_interpolate_point(
+                    s.values[i], s.values[i + 1], (t - t0) / (t1 - t0))
+    return tv.value_at(t)

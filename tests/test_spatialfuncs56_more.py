@@ -135,24 +135,7 @@ def planar_distf(g: geo.Geometry):
     return lambda p: spatial._point_geom_dist(np.asarray(p), g)
 
 
-def geog_value_at(tv: Temporal, t: int) -> np.ndarray:
-    """tgeogpoint value-at-timestamp: vertex when t is a knot, else
-    the BestSRID-projected chord interpolation
-    (temporalseq.c:3111-3177 geography branch)."""
-    for s in tv.seqs:
-        n = len(s.times)
-        for i in range(n):
-            if int(s.times[i]) == t:
-                return s.values[i]
-        for i in range(n - 1):
-            t0, t1 = int(s.times[i]), int(s.times[i + 1])
-            if t0 < t < t1:
-                ratio = (t - t0) / (t1 - t0)
-                if np.array_equal(s.values[i], s.values[i + 1]):
-                    return s.values[i]
-                return geog.geog_interpolate_point(
-                    s.values[i], s.values[i + 1], ratio)
-    return tv.value_at(t)
+geog_value_at = geog.geog_value_at
 
 
 def _nai_seq_geo_geog(tv: Temporal, g: geo.Geometry):
