@@ -375,6 +375,57 @@ def geog_interpolate_point(p1: np.ndarray, p2: np.ndarray,
     return out
 
 
+def _seg_len_spheroid(p0: np.ndarray, p1: np.ndarray) -> float:
+    """Per-segment tgeogpoint metric length: spheroid ground distance
+    with any z delta composed by hypot (the reference's 3D geography
+    length goldens, 56-suite: 313711.325320 = hypot(2×Vincenty, 2m))."""
+    d = float(geo.vincenty_m(p0[0], p0[1], p1[0], p1[1])[0])
+    if len(p0) > 2:
+        d = float(np.hypot(d, p1[2] - p0[2]))
+    return d
+
+
+def geog_length_spheroid(tv: Temporal) -> float:
+    """length(tgeogpoint) on the WGS84 spheroid
+    (`point/src/tpoint_spatialfuncs.c:902-904` with
+    use_spheroid=true); discrete/stepwise durations measure 0."""
+    from .types import INSTANT, INSTANTSET
+    if tv.duration in (INSTANT, INSTANTSET) or not tv.linear:
+        return 0.0
+    total = 0.0
+    for s in tv.seqs:
+        for i in range(len(s.times) - 1):
+            total += _seg_len_spheroid(s.values[i], s.values[i + 1])
+    return total
+
+
+def geog_speed_spheroid(tv: Temporal) -> Temporal | None:
+    """speed(tgeogpoint): stepwise m/s profile from spheroid segment
+    lengths (mirrors spatial.speed's structure — stepwise motion is 0
+    everywhere, consecutive equal speeds normalize away)."""
+    from .types import INSTANT, INSTANTSET, Seq, normalize_instants
+    if tv.duration in (INSTANT, INSTANTSET):
+        return None
+    seqs = []
+    for s in tv.seqs:
+        n = len(s.times)
+        if n < 2:
+            seqs.append(Seq(s.times.copy(), np.zeros((1, 1)),
+                            s.lower_inc, s.upper_inc))
+            continue
+        if not tv.linear:
+            sp = np.zeros(n - 1)
+        else:
+            sp = np.array([
+                _seg_len_spheroid(s.values[i], s.values[i + 1])
+                / ((int(s.times[i + 1]) - int(s.times[i])) / 1e6)
+                for i in range(n - 1)])
+        vals = np.concatenate([sp, sp[-1:]])[:, None]
+        ts2, v2 = normalize_instants(s.times, vals, linear=False)
+        seqs.append(Seq(ts2, v2, s.lower_inc, s.upper_inc))
+    return Temporal(tv.duration, seqs, False, 0)  # tfloat: no srid
+
+
 def geog_value_at(tv: Temporal, t: int) -> np.ndarray | None:
     """tgeogpoint valueAtTimestamp: exact vertex at knots, the
     BestSRID chord interpolation inside linear segments
@@ -395,3 +446,121 @@ def geog_value_at(tv: Temporal, t: int) -> np.ndarray | None:
                 return geog_interpolate_point(
                     s.values[i], s.values[i + 1], (t - t0) / (t1 - t0))
     return tv.value_at(t)
+
+
+# ---------------------------------------------------------------------------
+# PostGIS lwgeom_distance_spheroid model: the closest pair is located
+# with SPHERE math (edge_distance_to_edge / edge_distance_to_point,
+# lwgeodetic.c — per-endpoint great-circle feet clamped to the arc,
+# plus arc-crossing → 0) and the winning pair is then measured on the
+# WGS84 spheroid.  This is what NAD(tgeogpoint, geography) reduces to
+# (`point/src/tpoint_spatialfuncs.c` NAD_tpoint_geo: distance between
+# the trajectory geography and the operand).
+# ---------------------------------------------------------------------------
+
+def _u3(p) -> np.ndarray:
+    lo, la = np.radians(float(p[0])), np.radians(float(p[1]))
+    return np.array([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo),
+                     np.sin(la)])
+
+
+def _u3_ll(v: np.ndarray) -> tuple[float, float]:
+    v = v / np.linalg.norm(v)
+    return (float(np.degrees(np.arctan2(v[1], v[0]))),
+            float(np.degrees(np.arcsin(np.clip(v[2], -1, 1)))))
+
+
+def _ang(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.arccos(np.clip(np.dot(a, b), -1.0, 1.0)))
+
+
+def _sphere_closest_on_arc(p: np.ndarray, a: np.ndarray,
+                           b: np.ndarray) -> np.ndarray:
+    """Closest unit-sphere point on arc a-b to p (perpendicular foot
+    when inside the arc, else the nearer endpoint)."""
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n)
+    if nn < 1e-15:
+        return a
+    n = n / nn
+    q = p - np.dot(p, n) * n
+    qn = np.linalg.norm(q)
+    if qn < 1e-15:
+        return a
+    q = q / qn
+    if _ang(a, q) + _ang(q, b) <= _ang(a, b) + 1e-12:
+        return q
+    return a if _ang(p, a) <= _ang(p, b) else b
+
+
+def _arcs_cross(a, b, c, d) -> bool:
+    n1, n2 = np.cross(a, b), np.cross(c, d)
+    x = np.cross(n1, n2)
+    xn = np.linalg.norm(x)
+    if xn < 1e-15:
+        return False
+    for cand in (x / xn, -x / xn):
+        if (_ang(a, cand) + _ang(cand, b) <= _ang(a, b) + 1e-12
+                and _ang(c, cand) + _ang(cand, d)
+                <= _ang(c, d) + 1e-12):
+            return True
+    return False
+
+
+def geog_polyline_geom_nad_spheroid(coords: np.ndarray,
+                                    g: geo.Geometry,
+                                    has_edges: bool = True) -> float:
+    """NAD between a lon/lat polyline (a trajectory) and a Point /
+    LineString geography: sphere-witness pair, spheroid measure."""
+    pts_a = [np.asarray(p[:2], dtype=np.float64) for p in coords]
+    ua = [_u3(p) for p in pts_a]
+    parts_b = [np.atleast_2d(p) for p in g.parts]
+    pts_b = [np.asarray(q[:2], dtype=np.float64)
+             for part in parts_b for q in part]
+    ub = [_u3(p) for p in pts_b]
+    edges_a = ([(ua[i], ua[i + 1]) for i in range(len(ua) - 1)]
+               if has_edges else [])
+    edges_b = []
+    for part in parts_b:
+        uu = [_u3(q[:2]) for q in part]
+        edges_b += [(uu[i], uu[i + 1]) for i in range(len(uu) - 1)]
+    for ea in edges_a:
+        for eb in edges_b:
+            if _arcs_cross(*ea, *eb):
+                return 0.0
+    best = (np.inf, None, None)
+    for p in ua:
+        for eb in edges_b:
+            q = _sphere_closest_on_arc(p, *eb)
+            d = _ang(p, q)
+            if d < best[0]:
+                best = (d, p, q)
+    for p in ub:
+        for ea in edges_a:
+            q = _sphere_closest_on_arc(p, *ea)
+            d = _ang(p, q)
+            if d < best[0]:
+                best = (d, p, q)
+    if best[1] is None:  # point×point fallbacks
+        for p in ua:
+            for q in ub:
+                d = _ang(p, q)
+                if d < best[0]:
+                    best = (d, p, q)
+    w1, w2 = _u3_ll(best[1]), _u3_ll(best[2])
+    return float(geo.vincenty_m(w1[0], w1[1], w2[0], w2[1])[0])
+
+
+def geog_nad_geom_spheroid(tv: Temporal, g: geo.Geometry) -> float:
+    """NAD(tgeogpoint, geography geometry operand): spheroid distance
+    of the trajectory to the operand (NAD_tpoint_geo)."""
+    from .types import INSTANT, INSTANTSET
+    discrete = tv.duration in (INSTANT, INSTANTSET) or not tv.linear
+    best = np.inf
+    for s in tv.seqs:
+        d = geog_polyline_geom_nad_spheroid(
+            s.values, g, has_edges=not discrete and len(s.times) > 1)
+        best = min(best, d)
+        if best == 0.0:
+            break
+    return best

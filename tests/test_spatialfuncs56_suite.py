@@ -6,9 +6,12 @@ over tpoint/geometry literals
 scripts/port_56_spatialfuncs_goldens.py).  The transform/GK
 coordinate goldens from this suite live in test_transform_gk.py.
 
-Skipped with an asserted budget: geography operands, empty/Z
-linestrings, and polygon operands needing a WKT reader beyond
-Point/Linestring."""
+r5 late: geography length/speed/nad run verbatim on the WGS84
+spheroid (Vincenty lengths with hypot z-composition; NAD to geometry
+operands via the PostGIS sphere-witness-then-spheroid-measure model,
+geog.geog_nad_geom_spheroid).  The remaining asserted-budget skips
+are planar-side only (3D cumulativeLength and polygon operands
+needing a WKT reader beyond Point/Linestring)."""
 
 import json
 import os
@@ -28,10 +31,11 @@ GOLD = os.path.join(os.path.dirname(__file__), "goldens",
                     "spatialfuncs_56.json")
 
 LINE_RE = re.compile(
-    r"^geometry\s+'(?:srid=\d+;)?Linestring\(([-\d. ,]+)\)'$",
+    r"^(?:geometry|geography)\s+'(?:srid=\d+;)?Linestring\(([-\d. ,]+)\)'$",
     re.IGNORECASE)
 POINT_RE = re.compile(
-    r"^geometry\s+'(?:srid=\d+;)?Point\(([-\d. ]+)\)'$", re.IGNORECASE)
+    r"^(?:geometry|geography)\s+'(?:srid=\d+;)?Point\(([-\d. ]+)\)'$",
+    re.IGNORECASE)
 
 
 def to_geom_or_tpoint(tok: str):
@@ -69,18 +73,78 @@ def rnd_numeric(v: float, d: int) -> str:
     return f"{r:.{d}f}"
 
 
+_GGEO_RE = re.compile(
+    r"^(?:geometry|geography)\s+'(?:srid=\d+;)?"
+    r"(Point|Linestring)(?:\s+Z)?\s*(empty|\([-\d. ,]+\))'$",
+    re.IGNORECASE)
+
+
+def _parse_geog_geom(tok):
+    m = _GGEO_RE.match(tok.strip())
+    if not m:
+        raise Skip(f"geog operand {tok!r}")
+    kind = "Point" if m.group(1).lower() == "point" else "LineString"
+    if m.group(2).lower() == "empty":
+        return geo.Geometry(kind, [])
+    pts = np.array([[float(c) for c in p.split()]
+                    for p in m.group(2)[1:-1].split(",")])
+    return geo.Geometry(kind, [pts[:, :2]])  # geography ignores z
+
+
+def _run_geog_metric(fn, a_txt, b_txt, digits):
+    """Geography length/speed/nad on the WGS84 spheroid
+    (NAD_tpoint_geo = distance(trajectory, geo): sphere-witness pair
+    measured with Vincenty; tpoint×tpoint via the spheroid profile)."""
+    from mobilitydb_spark import geog as GG
+    a = parse_tpoint(a_txt)
+    if a is None:  # geography operand on the left: swap
+        a_txt, b_txt = b_txt, a_txt
+        a = parse_tpoint(a_txt)
+    if fn == "length":
+        return rnd_numeric(GG.geog_length_spheroid(a), digits)
+    if fn == "speed":
+        res = GG.geog_speed_spheroid(a)
+        if res is None:
+            return ""
+        seqs = [Seq(s.times.copy(),
+                    np.vectorize(lambda v: float(rnd(v, digits)))(
+                        s.values),
+                    s.lower_inc, s.upper_inc) for s in res.seqs]
+        return str(Temporal(res.duration, seqs, res.linear, 0,
+                            res.step_default))
+    assert fn == "nad"
+    b = parse_tpoint(b_txt)
+    if b is not None:
+        prof = GG.geog_distance_spheroid(a, b)
+        if prof is None:
+            return ""
+        return rnd_numeric(float(prof.min_value()[0]), digits)
+    g = _parse_geog_geom(b_txt)
+    if g.is_empty:
+        return ""
+    return rnd_numeric(GG.geog_nad_geom_spheroid(a, g), digits)
+
+
 def test_56_spatialfuncs_subset():
     cases = json.load(open(GOLD))
     assert len(cases) > 90
     fails, skipped, ran, quirks = [], 0, 0, 0
     for i, (fn, a_txt, b_txt, digits, want) in enumerate(cases):
-        if "tgeogpoint" in a_txt and fn in ("speed", "length", "nad"):
-            # documented divergence policy (SURVEY §7): our geography
-            # math is SPHERICAL (haversine, mean radius) — the
-            # reference uses the WGS84 spheroid (PostGIS
-            # use_spheroid=true), ~0.22% apart on these fixtures.
-            # geog.py's own tests pin the spherical values.
-            skipped += 1
+        if fn in ("speed", "length", "nad") and (
+                "tgeogpoint" in a_txt
+                or (b_txt is not None and "tgeogpoint" in b_txt)):
+            # r5 late: the spheroid kernels (Vincenty + BestSRID UTM
+            # witnesses, geog.py) replace the old spherical-divergence
+            # skip — these now run verbatim
+            try:
+                got = _run_geog_metric(fn, a_txt, b_txt, digits)
+            except Skip:
+                skipped += 1
+                continue
+            ran += 1
+            if got != want:
+                fails.append((i, fn, a_txt[:40], (b_txt or "")[:40],
+                              want, got))
             continue
         try:
             a = to_geom_or_tpoint(a_txt)
