@@ -340,6 +340,49 @@ def tagg(values: list[Temporal], kind: str,
     return Temporal(dur, seqs, result_linear, values[0].srid, step_def)
 
 
+def tnumber_integral(tv: Temporal) -> float:
+    """Area under the curve (`src/temporal.c:3236-3254`): trapezoid
+    per linear segment written in the reference's (max+min)*dt/2
+    summation order (`src/temporalseq.c:3797-3812`), value*dt per
+    step segment; instants and instant sets integrate to 0."""
+    if tv.duration in (INSTANT, INSTANTSET):
+        return 0.0
+    result = 0.0
+    for s in tv.seqs:
+        # per-sequence subtotal first, then add — mirrors the FP
+        # summation order of tnumbers_integral (temporals.c:2265-2270)
+        sub = 0.0
+        for i in range(1, len(s.times)):
+            dt = float(int(s.times[i]) - int(s.times[i - 1]))
+            if tv.linear:
+                v1 = float(s.values[i - 1][0])
+                v2 = float(s.values[i][0])
+                sub += (max(v1, v2) + min(v1, v2)) * dt / 2.0
+            else:
+                sub += float(s.values[i - 1][0]) * dt
+        result += sub
+    return result
+
+
+def tnumber_twavg(tv: Temporal) -> float:
+    """Time-weighted average (`src/temporal.c:3256-3278`): instant ->
+    its value, instant set -> plain mean (`src/temporali.c:1662`),
+    sequence (set) -> integral / total duration, with the
+    all-instantaneous-sequences fallback to the mean of per-sequence
+    values (`src/temporals.c:2274-2295`)."""
+    if tv.duration == INSTANT:
+        return float(tv.seqs[0].values[0][0])
+    if tv.duration == INSTANTSET:
+        vals = [float(s.values[0][0]) for s in tv.seqs]
+        return sum(vals) / len(vals)
+    duration = float(sum(int(s.times[-1]) - int(s.times[0])
+                         for s in tv.seqs))
+    if duration == 0:
+        vals = [float(s.values[0][0]) for s in tv.seqs]
+        return sum(vals) / len(vals)
+    return tnumber_integral(tv) / duration
+
+
 def extent(values: list[Temporal]):
     """Bounding STBox of all inputs (`temporal_aggfuncs.c:1214-1348`)."""
     from .boxops import STBox

@@ -302,11 +302,20 @@ def minus_values(tv: Temporal, targets: np.ndarray) -> Temporal | None:
 
 
 def at_range(tv: Temporal, lo: float, hi: float,
-             lo_inc: bool = True, hi_inc: bool = True) -> Temporal | None:
+             lo_inc: bool = True, hi_inc: bool = True,
+             step_seq_quirk: bool = False) -> Temporal | None:
     """atRange for tnumber (temporal.c:2583): clip the value dimension.
 
     Linear segments are solved for the sub-interval of t where the
     value lies in [lo, hi]; the clip instants get interpolated values.
+
+    `step_seq_quirk=True` replicates the reference's step-sequence
+    behavior verbatim: tnumberseq_at_range2 (temporalseq.c:2771-2800)
+    loops over segments testing only each segment's START value, so
+    the final instant's own value is never examined even when
+    upper_inc — a documented reference quirk (see the _is_quirk note
+    in tests/test_temporal22_suite.py).  The default keeps the final
+    instantaneous value, consistent with valueAtTimestamp/atValue.
     """
     assert tv.dim == 1, "atRange applies to tnumber"
     periods: list[Period] = []
@@ -325,8 +334,9 @@ def at_range(tv: Temporal, lo: float, hi: float,
                     periods.append(Period(int(s.times[i]), int(s.times[i + 1]),
                                           True, False))
             v = float(s.values[-1, 0])
-            if s.upper_inc and ((lo < v < hi) or (lo_inc and v == lo)
-                                or (hi_inc and v == hi)):
+            if not step_seq_quirk and s.upper_inc and (
+                    (lo < v < hi) or (lo_inc and v == lo)
+                    or (hi_inc and v == hi)):
                 t = int(s.times[-1])
                 periods.append(Period(t, t))
             continue
@@ -385,7 +395,8 @@ def minus_max(tv: Temporal) -> Temporal | None:
     return minus_value(tv, tv.max_value())
 
 
-def at_ranges(tv: Temporal, ranges) -> Temporal | None:
+def at_ranges(tv: Temporal, ranges,
+              step_seq_quirk: bool = False) -> Temporal | None:
     """atRanges (temporal.c:2630): restrict to the UNION of numeric
     ranges — each range's clip periods, normalized together.  A range
     is (lo, hi[, lo_inc[, hi_inc]])."""
@@ -395,7 +406,8 @@ def at_ranges(tv: Temporal, ranges) -> Temporal | None:
         lo, hi = float(r[0]), float(r[1])
         lo_inc = bool(r[2]) if len(r) > 2 else True
         hi_inc = bool(r[3]) if len(r) > 3 else True
-        got = at_range(tv, lo, hi, lo_inc, hi_inc)
+        got = at_range(tv, lo, hi, lo_inc, hi_inc,
+                       step_seq_quirk=step_seq_quirk)
         if got is not None:
             periods.extend(got.get_time())
     if not periods:
@@ -404,14 +416,17 @@ def at_ranges(tv: Temporal, ranges) -> Temporal | None:
 
 
 def minus_range(tv: Temporal, lo: float, hi: float,
-                lo_inc: bool = True, hi_inc: bool = True) -> Temporal | None:
+                lo_inc: bool = True, hi_inc: bool = True,
+                step_seq_quirk: bool = False) -> Temporal | None:
     """minusRange (temporal.c:2660): complement of atRange."""
-    return minus_ranges(tv, [(lo, hi, lo_inc, hi_inc)])
+    return minus_ranges(tv, [(lo, hi, lo_inc, hi_inc)],
+                        step_seq_quirk=step_seq_quirk)
 
 
-def minus_ranges(tv: Temporal, ranges) -> Temporal | None:
+def minus_ranges(tv: Temporal, ranges,
+                 step_seq_quirk: bool = False) -> Temporal | None:
     """minusRanges (temporal.c:2694): complement of atRanges."""
-    hit = at_ranges(tv, ranges)
+    hit = at_ranges(tv, ranges, step_seq_quirk=step_seq_quirk)
     if hit is None:
         return tv
     return minus_periodset(tv, hit.get_time())

@@ -20,6 +20,8 @@ from test_tbl_time_suites import (fmt_interval, load_fileorder,  # noqa: E402
                                   parse_interval)
 from test_temporal22_suite import append_instant  # noqa: E402
 
+import numpy as np  # noqa: E402
+
 from mobilitydb_spark import casts, everops, restrict  # noqa: E402
 from mobilitydb_spark.types import (INSTANT, INSTANTSET, SEQUENCE,  # noqa: E402
                                     SEQUENCESET, Period, Temporal, fmt_ts)
@@ -37,6 +39,30 @@ EVER_OP = {"?=": "eq", "?<>": "ne", "?<": "lt", "?<=": "le",
 
 class Skip(Exception):
     pass
+
+
+_RAW_CACHE: dict[str, list] = {}
+
+
+def _raw_fileorder(table: str) -> list:
+    """Unparsed literal strings in pg_dump COPY (heap) order — for
+    text-valued accessors where the vocab coding would lose the
+    actual strings."""
+    if table not in _RAW_CACHE:
+        import pyarrow.parquet as pq
+        from test_tbl_suites import FIX
+        t = pq.read_table(os.path.join(FIX, f"{table}.parquet"))
+        _RAW_CACHE[table] = t.column("v").to_pylist()
+    return _RAW_CACHE[table]
+
+
+def _pg_round6(x: float) -> str:
+    """PG `round(float8::numeric, 6)` rendering: float8→numeric goes
+    through %.15g (float8_numeric uses DBL_DIG significant digits),
+    then rounds half-up at 6 decimals."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return str(Decimal(f"{float(x):.15g}").quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 def _nn(table):
@@ -101,6 +127,21 @@ def eval22(sql: str):
         others = _nn(otab)
 
         def apply(v, o):
+            if fn in ("atvalue", "minusvalue", "atrange", "minusrange"):
+                from test_tbl_suites import _vocab_rank
+                from mobilitydb_spark import rangeops
+                if fn in ("atvalue", "minusvalue"):
+                    x = _vocab_rank(o) if otab == "tbl_text" else float(o)
+                    f = (restrict.at_value if fn == "atvalue"
+                         else restrict.minus_value)
+                    return f(v, x)
+                r = rangeops.NumRange.parse(o, int_range="int" in otab)
+                if r.empty:
+                    return None
+                f = (restrict.at_range if fn == "atrange"
+                     else restrict.minus_range)
+                return f(v, r.lower, r.upper, r.lower_inc, r.upper_inc,
+                         step_seq_quirk=True)
             if fn == "attimestamp":
                 return restrict.at_timestamp(v, o)
             if fn == "minustimestamp":
@@ -256,6 +297,194 @@ def eval22(sql: str):
                 raise Skip(fn)
         return n
 
+    # --- DISTINCT duration(cast(col)) with a timespan filter --------------
+    m = re.match(
+        r"(?i)^select distinct duration\((\w+)\((\w+)\)\) from (tbl_\w+) "
+        r"where timespan\(\w+\) = '([^']*)'$", s)
+    if m:
+        fn, _col, table, iv = m.groups()
+        want_us = parse_interval(iv)
+        out = set()
+        for v in _nn(table):
+            if _tspan(v) != want_us:
+                continue
+            out.add(DUR_NAME[CAST_FN[_cast_suffix(fn)](v).duration])
+        return out
+
+    # --- tint -> tfloat cast totality counts -------------------------------
+    m = re.match(r"(?i)^select count\(\*\) from (tbl_\w+) where "
+                 r"tfloat\(\w+\) is not null$", s)
+    if m:
+        return len(_nn(m.group(1)))
+
+    # --- DISTINCT duration(temp) ORDER BY 1 (NULLS LAST) -------------------
+    m = re.match(r"(?i)^select distinct duration\(temp\) from (tbl_\w+) "
+                 r"order by 1$", s)
+    if m:
+        rows = load_fileorder(m.group(1))
+        out = sorted({DUR_NAME[v.duration] for v in rows if v is not None})
+        if any(v is None for v in rows):
+            out.append("")
+        return out
+
+    # --- value accessors: MAX / round(MAX ::numeric 6) / DISTINCT ---------
+    VFN = r"(getvalue|startvalue|endvalue|minvalue|maxvalue)"
+    mi = re.match(rf"(?i)^select max\({VFN}\((temp|inst|ti|seq|ts)\)\) "
+                  rf"from (tbl_\w+)$", s)
+    mf = re.match(rf"(?i)^select round\(max\({VFN}\((temp|inst|ti|seq|ts)"
+                  rf"\)\)::numeric, 6\) from (tbl_\w+)$", s)
+    md = re.match(rf"(?i)^select distinct {VFN}\((temp|inst|ti|seq|ts)\) "
+                  rf"from (tbl_\w+)$", s)
+    if mi or mf or md:
+        m = mi or mf or md
+        fn, _col, table = m.group(1).lower(), m.group(2), m.group(3)
+        is_text = table.startswith("tbl_ttext")
+        is_bool = table.startswith("tbl_tbool")
+
+        def row_val(parsed, raw):
+            if is_text:
+                words = re.findall(r'"([^"]*)"', raw)
+                return {"getvalue": words[0], "startvalue": words[0],
+                        "endvalue": words[-1], "minvalue": min(words),
+                        "maxvalue": max(words)}[fn]
+            vals = np.concatenate(
+                [sq.values[:, 0] for sq in parsed.seqs])
+            return {"getvalue": vals[0], "startvalue": vals[0],
+                    "endvalue": float(parsed.seqs[-1].values[-1][0]),
+                    "minvalue": vals.min(), "maxvalue": vals.max()}[fn]
+
+        parsed_rows = load_fileorder(table)
+        raw_rows = _raw_fileorder(table)
+        vals = [row_val(p, r) for p, r in zip(parsed_rows, raw_rows)
+                if p is not None]
+        if md:  # DISTINCT, no ORDER BY: compare unordered
+            out = set()
+            for v in vals:
+                out.add(("t" if v else "f") if is_bool else str(v))
+            if any(p is None for p in parsed_rows):
+                out.add("")
+            return out
+        best = max(vals)
+        if mf:
+            return _pg_round6(float(best))
+        return best if is_text else int(best)
+
+    # --- MAX(array_length(getValues(temp), 1)) ----------------------------
+    m = re.match(r"(?i)^select max\(array_length\(getvalues\(temp\), 1\)\) "
+                 r"from (tbl_\w+)$", s)
+    if m:
+        table = m.group(1)
+        is_text = table == "tbl_ttext"
+        raw_rows = _raw_fileorder(table)
+
+        def nvals(parsed, raw):
+            if is_text:
+                return len(set(re.findall(r'"([^"]*)"', raw)))
+            if table == "tbl_tfloat":
+                # tfloat getValues returns floatranges
+                # (src/temporalseq.c:1596-1622, temporals.c:843-858)
+                if parsed.duration in (INSTANT, INSTANTSET):
+                    return len({float(sq.values[0][0])
+                                for sq in parsed.seqs})
+                rngs = sorted((float(sq.values[:, 0].min()),
+                               float(sq.values[:, 0].max()))
+                              for sq in parsed.seqs)
+                n, cur_hi = 0, None
+                for lo, hi in rngs:  # closed ranges: merge on touch
+                    if cur_hi is None or lo > cur_hi:
+                        n += 1
+                        cur_hi = hi
+                    else:
+                        cur_hi = max(cur_hi, hi)
+                return n
+            return len({float(x) for sq in parsed.seqs
+                        for x in sq.values[:, 0]})
+
+        return max(nvals(p, r) for p, r in
+                   zip(load_fileorder(table), raw_rows) if p is not None)
+
+    # --- round(MAX(upper(valueRange(temp)))::numeric, 6) -------------------
+    m = re.match(r"(?i)^select round\(max\(upper\(valuerange\(temp\)\)\)"
+                 r"::numeric, 6\) from (tbl_\w+)$", s)
+    if m:
+        table = m.group(1)
+        best = max(float(np.concatenate(
+            [sq.values[:, 0] for sq in v.seqs]).max())
+            for v in _nn(table))
+        if table == "tbl_tint":
+            best += 1  # intrange upper canonicalized to exclusive
+        return _pg_round6(best)
+
+    # --- always/ever vs a bool literal ------------------------------------
+    m = re.match(r"(?i)^select count\(\*\) from (tbl_\w+) where temp "
+                 r"(%=|%<>|\?=|\?<>) (true|false)$", s)
+    if m:
+        table, op, lit = m.groups()
+        x = 1.0 if lit.lower() == "true" else 0.0
+        f = everops.always if op.startswith("%") else everops.ever
+        cmpk = EVER_OP["?" + op[1:]]
+        return sum(1 for v in _nn(table) if f(cmpk, v, x))
+
+    # --- at/minusValue(temp, bool literal) ---------------------------------
+    m = re.match(r"(?i)^select count\(\*\) from (tbl_\w+) where "
+                 r"(atvalue|minusvalue)\(temp, (true|false)\) "
+                 r"is not null$", s)
+    if m:
+        table, fn, lit = m.groups()
+        x = 1.0 if lit.lower() == "true" else 0.0
+        f = restrict.at_value if fn.lower() == "atvalue" \
+            else restrict.minus_value
+        return sum(1 for v in _nn(table) if f(v, x) is not None)
+
+    # --- at/minusValues|Ranges(temp, array_agg subquery) -------------------
+    # (the subquery's LIMIT 10 applies to the single aggregated row,
+    # so valuearr holds ALL non-null source values)
+    m = re.match(
+        r"(?i)^select count\(\*\) from (tbl_\w+), \( select "
+        r"array_agg\(\w+\) as valuearr from (tbl_\w+) where \w+ is not "
+        r"null limit 10 \) tmp where (atvalues|minusvalues|atranges|"
+        r"minusranges)\(temp, valuearr\) is not null$", s)
+    if m:
+        ttab, stab, fn = m.group(1), m.group(2), m.group(3).lower()
+        from test_tbl_suites import _vocab_rank
+        if fn in ("atvalues", "minusvalues"):
+            targets = np.array(
+                [_vocab_rank(v) if stab == "tbl_text" else float(v)
+                 for v in _nn(stab)])[:, None]
+            f = restrict.at_values if fn == "atvalues" \
+                else restrict.minus_values
+            return sum(1 for v in _nn(ttab)
+                       if f(v, targets) is not None)
+        from mobilitydb_spark import rangeops
+        rngs = [rangeops.NumRange.parse(v, int_range="int" in stab)
+                for v in _nn(stab)]
+        args = [(r.lower, r.upper, r.lower_inc, r.upper_inc)
+                for r in rngs if not r.empty]
+        f = restrict.at_ranges if fn == "atranges" \
+            else restrict.minus_ranges
+        return sum(1 for v in _nn(ttab) if f(v, args) is not None)
+
+    # --- minusMin/minusMax count-star --------------------------------------
+    m = re.match(r"(?i)^select count\(\*\) from (tbl_\w+) where "
+                 r"(minusmin|minusmax)\(temp\) is not null$", s)
+    if m:
+        f = restrict.minus_min if m.group(2).lower() == "minusmin" \
+            else restrict.minus_max
+        return sum(1 for v in _nn(m.group(1)) if f(v) is not None)
+
+    # --- integral / twAvg sums ---------------------------------------------
+    m = re.match(r"(?i)^select round\(sum\((integral|twavg)\(temp\)\)"
+                 r"::numeric, 6\) from (tbl_\w+)$", s)
+    if m:
+        from mobilitydb_spark import aggs
+        f = aggs.tnumber_integral if m.group(1).lower() == "integral" \
+            else aggs.tnumber_twavg
+        total = 0.0
+        for v in load_fileorder(m.group(2)):  # heap-order seq-scan sum
+            if v is not None:
+                total += f(v)
+        return _pg_round6(total)
+
     # --- MAX(...) accessor families --------------------------------------
     m = re.match(r"(?i)^select max\((.+)\) from (tbl_\w+)$", s)
     if m:
@@ -349,14 +578,26 @@ def test_tbl_22_temporal():
     for i, (sql, want) in enumerate(cases):
         if i in KNOWN_DIVERGENT:
             continue
+        if i == 80:
+            # extractor artifact: the .out keeps `SELECT period(temp)
+            # FROM tbl_tbool;` inside a /* */ comment block
+            # (22_temporal_tbl.test.out:571-578) and the parser paired
+            # it with the output of the next REAL query, swallowing
+            # that query's own SELECT line.  Run the real query.
+            sql = "SELECT DISTINCT getValue(inst) FROM tbl_tboolinst;"
         try:
             got = eval22(sql)
         except Skip:
             skipped += 1
             continue
         ran += 1
-        if _norm(got) != _norm(want):
+        if isinstance(got, set):  # DISTINCT without ORDER BY
+            ok = sorted(got) == sorted(
+                want if isinstance(want, list) else [want])
+        else:
+            ok = _norm(got) == _norm(want)
+        if not ok:
             fails.append((i, sql[:80], str(want)[:50], str(got)[:50]))
     assert not fails, (len(fails), fails[:8])
-    assert ran >= 270, (ran, skipped)
-    assert skipped <= 80, skipped
+    assert ran >= 340, (ran, skipped)
+    assert skipped <= 8, skipped
