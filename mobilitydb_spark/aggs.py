@@ -154,6 +154,20 @@ def tagg(values: list[Temporal], kind: str,
         return None
     if finalize_divide and kind != "sum":
         raise ValueError("finalize_divide requires kind='sum'")
+    # transfn operand-class validation (`src/temporal_aggfuncs.c:
+    # 1075-1200`): the skiplist state holds either instants (INST/I
+    # decompose) or sequences (SEQ/S) — mixing classes errors, and
+    # sequence states must share the interpolation flag (tcount
+    # transforms every piece to step first, so it never hits the
+    # interpolation check).
+    inst_class = [v.duration in (INSTANT, INSTANTSET) for v in values]
+    if any(inst_class) and not all(inst_class):
+        raise ValueError(
+            "Cannot aggregate temporal values of different duration")
+    if not inst_class[0] and kind not in ("count", "and", "or") and \
+            any(v.linear != values[0].linear for v in values):
+        raise ValueError(
+            "Cannot aggregate temporal values of different interpolation")
     dim = values[0].dim
     if dim > 1:  # tpoint operands: the reference's transfn validation
         # (`point/src/tpoint_aggfuncs.c:40-49`, 64-suite error block)
@@ -337,7 +351,15 @@ def tagg(values: list[Temporal], kind: str,
     else:
         dur = SEQUENCE if len(seqs) == 1 else SEQUENCESET
     step_def = values[0].step_default or kind in ("count", "and", "or")
-    return Temporal(dur, seqs, result_linear, values[0].srid, step_def)
+    if kind == "avg":
+        # tavg returns TFLOAT whatever the input type
+        # (src/temporal_aggfuncs.c tavg finalfn), so a step result
+        # must carry the Interp=Stepwise prefix
+        step_def = False
+    out = Temporal(dur, seqs, result_linear, values[0].srid, step_def)
+    if kind in ("and", "or"):
+        out.is_bool = True  # tand/tor return TBOOL
+    return out
 
 
 def tnumber_integral(tv: Temporal) -> float:

