@@ -9,6 +9,7 @@ HI=${3:-16}
 ATTEMPTS=${4:-3}
 LOG=${5:-/tmp/quiet_pairs.log}
 THRESH=${QUIET_THRESH:-2.5}
+PAGES=${PAGES:-16000000}
 cd "$(dirname "$0")/.."
 for a in $(seq 1 "$ATTEMPTS"); do
   # wait up to 30 min for a quiet window
@@ -19,9 +20,9 @@ for a in $(seq 1 "$ATTEMPTS"); do
     sleep 10
   done
   echo "{\"attempt\": $a, \"load_start\": \"$(cat /proc/loadavg)\"}" >> "$LOG"
-  python scripts/scaling_run.py --cpus "$LO" --ops "$OPS" --pages 16000000 2>/dev/null | tail -1 >> "$LOG"
+  python scripts/scaling_run.py --cpus "$LO" --ops "$OPS" --pages "$PAGES" 2>/dev/null | tail -1 >> "$LOG"
   echo "{\"load_mid\": \"$(cat /proc/loadavg)\"}" >> "$LOG"
-  python scripts/scaling_run.py --cpus "$HI" --ops "$OPS" --pages 16000000 2>/dev/null | tail -1 >> "$LOG"
+  python scripts/scaling_run.py --cpus "$HI" --ops "$OPS" --pages "$PAGES" 2>/dev/null | tail -1 >> "$LOG"
   echo "{\"load_end\": \"$(cat /proc/loadavg)\"}" >> "$LOG"
 done
 echo DONE >> "$LOG"
