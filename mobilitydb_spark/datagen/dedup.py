@@ -156,6 +156,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 ",", *[F.col(f"m{b * rows + r}").cast("string")
                        for r in range(rows)]))
             for b in range(n_bands)])).alias("band", "bkey"))
+    # ONE explicit exchange on the bucket key: the three consumers
+    # below (the bucket-size aggregate, and both sides of the
+    # candidate self-join) all need hashpartitioning(band, bkey), so
+    # they read this single reused shuffle (ReuseExchange) instead of
+    # each re-running the scan -> tokenize -> 48-permutation signature
+    # map — that map is the pipeline's dominant CPU and was executed
+    # 3x (sf0.1: 9.5 s -> ~5 s; the shuffle itself is (id, band, bkey)
+    # = 24 B/row x 16 bands, far cheaper than two extra signature
+    # passes at any scale)
+    bands = bands.repartition("band", "bkey")
     sizes = bands.groupBy("band", "bkey").count() \
         .where(F.col("count") <= max_bucket)
     bands = bands.join(sizes.select("band", "bkey"), ["band", "bkey"])
