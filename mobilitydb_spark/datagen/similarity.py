@@ -247,6 +247,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
          .bitwiseAND(F.lit((1 << width) - 1))
         for c in range(n_chunks)])).alias("chunk", "ckey")
     b = sigs.select("id", "e", chunks)
+    # one reused exchange on the chunk key (same rationale as
+    # cosine_neardup_banded / minhash_lsh_pairs)
+    b = b.repartition("chunk", "ckey")
     sizes = b.groupBy("chunk", "ckey").count() \
         .where(F.col("count") <= max_bucket).select("chunk", "ckey")
     b = b.join(sizes, ["chunk", "ckey"])
@@ -348,6 +351,12 @@ def cosine_neardup_banded(df: DataFrame, threshold: float,
         .select(F.col("_id").alias("id"), F.col(vec).alias("e"), "keys")
     b = sigs.select(
         "id", "e", F.posexplode("keys").alias("band", "key"))
+    # one reused exchange on the bucket key (same rationale as
+    # minhash_lsh_pairs): without it the size aggregate and both
+    # self-join sides each re-run the hyperplane signature map; the
+    # shuffled rows carry the embedding (~540 B x 16 bands) but that
+    # is one write+read vs two extra full signature passes
+    b = b.repartition("band", "key")
     sizes = b.groupBy("band", "key").count() \
         .where(F.col("count") <= max_bucket).select("band", "key")
     b = b.join(sizes, ["band", "key"])
