@@ -362,6 +362,10 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
          .bitwiseAND(F.lit((1 << width) - 1))
         for c in range(n_chunks)])).alias("chunk", "ckey")
     b = sigs.select(F.col(id_col).alias("id"), "simhash", chunks)
+    # one reused exchange on the chunk key: both self-join sides
+    # otherwise re-run the upstream signature aggregate (the
+    # tokenize-explode-md5 wordcount, the pipeline's dominant cost)
+    b = b.repartition("chunk", "ckey")
     l = b.select(F.col("id").alias("id_i"),
                  F.col("simhash").alias("sh_i"), "chunk", "ckey")
     r = b.select(F.col("id").alias("id_j"),
