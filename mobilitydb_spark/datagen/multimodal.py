@@ -52,8 +52,13 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     Deterministic fake: interprets payload bytes as the "decoded"
     sample array.  Replace with e.g. PIL.Image.open / soundfile.read;
     the calling batch plumbing does not change.
+
+    float64 samples so the downstream pooling is a plain IEEE double
+    left fold — bit-replicable by the SQL oracle (per-element
+    ord/255.0 then sequential sum), with the float32 quantization
+    happening once at the feature boundary.
     """
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     return arr / 255.0
 
 

@@ -3227,6 +3227,75 @@ def registry():  # noqa: F811
     return out
 
 
+# --------------------------------------------------------------------------
+# multimodal: decode -> frame-sample -> pooled features over binary media
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction driven end-to-end: documents cast
+    to opaque binary media payloads (the text bytes ARE the payload —
+    the stub decoder's contract), mapInPandas decode -> 4-chunk
+    frame-sample -> mean-pool, per-kind rollup.  The whole pipeline is
+    IEEE-double deterministic (per-byte ord/255 then a sequential left
+    fold per chunk, float32 quantization once at the feature
+    boundary), so the DuckDB oracle replicates it bit-for-bit — a full
+    hash-match gate on the mapInPandas plumbing, not rows-only."""
+    from .datagen import multimodal
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.where(F.length("text") >= 4).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"))
+    feats = multimodal.extract_features(media, n_dims=16, frame_sample=4)
+    aggs_ = [F.count(F.lit(1)).alias("n_media"),
+             F.sum(F.col("n_frames")).alias("frames")]
+    for j in range(4):
+        aggs_.append(F.round(F.avg(
+            F.element_at("feat", j + 1).cast("double")), 4).alias(f"f{j}"))
+    return (feats.where("decode_ok").groupBy("kind").agg(*aggs_)
+            .orderBy("kind"))
+
+
+_ORACLE_MULTIMODAL = """
+    WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               text, length(text) AS n
+        FROM documents WHERE length(text) >= 4),
+    pooled AS (
+        SELECT doc_id, kind,
+               list_transform(range(4), k ->
+                   CAST(CAST(
+                       list_sum(list_transform(
+                           range((k * n) // 4, ((k + 1) * n) // 4),
+                           i -> ord(substr(text, CAST(i + 1 AS INT), 1))
+                                / 255.0))
+                       / (((k + 1) * n) // 4 - (k * n) // 4)
+                   AS FLOAT) AS DOUBLE)) AS p
+        FROM m)
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) * 4 AS BIGINT) AS frames,
+           ROUND(AVG(p[1]), 4) AS f0, ROUND(AVG(p[2]), 4) AS f1,
+           ROUND(AVG(p[3]), 4) AS f2, ROUND(AVG(p[4]), 4) AS f3
+    FROM pooled GROUP BY kind ORDER BY kind
+"""
+
+_EXTRA10 = {
+    "multimodal_features": (q_multimodal_features, _ORACLE_MULTIMODAL),
+}
+
+_BASE_REGISTRY10 = registry
+
+
+def registry():  # noqa: F811
+    out = _BASE_REGISTRY10()
+    out.update(_EXTRA10)
+    return out
+
+
 # --- Driver-snapshot ordering ------------------------------------------------
 # The driver's correctness gate snapshots exactly the FIRST 50 registry
 # entries (CORRECTNESS_r03/r04 both contain the head-of-order 50).  Demote

@@ -303,8 +303,10 @@ def test_multimodal_resize_plumbing(spark):
     b = small2.sort_values("media_id")["payload"].tolist()
     assert a == b
     # exact 2x2 mean-pool check against a hand computation for one row
+    # (float64, the decode stub's documented sample dtype — the SQL
+    # oracle for multimodal_features replicates the same double fold)
     row = media.where("media_id = 0").toPandas().iloc[0]
-    px = np.frombuffer(bytes(row.payload), np.uint8).astype(np.float32)
+    px = np.frombuffer(bytes(row.payload), np.uint8).astype(np.float64)
     img = np.resize(px / 255.0, 64 * 64).reshape(64, 64)
     want = img.reshape(8, 8, 8, 8).mean(axis=(1, 3))
     got = np.frombuffer(
