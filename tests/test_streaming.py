@@ -125,3 +125,41 @@ def test_stream_dedup_first_occurrence(spark, tmp_path):
         .select(F.md5("text")).distinct().count()
     assert len(got) == n_distinct
     assert not got.duplicated("fp").any()
+
+
+def test_stream_temporal_agg_equals_batch(spark, tmp_path):
+    """Watermarked windowed tagg over a stream must equal the batch
+    window aggregate on the same instants (availableNow, complete
+    mode so windows inside the final watermark are not withheld)."""
+    from mobilitydb_spark.streaming.tagg_stream import (
+        EVENTS_SCHEMA, stream_temporal_agg)
+
+    landing = str(tmp_path / "tagg_landing")
+    ckpt = str(tmp_path / "tagg_ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(2).write.parquet(landing)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(landing)
+    q = (stream_temporal_agg(stream)
+         .writeStream.outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("memory").queryName("tagg_stream").start())
+    q.awaitTermination(120)
+
+    def canon(rows):
+        return sorted(
+            (r["window_start"], r["n_def"], round(r["vmin"], 6),
+             round(r["vmax"], 6), round(r["vsum"], 6), round(r["vavg"], 6))
+            for r in rows)
+
+    got = canon(spark.table("tagg_stream").collect())
+    batch = canon(
+        ev.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_def"),
+             F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+             F.sum("value").alias("vsum"), F.avg("value").alias("vavg"))
+        .select(F.col("win.start").alias("window_start"), "n_def",
+                "vmin", "vmax", "vsum", "vavg").collect())
+    assert got == batch
+    assert len(got) > 10
