@@ -458,6 +458,59 @@ class Temporal:
         return _DUR_NAMES[self.duration]
 
 
+def _dpad(x: int) -> int:
+    return (x + 7) & ~7
+
+
+def temporal_mem_size(tv: "Temporal",
+                      text_bytes: "list[int] | None" = None) -> int:
+    """memSize: the reference's varlena byte size, replicated from the
+    in-tree layouts (`include/temporal.h:142-190` + the constructors'
+    size arithmetic):
+
+    - TemporalInst  = double_pad(24) + value  (`temporalinst_make`,
+      temporalinst.c:104-129); by-value base types store a padded
+      8-byte Datum, text stores double_pad(4 + bytes)
+    - TemporalI     = double_pad(24 + n·8) + double_pad(bbox)
+      + Σ double_pad(inst)               (temporali.c:126-134)
+    - TemporalSeq   = double_pad(48) + (n+1)·8 + double_pad(bbox)
+      + Σ double_pad(inst)               (temporalseq.c:624-648)
+    - TemporalS     = double_pad(32) + m·8 + double_pad(bbox)
+      + Σ double_pad(seq)                (temporals.c:137-147)
+
+    bbox = Period (24) for tbool/ttext, TBOX (40) for tint/tfloat
+    (`temporal_boxops.c:150-162`).  ``text_bytes`` supplies per-instant
+    utf-8 byte lengths for ttext values (in instant order).
+
+    Calibrated bit-exactly by the 18 literal memSize goldens of the
+    22 suite (`test/expected/22_temporal.test.out:1588-1688`)."""
+    if text_bytes is not None:
+        inst_sizes = [24 + _dpad(4 + b) for b in text_bytes]
+        bbox = 24
+    else:
+        n_inst = sum(len(s.times) for s in tv.seqs)
+        inst_sizes = [32] * n_inst
+        bbox = 24 if tv.is_bool else 40
+    if tv.duration == INSTANT:
+        return inst_sizes[0]
+    if tv.duration == INSTANTSET:
+        n = len(inst_sizes)
+        return _dpad(24 + n * 8) + _dpad(bbox) + sum(map(_dpad, inst_sizes))
+
+    def seq_size(sizes: list) -> int:
+        return (_dpad(48) + (len(sizes) + 1) * 8 + _dpad(bbox)
+                + sum(map(_dpad, sizes)))
+
+    if tv.duration == SEQUENCE:
+        return seq_size(inst_sizes)
+    out = _dpad(32) + len(tv.seqs) * 8 + _dpad(bbox)
+    k = 0
+    for s in tv.seqs:
+        out += _dpad(seq_size(inst_sizes[k:k + len(s.times)]))
+        k += len(s.times)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # literal parser (fixture/golden-file use; temporal_parser.c:412-598)
 # ---------------------------------------------------------------------------

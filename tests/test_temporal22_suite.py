@@ -11,10 +11,11 @@ asserted to stay within a fixed budget:
 - ttext operands: our ttext kernel is vocab-coded (ttext.py) and its
   semantics are driver-oracled via ttext_states; the literal algebra
   here is float-coded;
-- memSize / *_hash / *_cmp: implementation-specific byte sizes and
-  PG hash values (the reference's cross-duration cmp falls back to
-  hash comparison, `src/temporal.c:3317-3330` — not portable
-  semantics);
+- *_hash / *_cmp: PG hash values (the reference's cross-duration cmp
+  falls back to hash comparison, `src/temporal.c:3317-3330` — not
+  portable semantics); memSize runs verbatim since r5 via
+  types.temporal_mem_size (all 18 literal cases, bit-exact varlena
+  layouts);
 - nested-call arguments (e.g. round(twAvg(..)::numeric, 6)).
 """
 
@@ -36,7 +37,7 @@ from mobilitydb_spark.types import (INSTANT, INSTANTSET, SEQUENCE,
 GOLD = os.path.join(os.path.dirname(__file__), "goldens",
                     "temporal_22.json")
 
-SKIP_FNS = {"memSize", "tbool_hash", "tint_hash", "tfloat_hash",
+SKIP_FNS = {"tbool_hash", "tint_hash", "tfloat_hash",
             "ttext_hash", "tbool_cmp", "tint_cmp", "tfloat_cmp",
             "ttext_cmp"}
 
@@ -350,6 +351,22 @@ def build_seqset(args) -> Temporal:
 # --------------------------------------------------------------------------
 
 def evaluate(fn: str, args_text: str) -> str:
+    if fn == "memSize":
+        from mobilitydb_spark.types import temporal_mem_size
+        m = re.match(r"^(tbool|tint|tfloat|ttext)\s+'(.*)'$",
+                     args_text.strip(), re.S)
+        if not m:
+            raise Skip("memSize operand form")
+        if m.group(1) == "ttext":
+            from mobilitydb_spark.ttext import TText
+            tt = TText.parse(m.group(2))
+            text_bytes = [len(tt.vocab[int(x)].encode())
+                          for s in tt.temporal.seqs for x in s.values[:, 0]]
+            return str(temporal_mem_size(tt.temporal, text_bytes))
+        tv = parse_temporal(m.group(2))
+        if m.group(1) == "tbool":
+            tv.is_bool = True
+        return str(temporal_mem_size(tv))
     args = [parse_arg(t) for t in split_args(args_text)]
     if fn in ("tbooli", "tinti", "tfloati", "tboolseq", "tintseq",
               "tfloatseq", "tbools", "tints", "tfloats"):
@@ -617,5 +634,5 @@ def test_22_temporal_suite():
     assert not fails, (len(fails), fails[:8])
     # budgets: ttext operands + memSize/hash/cmp + nested args are
     # skipped; the documented reference quirks stay bounded
-    assert ran >= 840, (ran, skipped)
+    assert ran >= 858, (ran, skipped)
     assert quirks <= 30, quirks
