@@ -69,3 +69,118 @@ def period_hash(lower_us: int, upper_us: int,
     result ^= hashint8(upper_us)
     # PG's hash type is int4: present the signed value
     return result - (1 << 32) if result >> 31 else result
+
+
+def _mix(a: int, b: int, c: int) -> tuple[int, int, int]:
+    a = (a - c) & M32; a ^= _rot(c, 4);  c = (c + b) & M32
+    b = (b - a) & M32; b ^= _rot(a, 6);  a = (a + c) & M32
+    c = (c - b) & M32; c ^= _rot(b, 8);  b = (b + a) & M32
+    a = (a - c) & M32; a ^= _rot(c, 16); c = (c + b) & M32
+    b = (b - a) & M32; b ^= _rot(a, 19); a = (a + c) & M32
+    c = (c - b) & M32; c ^= _rot(b, 4);  b = (b + a) & M32
+    return a, b, c
+
+
+def hash_any(data: bytes) -> int:
+    """PG hash_any (lookup3; hashfunc.c) — little-endian word
+    assembly (the aligned and unaligned paths agree on LE)."""
+    n = len(data)
+    a = b = c = (0x9E3779B9 + n + 3923095) & M32
+    i = 0
+    while n - i >= 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & M32
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & M32
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & M32
+        a, b, c = _mix(a, b, c)
+        i += 12
+    k = data[i:]
+    r = len(k)
+    if r >= 9:
+        if r == 11:
+            c = (c + (k[10] << 24)) & M32
+        if r >= 10:
+            c = (c + (k[9] << 16)) & M32
+        c = (c + (k[8] << 8)) & M32  # lowest byte of c reserved for len
+    if r >= 5:
+        if r >= 8:
+            b = (b + (k[7] << 24)) & M32
+        if r >= 7:
+            b = (b + (k[6] << 16)) & M32
+        if r >= 6:
+            b = (b + (k[5] << 8)) & M32
+        b = (b + k[4]) & M32
+    if r >= 1:
+        if r >= 4:
+            a = (a + (k[3] << 24)) & M32
+        if r >= 3:
+            a = (a + (k[2] << 16)) & M32
+        if r >= 2:
+            a = (a + (k[1] << 8)) & M32
+        a = (a + k[0]) & M32
+    return _final(a, b, c)
+
+
+def hashfloat8(v: float) -> int:
+    """PG hashfloat8: zero hashes to 0, else hash_any of the IEEE
+    bytes."""
+    import struct
+    if v == 0.0:
+        return 0
+    return hash_any(struct.pack("<d", v))
+
+
+def hashtext(s: str) -> int:
+    return hash_any(s.encode("utf-8"))
+
+
+def _as_int32(x: int) -> int:
+    x &= M32
+    return x - (1 << 32) if x >> 31 else x
+
+
+def temporal_hash(tv, kind: str, vocab: "list[str] | None" = None) -> int:
+    """temporal_hash (`src/temporalinst.c:757-788`, temporali.c:1749,
+    temporalseq.c:3918, temporals.c:2370): per-instant
+    rot1(value_hash) ^ hashint8(t), merged with the h*31-style
+    `(h << 5) - h + x` fold — seed 1 for instant sets / sequence
+    sets, hash_uint32(bounds flags) for sequences.
+
+    ``kind``: 'bool' | 'int' | 'float' | 'text' (value hash per PG
+    operator class); ``vocab`` decodes text values."""
+    def inst_hash(value: float, t_us: int) -> int:
+        if kind == "bool":
+            vh = hash_uint32(1 if value > 0.5 else 0)
+        elif kind == "int":
+            vh = hash_uint32(int(value) & M32)
+        elif kind == "float":
+            vh = hashfloat8(float(value))
+        else:
+            vh = hashtext(vocab[int(value)])
+        th = hashint8(int(t_us) - PG_EPOCH_US) & M32
+        return (_rot(vh & M32, 1) ^ th) & M32
+
+    from .types import INSTANT, INSTANTSET, SEQUENCE
+
+    def seq_hash(s) -> int:
+        flags = (1 if s.lower_inc else 0) | (2 if s.upper_inc else 0)
+        h = hash_uint32(flags) & M32
+        for t, v in zip(s.times, s.values[:, 0]):
+            h = ((h << 5) - h + inst_hash(float(v), int(t))) & M32
+        return h
+
+    if tv.duration == INSTANT:
+        s = tv.seqs[0]
+        return _as_int32(inst_hash(float(s.values[0][0]),
+                                   int(s.times[0])))
+    if tv.duration == INSTANTSET:
+        h = 1
+        for s in tv.seqs:
+            for t, v in zip(s.times, s.values[:, 0]):
+                h = ((h << 5) - h + inst_hash(float(v), int(t))) & M32
+        return _as_int32(h)
+    if tv.duration == SEQUENCE:
+        return _as_int32(seq_hash(tv.seqs[0]))
+    h = 1
+    for s in tv.seqs:
+        h = ((h << 5) - h + seq_hash(s)) & M32
+    return _as_int32(h)

@@ -11,11 +11,11 @@ asserted to stay within a fixed budget:
 - ttext operands: our ttext kernel is vocab-coded (ttext.py) and its
   semantics are driver-oracled via ttext_states; the literal algebra
   here is float-coded;
-- *_hash / *_cmp: PG hash values (the reference's cross-duration cmp
-  falls back to hash comparison, `src/temporal.c:3317-3330` — not
-  portable semantics); memSize runs verbatim since r5 via
-  types.temporal_mem_size (all 18 literal cases, bit-exact varlena
-  layouts);
+- (r5: memSize, *_hash and *_cmp now run verbatim — bit-exact
+  varlena layouts via types.temporal_mem_size, PG lookup3
+  hash_any/hashfloat8/hashtext via pghash.temporal_hash, and the
+  cross-duration unsigned-hash cmp fallback of
+  `src/temporal.c:3317-3330`);
 - nested-call arguments (e.g. round(twAvg(..)::numeric, 6)).
 """
 
@@ -37,9 +37,7 @@ from mobilitydb_spark.types import (INSTANT, INSTANTSET, SEQUENCE,
 GOLD = os.path.join(os.path.dirname(__file__), "goldens",
                     "temporal_22.json")
 
-SKIP_FNS = {"tbool_hash", "tint_hash", "tfloat_hash",
-            "ttext_hash", "tbool_cmp", "tint_cmp", "tfloat_cmp",
-            "ttext_cmp"}
+SKIP_FNS: set[str] = set()
 
 
 # --------------------------------------------------------------------------
@@ -350,7 +348,52 @@ def build_seqset(args) -> Temporal:
 # dispatch
 # --------------------------------------------------------------------------
 
+def _parse_hash_operand(tok: str):
+    """(Temporal, kind, vocab) for the *_hash/*_cmp operand forms."""
+    m = re.match(r"^t(bool|int|float|text)\s+'(.*)'$", tok.strip(), re.S)
+    if not m:
+        raise Skip("hash operand form")
+    kind, lit = m.group(1), m.group(2)
+    if kind == "text":
+        from mobilitydb_spark.ttext import TText
+        tt = TText.parse(lit)
+        return tt.temporal, "text", tt.vocab
+    tv = parse_temporal(lit)
+    if kind == "bool":
+        tv.is_bool = True
+    if kind == "int":
+        tv.linear = False
+        tv.step_default = True
+    return tv, kind, None
+
+
 def evaluate(fn: str, args_text: str) -> str:
+    if fn.endswith("_hash"):
+        from mobilitydb_spark import pghash
+        tv, kind, vocab = _parse_hash_operand(args_text)
+        return str(pghash.temporal_hash(tv, kind, vocab))
+    if fn.endswith("_cmp"):
+        # temporal_cmp_internal (src/temporal.c:3289-3333): bounding
+        # box first, specific cmp for equal durations, then the
+        # UNSIGNED-hash fallback across durations
+        from mobilitydb_spark import pghash
+        toks = split_args(args_text)
+        a, kind, va = _parse_hash_operand(toks[0])
+        b, _, vb = _parse_hash_operand(toks[1])
+        ka = (a.start_timestamp(), not a.seqs[0].lower_inc,
+              a.end_timestamp(), a.seqs[-1].upper_inc)
+        kb = (b.start_timestamp(), not b.seqs[0].lower_inc,
+              b.end_timestamp(), b.seqs[-1].upper_inc)
+        if ka != kb:
+            return "-1" if ka < kb else "1"
+        if a.duration == b.duration:
+            sa, sb = str(a), str(b)
+            return "0" if sa == sb else ("-1" if sa < sb else "1")
+        ha = pghash.temporal_hash(a, kind, va) & 0xFFFFFFFF
+        hb = pghash.temporal_hash(b, kind, vb) & 0xFFFFFFFF
+        if ha != hb:
+            return "-1" if ha < hb else "1"
+        return "0"
     if fn == "memSize":
         from mobilitydb_spark.types import temporal_mem_size
         m = re.match(r"^(tbool|tint|tfloat|ttext)\s+'(.*)'$",
@@ -634,5 +677,5 @@ def test_22_temporal_suite():
     assert not fails, (len(fails), fails[:8])
     # budgets: ttext operands + memSize/hash/cmp + nested args are
     # skipped; the documented reference quirks stay bounded
-    assert ran >= 858, (ran, skipped)
+    assert ran >= 890, (ran, skipped)
     assert quirks <= 30, quirks
