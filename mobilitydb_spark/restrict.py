@@ -217,6 +217,10 @@ def at_values(tv: Temporal, targets: np.ndarray) -> Temporal | None:
     instants where the value equals any target; constant segments at a
     target value are kept whole."""
     targets = np.atleast_2d(np.asarray(targets, dtype=np.float64))
+    if targets.size == 0:
+        # empty target array restricts to nothing (an empty np.all
+        # would vacuously match EVERY value instead)
+        return None
     out: list[Seq] = []
     discrete_in = tv.duration in (INSTANT, INSTANTSET)
     for s in tv.seqs:

