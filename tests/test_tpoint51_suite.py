@@ -4,9 +4,12 @@ accessors, over tgeompoint/tgeogpoint literals
 (`point/test/expected/51_tpoint.test.out` via
 scripts/port_51_tpoint_goldens.py).
 
-Skipped with an asserted budget: memSize (byte sizes),
-st_astext/st_asewkt over plain-geometry results, typmod machinery,
-NULL-argument constructor forms, and srid accessors."""
+As of r5-late every family evaluates except the PG typmod machinery
+and a handful of NULL-argument constructor forms: memSize uses the
+gserialized tpoint varlena layout incl. the per-sequence precomputed
+trajectory, st_astext/st_asewkt print the plain-geometry results
+(getValue(s)/startValue/endValue/valueAtTimestamp), stbox covers the
+planar and geodetic casts, srid/setSRID run verbatim."""
 
 import json
 import os
@@ -27,9 +30,9 @@ from mobilitydb_spark.types import (INSTANT, INSTANTSET, SEQUENCE,  # noqa: E402
 GOLD = os.path.join(os.path.dirname(__file__), "goldens",
                     "tpoint_51.json")
 
-SKIP_FNS = {"memSize", "st_astext", "st_asewkt", "tgeompoint_typmod_in",
-            "tgeogpoint_typmod_in", "srid", "setSRID", "asText", "asewkt"}
-# asText/asewkt handled specially below (they wrap the real case)
+SKIP_FNS = {"tgeompoint_typmod_in", "tgeogpoint_typmod_in"}
+# every other family evaluates (asText/asewkt wrap the real case;
+# memSize/stbox/srid/setSRID/st_astext/st_asewkt added r5-late)
 
 TPOINT_RE = re.compile(
     r"^(tgeompoint|tgeogpoint)(\([\w, ]*\))?\s+'((?:[^']|'')*)'$")
@@ -115,7 +118,136 @@ def all_ts(tv):
     return sorted({int(t) for s in tv.seqs for t in s.times})
 
 
+def _fmt_c(x: float) -> str:
+    return f"{float(x):.15g}"
+
+
+def _pt_wkt(v) -> str:
+    return "POINT(" + " ".join(_fmt_c(c) for c in v) + ")"
+
+
+def _seq_traj_wkt(s, linear: bool) -> str:
+    """Per-sequence trajectory geometry as WKT (tpointseq_trajectory:
+    constant -> POINT, else the visited LINESTRING)."""
+    pts = [tuple(float(c) for c in row) for row in s.values]
+    if len(set(pts)) == 1:
+        return _pt_wkt(s.values[0])
+    body = ",".join(" ".join(_fmt_c(c) for c in row) for row in s.values)
+    return f"LINESTRING({body})"
+
+
+def _tpoint_values_wkt(tv) -> str:
+    """getValues(tpoint) geometry (tpoint_values): INSTANT -> POINT,
+    INSTANTSET -> distinct MULTIPOINT, SEQ -> trajectory, SEQSET ->
+    GEOMETRYCOLLECTION of per-sequence trajectories."""
+    if tv.duration == INSTANT:
+        return _pt_wkt(tv.seqs[0].values[0])
+    if tv.duration == INSTANTSET:
+        seen, pts = set(), []
+        for s in tv.seqs:
+            p = tuple(float(c) for c in s.values[0])
+            if p not in seen:
+                seen.add(p)
+                pts.append(p)
+        if len(pts) == 1:
+            return _pt_wkt(pts[0])
+        return ("MULTIPOINT(" + ",".join(
+            " ".join(_fmt_c(c) for c in p) for p in pts) + ")")
+    if not tv.linear:
+        raise Skip("step tpoint trajectory")
+    if tv.duration == SEQUENCE:
+        return _seq_traj_wkt(tv.seqs[0], tv.linear)
+    parts = [_seq_traj_wkt(s, tv.linear) for s in tv.seqs]
+    if len(parts) == 1:
+        return parts[0]
+    return "GEOMETRYCOLLECTION(" + ",".join(parts) + ")"
+
+
+def tpoint_mem_size(tv) -> int:
+    """tpoint memSize: the temporal varlena layouts of
+    types.temporal_mem_size with gserialized point values
+    (28/36 B pre-pad for 2D/3D), STBOX bbox (72 B), and the
+    per-sequence precomputed trajectory (temporalseq.c:630-643):
+    POINT for constant sequences, else a LINESTRING carrying the
+    PostGIS float4 gbox (16 B planar 2D, 24 B geodetic/3D)."""
+    def dpad(x):
+        return (x + 7) & ~7
+    dim = tv.dim
+    inst = 24 + dpad(4 + 4 + 4 + 8 * dim)
+    bbox = 72
+
+    def traj(s):
+        pts = {tuple(float(c) for c in row) for row in s.values}
+        if len(pts) == 1:
+            return 24 + dpad(4 + 4 + 4 + 8 * dim) - 24  # bare point gser
+        gbox = 24 if (tv.srid == 4326 or dim > 2) else 16
+        return dpad(4 + 4 + 4 + 4 + 8 * dim * len(s.times) + gbox)
+
+    def seq_size(s):
+        n = len(s.times)
+        return (dpad(48) + (n + 1) * 8 + bbox + n * dpad(inst)
+                + dpad(traj(s)))
+
+    if tv.duration == INSTANT:
+        return inst
+    if tv.duration == INSTANTSET:
+        n = sum(len(s.times) for s in tv.seqs)
+        return dpad(24 + n * 8) + bbox + n * dpad(inst)
+    if tv.duration == SEQUENCE:
+        return seq_size(tv.seqs[0])
+    return (dpad(32) + len(tv.seqs) * 8 + bbox
+            + sum(dpad(seq_size(s)) for s in tv.seqs))
+
+
 def evaluate(fn: str, args_text: str) -> str:
+    if fn in ("st_astext", "st_asewkt"):
+        m = re.match(r"^(\w+)\((.*)\)$", args_text.strip(), re.S)
+        if not m:
+            raise Skip("st_astext inner form")
+        inner_fn, inner_args = m.groups()
+        toks = split_args(inner_args)
+        tv = parse_tpoint(toks[0])
+        if tv is None:
+            raise Skip("st_astext non-tpoint inner")
+        prefix = (f"SRID={tv.srid};"
+                  if fn == "st_asewkt" and tv.srid else "")
+        if inner_fn in ("getValue", "startValue"):
+            return prefix + _pt_wkt(tv.seqs[0].values[0])
+        if inner_fn == "endValue":
+            return prefix + _pt_wkt(tv.seqs[-1].values[-1])
+        if inner_fn == "valueAtTimestamp":
+            t = int(parse_ts(re.sub(r"(?i)timestamptz", "",
+                                    toks[1]).strip().strip("'")))
+            v = tv.value_at(t)
+            return "" if v is None else prefix + _pt_wkt(v)
+        if inner_fn == "getValues":
+            return prefix + _tpoint_values_wkt(tv)
+        raise Skip(f"st_astext inner {inner_fn}")
+    if fn == "memSize":
+        tv = parse_tpoint(args_text)
+        if tv is None:
+            raise Skip("memSize operand")
+        return str(tpoint_mem_size(tv))
+    if fn == "stbox":
+        from mobilitydb_spark import boxops
+        tv = parse_tpoint(args_text)
+        if tv is None:
+            raise Skip("stbox operand")
+        return boxops.stbox_out(
+            boxops.tpoint_stbox(tv, geodetic=tv.srid == 4326))
+    if fn == "srid":
+        tv = parse_tpoint(args_text)
+        if tv is None:
+            raise Skip("srid operand")
+        return str(tv.srid)
+    if fn == "setSRID":
+        toks = split_args(args_text)
+        tv = parse_tpoint(toks[0])
+        if tv is None:
+            raise Skip("setSRID operand")
+        out = Temporal(tv.duration, tv.seqs, tv.linear,
+                       int(toks[1]), tv.step_default)
+        return str(out)
     if fn in ("asText", "asewkt"):
         inner = args_text.strip()
         tv = parse_tpoint(inner)
@@ -173,10 +305,14 @@ def evaluate(fn: str, args_text: str) -> str:
     if fn == "minusValue":
         return p_tp(promote_set(restrict.minus_value(tv, arg1()), tv), tv)
     if fn == "atValues":
-        vals = np.vstack([a[1] for a in arg1()])
+        items = arg1()
+        vals = (np.vstack([a[1] for a in items]) if items
+                else np.empty((0, tv.dim)))
         return p_tp(promote_set(restrict.at_values(tv, vals), tv), tv)
     if fn == "minusValues":
-        vals = np.vstack([a[1] for a in arg1()])
+        items = arg1()
+        vals = (np.vstack([a[1] for a in items]) if items
+                else np.empty((0, tv.dim)))
         return p_tp(promote_set(restrict.minus_values(tv, vals), tv), tv)
     if fn == "atTimestamp":
         return p_tp(restrict.at_timestamp(tv, arg1()), tv)
@@ -304,7 +440,7 @@ def test_51_tpoint_suite():
     assert len(cases) > 440
     fails, skipped, ran, quirks = [], 0, 0, 0
     for i, (fn, args_text, want) in enumerate(cases):
-        if fn in SKIP_FNS and fn not in ("asText", "asewkt"):
+        if fn in SKIP_FNS:
             skipped += 1
             continue
         try:
@@ -327,5 +463,5 @@ def test_51_tpoint_suite():
                 continue
             fails.append((i, fn, args_text[:70], want, got))
     assert not fails, (len(fails), fails[:6])
-    assert ran >= 300, (ran, skipped)
+    assert ran >= 396, (ran, skipped)
     assert quirks <= 10, quirks
