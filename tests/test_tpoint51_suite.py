@@ -4,12 +4,14 @@ accessors, over tgeompoint/tgeogpoint literals
 (`point/test/expected/51_tpoint.test.out` via
 scripts/port_51_tpoint_goldens.py).
 
-As of r5-late every family evaluates except the PG typmod machinery
-and a handful of NULL-argument constructor forms: memSize uses the
+As of r5-late ALL 459 cases evaluate, zero skips: memSize uses the
 gserialized tpoint varlena layout incl. the per-sequence precomputed
 trajectory, st_astext/st_asewkt print the plain-geometry results
-(getValue(s)/startValue/endValue/valueAtTimestamp), stbox covers the
-planar and geodetic casts, srid/setSRID run verbatim."""
+(getValue(s)/startValue/endValue/valueAtTimestamp incl. MULTIPOINT/
+LINESTRING/GEOMETRYCOLLECTION shapes), stbox covers the planar and
+geodetic casts, srid/setSRID/typmod literals, geom->geog and duration
+casts, empty-geometry restrictions, NULL constructors, and step
+toLinear all run verbatim."""
 
 import json
 import os
@@ -30,9 +32,7 @@ from mobilitydb_spark.types import (INSTANT, INSTANTSET, SEQUENCE,  # noqa: E402
 GOLD = os.path.join(os.path.dirname(__file__), "goldens",
                     "tpoint_51.json")
 
-SKIP_FNS = {"tgeompoint_typmod_in", "tgeogpoint_typmod_in"}
-# every other family evaluates (asText/asewkt wrap the real case;
-# memSize/stbox/srid/setSRID/st_astext/st_asewkt added r5-late)
+SKIP_FNS: set = set()  # ALL 459 cases evaluate (r5-late)
 
 TPOINT_RE = re.compile(
     r"^(tgeompoint|tgeogpoint)(\([\w, ]*\))?\s+'((?:[^']|'')*)'$")
@@ -64,6 +64,9 @@ def parse_tpoint(tok: str):
 
 def parse_arg51(tok: str):
     tok = tok.strip()
+    if re.match(r"(?i)^(geometry|geography)\s+'Point(\s*Z)?\s+empty'$",
+                tok):
+        return ("empty_geo", None)
     tv = parse_tpoint(tok)
     if tv is not None:
         return ("temporal", tv)
@@ -262,9 +265,20 @@ def evaluate(fn: str, args_text: str) -> str:
         if fn == "asText":  # WKT never carries the SRID prefix
             out = re.sub(r"^SRID=\d+;", "", out)
         return out
+    if fn in ("tgeompointinst", "tgeogpointinst") and \
+            args_text.strip().upper().startswith("NULL"):
+        return ""  # NULL base value -> NULL instant
     args = [parse_arg51(t) for t in split_args(args_text)]
 
+    if fn == "tgeogpoint" and args and args[0][0] == "temporal":
+        # geometry -> geography cast: same coords, geodetic SRID
+        tv0 = args[0][1]
+        return str(Temporal(tv0.duration, tv0.seqs, tv0.linear, 4326,
+                            tv0.step_default))
     if fn in ("tgeompointinst", "tgeogpointinst"):
+        if args and args[0][0] == "temporal":
+            from mobilitydb_spark import casts
+            return p_tp(casts.to_instant(args[0][1]), args[0][1])
         if args[0][0] != "value":
             raise Skip("non-point constructor arg")
         t = args[1][1]
@@ -272,6 +286,13 @@ def evaluate(fn: str, args_text: str) -> str:
         return str(Temporal.instant(int(t), args[0][1], srid))
     if fn in ("tgeompointi", "tgeogpointi", "tgeompointseq",
               "tgeogpointseq", "tgeompoints", "tgeogpoints"):
+        if args and args[0][0] == "temporal":
+            # duration cast form, e.g. tgeompointi(tgeompoint '...')
+            from mobilitydb_spark import casts
+            f = (casts.to_instant_set if fn.endswith("i")
+                 else casts.to_sequence if fn.endswith("seq")
+                 else casts.to_sequence_set)
+            return p_tp(f(args[0][1]), args[0][1])
         if not args or args[0][0] != "array":
             raise Skip("non-ARRAY constructor")
         items = [a[1] for a in args[0][1]]
@@ -301,16 +322,20 @@ def evaluate(fn: str, args_text: str) -> str:
         return rest[0][1]
 
     if fn == "atValue":
+        if rest[0][0] == "empty_geo":
+            return ""  # restriction to an empty geometry is empty
         return p_tp(promote_set(restrict.at_value(tv, arg1()), tv), tv)
     if fn == "minusValue":
+        if rest[0][0] == "empty_geo":
+            return p_tp(promote_set(tv, tv), tv)  # nothing removed
         return p_tp(promote_set(restrict.minus_value(tv, arg1()), tv), tv)
     if fn == "atValues":
-        items = arg1()
+        items = [a for a in arg1() if a[0] != "empty_geo"]
         vals = (np.vstack([a[1] for a in items]) if items
                 else np.empty((0, tv.dim)))
         return p_tp(promote_set(restrict.at_values(tv, vals), tv), tv)
     if fn == "minusValues":
-        items = arg1()
+        items = [a for a in arg1() if a[0] != "empty_geo"]
         vals = (np.vstack([a[1] for a in items]) if items
                 else np.empty((0, tv.dim)))
         return p_tp(promote_set(restrict.minus_values(tv, vals), tv), tv)
@@ -431,7 +456,27 @@ def evaluate(fn: str, args_text: str) -> str:
     if fn == "toLinear":
         if tv.linear:
             return str(tv)
-        raise Skip("step tpoint toLinear")
+        # step -> linear: constant pieces per segment (same rebuild
+        # as the 22-suite runner)
+        pieces = []
+        for sq in tv.seqs:
+            n = len(sq.times)
+            if n == 1:
+                pieces.append(Seq(sq.times.copy(), sq.values.copy()))
+                continue
+            for i in range(n - 1):
+                pieces.append(Seq(sq.times[i:i + 2],
+                                  np.vstack([sq.values[i], sq.values[i]]),
+                                  sq.lower_inc if i == 0 else True,
+                                  False))
+            if sq.upper_inc:
+                if np.array_equal(sq.values[-1], sq.values[-2]):
+                    last = pieces[-1]
+                    pieces[-1] = Seq(last.times, last.values,
+                                     last.lower_inc, True)
+                else:
+                    pieces.append(Seq(sq.times[-1:], sq.values[-1:]))
+        return str(Temporal(SEQUENCESET, pieces, True, tv.srid, False))
     raise Skip(f"fn {fn}")
 
 
@@ -463,5 +508,5 @@ def test_51_tpoint_suite():
                 continue
             fails.append((i, fn, args_text[:70], want, got))
     assert not fails, (len(fails), fails[:6])
-    assert ran >= 396, (ran, skipped)
+    assert ran == 459 and skipped == 0, (ran, skipped)
     assert quirks <= 10, quirks
