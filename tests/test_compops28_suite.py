@@ -4,9 +4,11 @@ lifted by scripts/port_28_compops_goldens.py from
 `test/expected/28_temporal_compops.test.out`.
 
 Scalar operands lift to a constant temporal over the other operand's
-sequences (`src/temporal_compops.c` tcomp_base_temporal); ttext/text
-operand cases are skipped (vocab-coded ttext kernel, see the
-22-suite runner note) with an asserted budget."""
+sequences (`src/temporal_compops.c` tcomp_base_temporal).  ttext/text
+operand cases run via the order-preserving union-vocab coding of the
+22-suite runner (r5) — 679 of 823 cases run; the 136-case tint-left x
+tfloat-right ordered-op reference defect family stays excluded with
+its proof, 8 residual forms skipped."""
 
 import json
 import os
@@ -78,14 +80,32 @@ def test_28_temporal_compops_suite():
             quirks += 1
             continue
         try:
-            # parse the temporal side first so scalars can lift
-            lt = rt = None
-            if re.match(r"^(\w+)\s+'", lhs.strip()):
-                lt = to_temporal(lhs, None)
-            if re.match(r"^(\w+)\s+'", rhs.strip()):
-                rt = to_temporal(rhs, None)
-            a = lt if lt is not None else to_temporal(lhs, rt)
-            b = rt if rt is not None else to_temporal(rhs, lt)
+            if "ttext" in lhs or "ttext" in rhs:
+                # text operands: order-preserving union-vocab ranks
+                # (see the 22-suite runner) — exact for every cmp op
+                from test_temporal22_suite import _unify_text_args
+                toks = []
+                for tok in (lhs, rhs):
+                    tok = tok.strip()
+                    if tok.startswith("'"):
+                        toks.append(("text", tok.strip("'")))
+                    else:
+                        toks.append(parse_arg(tok))
+                toks = _unify_text_args(toks)
+                ts = [t[1] for t in toks if t[0] == "temporal"]
+                a = (toks[0][1] if toks[0][0] == "temporal"
+                     else const_like(ts[0], toks[0][1], False))
+                b = (toks[1][1] if toks[1][0] == "temporal"
+                     else const_like(ts[0], toks[1][1], False))
+            else:
+                # parse the temporal side first so scalars can lift
+                lt = rt = None
+                if re.match(r"^(\w+)\s+'", lhs.strip()):
+                    lt = to_temporal(lhs, None)
+                if re.match(r"^(\w+)\s+'", rhs.strip()):
+                    rt = to_temporal(rhs, None)
+                a = lt if lt is not None else to_temporal(lhs, rt)
+                b = rt if rt is not None else to_temporal(rhs, lt)
         except Skip:
             skipped += 1
             continue
@@ -119,5 +139,5 @@ def test_28_temporal_compops_suite():
         if got != want:
             fails.append((i, lhs[:50], op, rhs[:50], want, got))
     assert not fails, (len(fails), fails[:8])
-    assert ran >= 530, (ran, skipped)  # ttext/text cases skipped
+    assert ran >= 679, (ran, skipped)  # 8 two-scalar forms remain
     assert quirks == 136, quirks
