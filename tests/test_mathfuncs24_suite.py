@@ -115,5 +115,5 @@ def test_24_tnumber_mathfuncs_suite():
         if got != want:
             fails.append((i, lhs[:45], op, rhs[:45], digits, want, got))
     assert not fails, (len(fails), fails[:6])
-    assert ran >= 290, (ran, skipped)
+    assert ran == 300 and skipped == 0, (ran, skipped)
     assert quirks <= 95, quirks

@@ -65,7 +65,7 @@ def split_args(s: str) -> list[str]:
     return out
 
 
-TYPED_RE = re.compile(r"^(\w+)\s+'((?:[^']|'')*)'$")
+TYPED_RE = re.compile(r"^(\w+)\s*'((?:[^']|'')*)'$")
 IVAL_RE = re.compile(r"^'([^']*)'$")
 
 
