@@ -141,7 +141,8 @@ def _combine_matrix(kind: str, vals: np.ndarray, mask: np.ndarray):
 
 
 def tagg(values: list[Temporal], kind: str,
-         finalize_divide: bool = False) -> Temporal | None:
+         finalize_divide: bool = False,
+         validate_operands: bool = True) -> Temporal | None:
     """Sweep-line temporal aggregation of N temporal values.
 
     ``finalize_divide`` is the reference's double2/double3 finalfn
@@ -159,15 +160,20 @@ def tagg(values: list[Temporal], kind: str,
     # decompose) or sequences (SEQ/S) — mixing classes errors, and
     # sequence states must share the interpolation flag (tcount
     # transforms every piece to step first, so it never hits the
-    # interpolation check).
-    inst_class = [v.duration in (INSTANT, INSTANTSET) for v in values]
-    if any(inst_class) and not all(inst_class):
-        raise ValueError(
-            "Cannot aggregate temporal values of different duration")
-    if not inst_class[0] and kind not in ("count", "and", "or") and \
-            any(v.linear != values[0].linear for v in values):
-        raise ValueError(
-            "Cannot aggregate temporal values of different interpolation")
+    # interpolation check).  Applies to USER operands only — internal
+    # callers (wagg's window-extension pieces, the two-level partial
+    # merges) deliberately mix constant step pieces with linear ones,
+    # exactly like the reference's post-transform skiplists.
+    if validate_operands:
+        inst_class = [v.duration in (INSTANT, INSTANTSET)
+                      for v in values]
+        if any(inst_class) and not all(inst_class):
+            raise ValueError(
+                "Cannot aggregate temporal values of different duration")
+        if not inst_class[0] and kind not in ("count", "and", "or") and \
+                any(v.linear != values[0].linear for v in values):
+            raise ValueError("Cannot aggregate temporal values of "
+                             "different interpolation")
     dim = values[0].dim
     if dim > 1:  # tpoint operands: the reference's transfn validation
         # (`point/src/tpoint_aggfuncs.c:40-49`, 64-suite error block)
@@ -491,7 +497,7 @@ def wagg(values: list[Temporal], kind: str, window_us: int) -> Temporal | None:
                         np.vstack([v0, v0]), lower, upper_inc)],
                         seg_linear, v.srid, not seg_linear))
                 lower = True
-    return tagg(pieces, kind)
+    return tagg(pieces, kind, validate_operands=False)
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +640,7 @@ def temporal_agg_pieces(points: DataFrame, kind: str,
         by = rebuild_partials(pdf, linear_of=lambda k: not step_partial,
                               step_of=lambda k: step_partial)
         res = tagg(by.get(partial_kind, []), merge_kind,
+                   validate_operands=False,
                    finalize_divide=finalize)
         rows = []
         if res is not None:

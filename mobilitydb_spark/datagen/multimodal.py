@@ -78,11 +78,15 @@ def extract_features(media: DataFrame, n_dims: int = 16,
                 try:
                     samples = _decode_stub(bytes(payload), kind)
                     # frame-sample: split into frame_sample chunks,
-                    # mean-pool each chunk in one reduceat pass
+                    # mean-pool each via a STRICT sequential left fold
+                    # (np.cumsum) — np.add.reduceat sums pairwise and
+                    # would drift a few ULPs from the SQL oracle's
+                    # sequential list_sum
                     edges = np.linspace(0, len(samples), frame_sample + 1,
-                                        dtype=np.int64)[:-1]
-                    pooled = np.add.reduceat(samples, edges) \
-                        / np.diff(np.append(edges, len(samples)))
+                                        dtype=np.int64)
+                    pooled = np.array([
+                        np.cumsum(samples[a:b])[-1] / (b - a)
+                        for a, b in zip(edges[:-1], edges[1:])])
                     feat = np.resize(pooled, n_dims).astype(np.float32)
                     out.append((mid, kind, feat.tolist(),
                                 frame_sample, True))

@@ -3242,6 +3242,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match gate on the mapInPandas plumbing, not rows-only."""
     from .datagen import multimodal
     docs = _load(spark, sf_dir, "documents")
+    # ASCII gate on BOTH sides: the oracle pools CODE POINTS while
+    # the engine pools utf-8 BYTES — identical only for ASCII, so
+    # non-ASCII docs are excluded symmetrically rather than silently
+    # diverging if the datagen ever emits them
+    docs = docs.where(F.octet_length("text") == F.length("text"))
     media = docs.where(F.length("text") >= 4).select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -3264,7 +3269,9 @@ _ORACLE_MULTIMODAL = """
                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                text, length(text) AS n
-        FROM documents WHERE length(text) >= 4),
+        FROM documents
+        WHERE length(text) >= 4
+          AND octet_length(encode(text)) = length(text)),
     pooled AS (
         SELECT doc_id, kind,
                list_transform(range(4), k ->

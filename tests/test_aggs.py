@@ -382,3 +382,22 @@ def test_tcentroid_goldens_64_tpoint_aggfuncs():
                        "{Point(1 1)@2000-01-01, Point(2 2)@2000-01-02}"),
                    T.parse_temporal("Point(2 2 2)@2000-01-01")],
                   "centroid")
+
+
+def test_wagg_min_mixed_pieces_regression():
+    """wagg builds deliberately mixed-interpolation internal pieces
+    (constant step segments alongside linear tracking segments); the
+    user-operand validation in tagg must not reject them (r5
+    regression caught by review: wmin over a linear sequence with a
+    flat segment raised 'different interpolation')."""
+    from mobilitydb_spark.types import parse_temporal
+    v = parse_temporal(
+        "[1@2000-01-01, 2@2000-01-02, 2@2000-01-03, 3@2000-01-04]")
+    r = aggs.wagg([v], "min", 3600_000_000)
+    assert r is not None and r.num_instants() >= 3
+    # and the USER-facing validation still fires on real mixed input
+    import pytest as _pytest
+    a = parse_temporal("[1@2000-01-01, 2@2000-01-02]")
+    b = parse_temporal("{3@2000-01-03}")
+    with _pytest.raises(ValueError, match="different duration"):
+        aggs.tagg([a, b], "sum")

@@ -168,9 +168,7 @@ def parse_arg(tok: str):
 def _unify_text_args(args):
     """Re-rank every text-valued operand over ONE sorted union vocab
     so min/max/comparisons are order-true and atValue targets hit the
-    right codes; absent scalar words get a half-rank (never equal,
-    order preserved)."""
-    import bisect
+    right codes."""
     words: set[str] = set()
 
     def scan(a):
@@ -198,9 +196,10 @@ def _unify_text_args(args):
             v.text_vocab = union
             return a
         if tag == "text":
-            i = bisect.bisect_left(union, v)
-            rank = i if i < len(union) and union[i] == v else i - 0.5
-            return ("value", float(rank))
+            # scan() added every scalar word to the union, so the
+            # rank always exists (an absent-from-the-temporal word
+            # still gets a code distinct from all its values)
+            return ("value", float(union.index(v)))
         if tag == "array":
             return ("array", [remap(x) for x in v])
         return a
@@ -518,7 +517,10 @@ def evaluate(fn: str, args_text: str) -> str:
             tag, tv0 = parse_arg(toks[0])
             if tag == "temporal":
                 if getattr(tv0, "text_vocab", None):
-                    tv0.text_vocab = sorted(tv0.text_vocab)  # already apart
+                    # re-rank codes over the sorted vocab (index
+                    # mapping done by _unify_text_args — a bare
+                    # sorted() would scramble code->word)
+                    (_, tv0), = _unify_text_args([("temporal", tv0)])
                 f = {"inst": casts.to_instant, "i": casts.to_instant_set,
                      "seq": casts.to_sequence,
                      "s": casts.to_sequence_set}[form]

@@ -34,8 +34,7 @@ from mobilitydb_spark.types import (Period, fmt_ts, format_periodset,  # noqa: E
 GOLD = os.path.join(os.path.dirname(__file__), "goldens")
 
 
-def _dpad(x: int) -> int:
-    return (x + 7) & ~7
+from mobilitydb_spark.types import _dpad  # noqa: E402  (shared pad)
 
 
 def fmt_pg_interval(us: int) -> str:
