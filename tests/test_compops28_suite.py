@@ -6,9 +6,9 @@ lifted by scripts/port_28_compops_goldens.py from
 Scalar operands lift to a constant temporal over the other operand's
 sequences (`src/temporal_compops.c` tcomp_base_temporal).  ttext/text
 operand cases run via the order-preserving union-vocab coding of the
-22-suite runner (r5) — 679 of 823 cases run; the 136-case tint-left x
+22-suite runner (r5) — 687 of 823 cases run, zero skips; the 136-case tint-left x
 tfloat-right ordered-op reference defect family stays excluded with
-its proof, 8 residual forms skipped."""
+its proof."""
 
 import json
 import os
@@ -37,9 +37,7 @@ def to_temporal(tok: str, other):
                           is_bool=True)
     if re.match(r"^-?\d+(\.\d+)?$", tok):
         return const_like(other, float(tok), is_bool=False)
-    if tok.startswith("'"):
-        raise Skip("text scalar")
-    tag, v = parse_arg(tok)
+    tag, v = parse_arg(tok)  # bare quoted literals cast by context
     if tag != "temporal":
         raise Skip(f"operand {tok!r}")
     return v
@@ -139,5 +137,5 @@ def test_28_temporal_compops_suite():
         if got != want:
             fails.append((i, lhs[:50], op, rhs[:50], want, got))
     assert not fails, (len(fails), fails[:8])
-    assert ran >= 679, (ran, skipped)  # 8 two-scalar forms remain
+    assert ran == 687 and skipped == 0, (ran, skipped)
     assert quirks == 136, quirks
