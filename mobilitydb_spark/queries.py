@@ -3314,6 +3314,9 @@ _DEMOTED_TAIL = [
     "tpch_q1", "top_customers", "dedup_exact", "doc_stats",
     "fingerprint_md5", "events_hourly", "geo_cells_tiles",
     "knn_cosine_brute", "mercator_transform", "doc_quality",
+    # r5: demote one more veteran (sibling wcount_probe stays in the
+    # window) so multimodal_features earns a driver-oracled row.
+    "wsum_probe",
 ]
 
 _BASE_REGISTRY_FINAL = registry
