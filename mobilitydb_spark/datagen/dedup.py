@@ -140,22 +140,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     hxd = (th.where(F.size("th") >= shingle_n)
            .select("id", comb.alias("hx")))
 
-    def perm(aj: int, bj: int):
-        # single-arg lambda: a 2-arg lambda would receive the element
-        # INDEX as its second argument from F.transform
-        return lambda x: F.pmod(F.pmod(x, F.lit(MERSENNE31)) * F.lit(aj)
-                                + F.lit(bj), F.lit(MERSENNE31))
-
-    sig = hxd.select("id", *[
-        F.array_min(F.transform("hx", perm(int(a[j]), int(b_[j]))))
-        .alias(f"m{j}") for j in range(n_hashes)])
+    # One selectExpr with generated SQL strings: building the 48
+    # permutations from Column operators costs hundreds of py4j round
+    # trips (~2 s of driver-side build per invocation at sf0.1);
+    # Catalyst sees the identical tree either way.  h_j(x) =
+    # (a_j·(x mod M) + b_j) mod M over the pre-combined shingle hash.
+    sig = hxd.selectExpr("id", *[
+        f"array_min(transform(hx, x -> pmod(pmod(x, {MERSENNE31}) * "
+        f"CAST({int(a[j])} AS BIGINT) + {int(b_[j])}, {MERSENNE31}))) "
+        f"AS m{j}" for j in range(n_hashes)])
+    band_arr = ", ".join(
+        "xxhash64(concat_ws(','," +
+        ",".join(f"CAST(m{b * rows + r} AS STRING)" for r in range(rows))
+        + "))" for b in range(n_bands))
     bands = sig.select(
         "id",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(
-                ",", *[F.col(f"m{b * rows + r}").cast("string")
-                       for r in range(rows)]))
-            for b in range(n_bands)])).alias("band", "bkey"))
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "bkey"))
     # ONE explicit exchange on the bucket key: the three consumers
     # below (the bucket-size aggregate, and both sides of the
     # candidate self-join) all need hashpartitioning(band, bkey), so
@@ -248,16 +248,19 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
         F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"))
 
-    def bit(b: int):
-        src = F.col("lo") if b < 32 else F.col("hi")
-        return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+    # The vote expressions are built as SQL STRINGS and handed to one
+    # F.expr each: composing them from 64×4 Column operators costs
+    # hundreds of py4j round trips (~3 s of pure driver-side build
+    # time per invocation, measured at sf0.1 — more than the job's
+    # whole cluster-side execution).  Same Catalyst tree either way.
+    def bit_sql(b: int) -> str:
+        src = "lo" if b < 32 else "hi"
+        return f"(shiftrightunsigned({src}, {b % 32}) & 1)"
 
-    def packed(j: int):
+    def packed_sql(j: int) -> str:
         # lanes L=0..3 of SUM j hold bits 4j+L at 16-bit offsets
-        e = F.shiftleft(bit(4 * j), 0)
-        for L in range(1, 4):
-            e = e + F.shiftleft(bit(4 * j + L), 16 * L)
-        return e
+        return " + ".join(f"shiftleft({bit_sql(4 * j + L)}, {16 * L})"
+                          for L in range(4))
 
     # try_sum: at >= 2^15 tokens the L=3 lane (shifted 48) overflows
     # the 64-bit SUM itself under ANSI mode — oversized docs get NULL
@@ -265,35 +268,52 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
     # (their ntok COUNT stays exact either way)
     votes = hv.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("ntok"),
-        *[F.try_sum(packed(j)).alias(f"p{j}") for j in range(16)])
+        *[F.expr(f"try_sum({packed_sql(j)})").alias(f"p{j}")
+          for j in range(16)])
 
-    def lane(b: int):
-        return F.shiftrightunsigned(
-            F.col(f"p{b // 4}"), 16 * (b % 4)).bitwiseAND(F.lit(0xFFFF))
+    def lane_sql(b: int) -> str:
+        return (f"(shiftrightunsigned(p{b // 4}, {16 * (b % 4)})"
+                f" & {0xFFFF})")
 
-    # two's-complement reassembly: bit 63 contributes -2^63
-    sig_expr = F.when(lane(63) * 2 > F.col("ntok"),
-                      F.lit(-(1 << 63))).otherwise(F.lit(0))
-    for b in range(63):
-        sig_expr = sig_expr + F.when(lane(b) * 2 > F.col("ntok"),
-                                     F.lit(1 << b)).otherwise(F.lit(0))
+    def vote_sql(term: str, b: int) -> str:
+        # two's-complement reassembly: bit 63 contributes -2^63
+        # (shiftleft wraps to MIN_LONG; bit ops are exempt from ANSI)
+        one = ("shiftleft(CAST(1 AS BIGINT), 63)" if b == 63
+               else f"CAST({1 << b} AS BIGINT)")
+        return (f"(CASE WHEN {term} * 2 > ntok THEN {one} "
+                f"ELSE CAST(0 AS BIGINT) END)")
+
+    sig_sql = " + ".join(vote_sql(lane_sql(b), b)
+                         for b in range(63, -1, -1))
     sig = votes.where(F.col("ntok") < (1 << 15)) \
-        .select(id_col, sig_expr.cast("long").alias("simhash"))
+        .select(id_col, F.expr(f"CAST(({sig_sql}) AS BIGINT)")
+                .alias("simhash"))
     # lane-overflow fallback: docs with >= 2^15 tokens would carry a
     # saturated 16-bit vote lane into its neighbour; recompute them
     # with the unpacked 64-SUM aggregation (only their tokens — the
     # semi-join prunes before the shuffle, and AQE broadcasts the
     # usually-tiny oversized-id list)
     big_ids = votes.where(F.col("ntok") >= (1 << 15)).select(id_col)
-    big_votes = hv.join(big_ids, id_col, "left_semi").groupBy(id_col).agg(
+    # Re-explode only the oversized docs' text (semi-join on the ~5k-row
+    # doc table, THEN tokenize): probing hv directly would re-run the
+    # full explode+md5+conv pipeline over every token a third time even
+    # when no doc is oversized.  votes' own exchange is reused between
+    # the sig and big_ids branches, so the packed aggregation runs once.
+    big_docs = df.join(big_ids, id_col, "left_semi")
+    big_toks = (big_docs.select(id_col,
+                                F.explode(F.split(F.col(text_col), r"\s+"))
+                                 .alias("tok"))
+                .where(F.col("tok") != ""))
+    big_m = big_toks.select(id_col, F.md5("tok").alias("m"))
+    big_hv = big_m.select(
+        id_col,
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"))
+    big_votes = big_hv.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("ntok"),
-        *[F.sum(bit(b)).alias(f"b{b}") for b in range(64)])
-    big_expr = F.when(F.col("b63") * 2 > F.col("ntok"),
-                      F.lit(-(1 << 63))).otherwise(F.lit(0))
-    for b in range(63):
-        big_expr = big_expr + F.when(F.col(f"b{b}") * 2 > F.col("ntok"),
-                                     F.lit(1 << b)).otherwise(F.lit(0))
-    big_sig = big_votes.select(id_col, big_expr.cast("long")
+        *[F.expr(f"sum({bit_sql(b)})").alias(f"b{b}") for b in range(64)])
+    big_sql = " + ".join(vote_sql(f"b{b}", b) for b in range(63, -1, -1))
+    big_sig = big_votes.select(id_col, F.expr(f"CAST(({big_sql}) AS BIGINT)")
                                .alias("simhash"))
     sig = sig.unionByName(big_sig)
     # docs with zero tokens get signature 0
