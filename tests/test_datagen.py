@@ -313,3 +313,34 @@ def test_multimodal_resize_plumbing(spark):
         bytes(small.set_index("media_id").loc[0, "payload"]),
         np.uint8).reshape(8, 8)
     assert (got == np.clip(want * 255.0, 0, 255).astype(np.uint8)).all()
+
+
+def test_band_signatures_match_oracle_band_keys(spark):
+    """ADVICE r5 (low): the engine's band keys must equal the SQL
+    oracle's bit-for-bit.  band_signatures folds the projection
+    strictly left-to-right over dim (not a BLAS matmul, whose pairwise
+    summation can flip the sign of a near-zero projection vs DuckDB's
+    sequential list_dot_product); this guard compares every
+    (vec_id, band) key on the driver fixture."""
+    import duckdb
+    from mobilitydb_spark import queries as qmod
+    sf = "/root/testdata/sf0.001"
+    bands, R = 16, 10
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    eng = similarity.band_signatures(
+        emb, "vec_id", "embedding", bands, R).toPandas()
+    got = {(r.vec_id, b): int(k)
+           for r in eng.itertuples() for b, k in enumerate(r.keys)}
+    planes = qmod._lsh_planes(bands * R)
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{qmod._band_key_sql('v', planes, b, R)} AS key FROM e"
+        for b in range(bands))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    odf = con.sql(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings) {per_band}").df()
+    want = {(r.vec_id, r.band): int(r.key) for r in odf.itertuples()}
+    assert got == want

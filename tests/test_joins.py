@@ -216,3 +216,43 @@ def test_interval_join_long_span_broadcast_split(spark):
     exploded_short = df.where(nb <= 64).select(
         F.sum(nb).alias("rows")).collect()[0]["rows"]
     assert exploded_short < 1000  # vs ~1000 for the outlier alone
+
+
+def test_interval_join_bimodal_auto_bucket(spark):
+    """ADVICE r5 (low): on bimodal spans (half instants, half
+    month-long) the median span is ~0 — auto sizing must floor the
+    bucket with p90 so the month-long rows stay on the BUCKETED path
+    (a 1us bucket would class them all 'long' and broadcast an
+    unbounded relation into a nested-loop join).  Results must still
+    be exact vs brute force."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    D = 86_400_000_000
+    n = 60  # 30 instants + 30 month-long spans
+    starts = rng.integers(0, 90 * D, n)
+    lens = np.where(np.arange(n) % 2 == 0, 0,
+                    rng.integers(28 * D, 32 * D, n))
+    pdf = pd.DataFrame({"id": np.arange(n), "t0_us": starts,
+                        "t1_us": starts + lens})
+    df = spark.createDataFrame(pdf)
+    l = df.selectExpr("id AS l_id", "t0_us", "t1_us")
+    r = df.selectExpr("id AS r_id", "t0_us", "t1_us")
+    got = joins.interval_join(l, r).toPandas()
+    assert not got.duplicated(["l_id", "r_id"]).any()
+    want = {}
+    for a in pdf.itertuples():
+        for b in pdf.itertuples():
+            s, e = max(a.t0_us, b.t0_us), min(a.t1_us, b.t1_us)
+            if s <= e:
+                want[(a.id, b.id)] = e - s
+    got_map = {(x.l_id, x.r_id): x.overlap_us for x in got.itertuples()}
+    assert got_map == want
+    # the sizing formula itself: W floored at p90 keeps every span's
+    # bucket count within max_buckets, so the 'long' class is EMPTY
+    spans = sorted(pdf["t1_us"] - pdf["t0_us"])
+    med = spans[len(spans) // 2]
+    p90 = spans[int(0.9 * (len(spans) - 1))]
+    W = max(2 * med, p90, 1)
+    nb = (pdf["t1_us"] // W) - (pdf["t0_us"] // W) + 1
+    assert (nb <= 64).all()  # nothing takes the broadcast NL pass

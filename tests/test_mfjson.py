@@ -87,3 +87,21 @@ def test_52_tpoint_in_roundtrip_goldens():
         tv = parse_temporal(lit, point=True)
         assert str(MJ.from_mfjson(MJ.as_mfjson(tv))) == want, lit
         assert str(MJ.from_ewkb(MJ.as_ewkb(tv))) == want, lit
+
+
+def test_ewkb_roundtrip_preserves_is_bool():
+    """ADVICE r5 (low): the binary codec must carry the tbool typing
+    bit — a tbool roundtripped through as_ewkb/from_ewkb keeps
+    printing t/f (not 1/0) and keeps is_bool for downstream ops."""
+    for lit in ["true@2000-01-01",
+                "{true@2000-01-01, false@2000-01-02}",
+                "{[true@2000-01-01, false@2000-01-03], "
+                "[true@2000-01-04]}"]:
+        tv = T.parse_temporal(lit)
+        assert tv.is_bool
+        rt = mfjson.from_ewkb(mfjson.as_ewkb(tv))
+        assert rt.is_bool
+        assert str(rt) == str(tv), lit
+    # and a plain tint stays non-bool
+    ti = T.parse_temporal("1@2000-01-01")
+    assert not mfjson.from_ewkb(mfjson.as_ewkb(ti)).is_bool

@@ -175,3 +175,16 @@ def test_astext_goldens_53_tpoint_out():
     ]
     for lit, want in cases:
         assert str(T.parse_temporal(lit)) == want, lit
+
+
+def test_parse_ts_date_only_offset():
+    """ADVICE r5 (low): date-only literals carrying a UTC offset
+    ('2001-01-01+00', PG-accepted) must parse as offset-from-midnight
+    — the junk-rejection regex must not see the offset."""
+    assert T.parse_ts("2001-01-01+00") == T.parse_ts("2001-01-01 00:00:00")
+    assert T.parse_ts("2001-01-01+02") == T.parse_ts("2000-12-31 22:00:00")
+    assert T.parse_ts("2001-01-01-05") == T.parse_ts("2001-01-01 05:00:00")
+    # the junk check must still reject genuine garbage
+    import pytest
+    with pytest.raises(ValueError, match="Error parsing datetime"):
+        T.parse_ts("2001-01-01,")
