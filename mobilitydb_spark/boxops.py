@@ -551,3 +551,173 @@ def stbox_out(b: STBox) -> str:
 
     return (f"{head}({tup(b.xmin, b.ymin, b.zmin, b.tmin)},"
             f"{tup(b.xmax, b.ymax, b.zmax, b.tmax)})")
+
+
+# --- 50_stbox constructor / accessor / cast / cmp surface -----------------
+# (`point/src/stbox.c:146-394` constructors, `:395-502` accessors,
+#  `:503-566` casts, `:576-647` stbox_cmp; goldens in
+#  tests/test_timeops_boxops.py from `point/test/expected/50_stbox.test.out`)
+
+def _ts_arg(t) -> int:
+    from .types import parse_ts
+    return int(t) if isinstance(t, (int, np.integer)) else int(parse_ts(t))
+
+
+def _sorted2(lo, hi):
+    return (hi, lo) if lo > hi else (lo, hi)
+
+
+def stbox_make(*args) -> STBox:
+    """stbox() SQL constructor (`stbox.c:146-247`): 2 args = T-only
+    timestamps, 4 = 2D X, 6 = 3D XZ, 8 = XZT.  Each dimension's bounds
+    are auto-sorted independently."""
+    n = len(args)
+    if n == 2:
+        t1, t2 = _sorted2(_ts_arg(args[0]), _ts_arg(args[1]))
+        return STBox(0.0, 0.0, 0.0, 0.0, t1, t2, has_x=False, has_t=True)
+    if n == 4:
+        x1, x2 = _sorted2(float(args[0]), float(args[2]))
+        y1, y2 = _sorted2(float(args[1]), float(args[3]))
+        return STBox(x1, x2, y1, y2, 0, 0, has_t=False)
+    if n == 6:
+        x1, x2 = _sorted2(float(args[0]), float(args[3]))
+        y1, y2 = _sorted2(float(args[1]), float(args[4]))
+        z1, z2 = _sorted2(float(args[2]), float(args[5]))
+        return STBox(x1, x2, y1, y2, 0, 0, z1, z2, has_t=False)
+    if n == 8:
+        x1, x2 = _sorted2(float(args[0]), float(args[4]))
+        y1, y2 = _sorted2(float(args[1]), float(args[5]))
+        z1, z2 = _sorted2(float(args[2]), float(args[6]))
+        t1, t2 = _sorted2(_ts_arg(args[3]), _ts_arg(args[7]))
+        return STBox(x1, x2, y1, y2, t1, t2, z1, z2)
+    raise TypeError(f"stbox() takes 2/4/6/8 arguments ({n} given)")
+
+
+def stboxt_make(x1, y1, t1, x2, y2, t2) -> STBox:
+    """stboxt() SQL constructor (`stbox.c:249-297`): 2D + time."""
+    xa, xb = _sorted2(float(x1), float(x2))
+    ya, yb = _sorted2(float(y1), float(y2))
+    ta, tb = _sorted2(_ts_arg(t1), _ts_arg(t2))
+    return STBox(xa, xb, ya, yb, ta, tb)
+
+
+def geodstbox_make(*args) -> STBox:
+    """geodstbox() SQL constructor (`stbox.c:299-394`): 2 args = T-only,
+    6 = geocentric XYZ, 8 = XYZT; geodetic flag always set."""
+    n = len(args)
+    if n == 2:
+        t1, t2 = _sorted2(_ts_arg(args[0]), _ts_arg(args[1]))
+        return STBox(0.0, 0.0, 0.0, 0.0, t1, t2, has_x=False, has_t=True,
+                     geodetic=True)
+    if n == 6:
+        x1, x2 = _sorted2(float(args[0]), float(args[3]))
+        y1, y2 = _sorted2(float(args[1]), float(args[4]))
+        z1, z2 = _sorted2(float(args[2]), float(args[5]))
+        return STBox(x1, x2, y1, y2, 0, 0, z1, z2, has_t=False,
+                     geodetic=True)
+    if n == 8:
+        x1, x2 = _sorted2(float(args[0]), float(args[4]))
+        y1, y2 = _sorted2(float(args[1]), float(args[5]))
+        z1, z2 = _sorted2(float(args[2]), float(args[6]))
+        t1, t2 = _sorted2(_ts_arg(args[3]), _ts_arg(args[7]))
+        return STBox(x1, x2, y1, y2, t1, t2, z1, z2, geodetic=True)
+    raise TypeError(f"geodstbox() takes 2/6/8 arguments ({n} given)")
+
+
+def stbox_xmin(b: STBox):
+    return b.xmin if b.has_x else None
+
+
+def stbox_xmax(b: STBox):
+    return b.xmax if b.has_x else None
+
+
+def stbox_ymin(b: STBox):
+    return b.ymin if b.has_x else None
+
+
+def stbox_ymax(b: STBox):
+    return b.ymax if b.has_x else None
+
+
+def stbox_zmin(b: STBox):
+    return b.zmin if b.z_flag else None
+
+
+def stbox_zmax(b: STBox):
+    return b.zmax if b.z_flag else None
+
+
+def stbox_tmin(b: STBox):
+    return b.tmin if b.has_t else None
+
+
+def stbox_tmax(b: STBox):
+    return b.tmax if b.has_t else None
+
+
+def stbox_to_period(b: STBox):
+    """stbox::period cast (`stbox.c:503-515`): NULL when no T."""
+    from .types import Period
+    return Period(b.tmin, b.tmax, True, True) if b.has_t else None
+
+
+def _g15(v: float) -> str:
+    # PostGIS prints GBOX/BOX3D coords with %.15g
+    return f"{v:.15g}"
+
+
+def stbox_to_box2d(b: STBox):
+    """stbox::box2d cast (`stbox.c:517-539`): NULL when no X; Z/M
+    stripped.  Returns the PostGIS BOX output text."""
+    if not b.has_x:
+        return None
+    return (f"BOX({_g15(b.xmin)} {_g15(b.ymin)},"
+            f"{_g15(b.xmax)} {_g15(b.ymax)})")
+
+
+def stbox_to_box3d(b: STBox):
+    """stbox::box3d cast (`stbox.c:541-566`): NULL when no X; Z
+    zero-filled when the box has no Z."""
+    if not b.has_x:
+        return None
+    z1 = b.zmin if b.z_flag else 0.0
+    z2 = b.zmax if b.z_flag else 0.0
+    return (f"BOX3D({_g15(b.xmin)} {_g15(b.ymin)} {_g15(z1)},"
+            f"{_g15(b.xmax)} {_g15(b.ymax)} {_g15(z2)})")
+
+
+def stbox_flags(b: STBox) -> int:
+    """The MOBDB flags byte (`include/temporal.h:79-98`):
+    X=0x04, Z=0x08, T=0x10, GEODETIC=0x20 (linear/byval unused)."""
+    return ((0x04 if b.has_x else 0) | (0x08 if b.z_flag else 0)
+            | (0x10 if b.has_t else 0) | (0x20 if b.geodetic else 0))
+
+
+def stbox_cmp(a: STBox, b: STBox) -> int:
+    """Total order (`stbox.c:576-637`): minima xy, z, t; then maxima
+    xy, z, t — each axis compared only when BOTH operands carry the
+    flag; flags byte as the final tiebreak."""
+    pairs = []
+    both_x = a.has_x and b.has_x
+    both_z = a.z_flag and b.z_flag
+    both_t = a.has_t and b.has_t
+    if both_x:
+        pairs += [(a.xmin, b.xmin), (a.ymin, b.ymin)]
+    if both_z:
+        pairs.append((a.zmin, b.zmin))
+    if both_t:
+        pairs.append((a.tmin, b.tmin))
+    if both_x:
+        pairs += [(a.xmax, b.xmax), (a.ymax, b.ymax)]
+    if both_z:
+        pairs.append((a.zmax, b.zmax))
+    if both_t:
+        pairs.append((a.tmax, b.tmax))
+    for va, vb in pairs:
+        if va < vb:
+            return -1
+        if va > vb:
+            return 1
+    fa, fb = stbox_flags(a), stbox_flags(b)
+    return -1 if fa < fb else (1 if fa > fb else 0)

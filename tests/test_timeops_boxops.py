@@ -448,3 +448,150 @@ def test_tpoint_to_stbox_goldens_58():
     box_t = STBox(box.xmin, box.xmax, box.ymin, box.ymax,
                   tb.tmin, tb.tmax)
     assert overlaps(tb, box_t) is True
+
+
+# --- 50_stbox constructors / accessors / casts / cmp (verbatim from
+# `point/test/expected/50_stbox.test.out:108-629`) -------------------------
+
+def test_stbox_constructor_goldens():
+    from mobilitydb_spark.boxops import (geodstbox_make, stbox_make,
+                                         stbox_out, stboxt_make)
+    cases = [
+        (stbox_make(1, 2, 3, 4), "STBOX((1,2),(3,4))"),
+        (stbox_make(1, 2, 3, 4, 5, 6), "STBOX Z((1,2,3),(4,5,6))"),
+        (stbox_make(1, 2, 3, "2001-01-04", 5, 6, 7, "2001-01-08"),
+         "STBOX ZT((1,2,3,2001-01-04 00:00:00+00),"
+         "(5,6,7,2001-01-08 00:00:00+00))"),
+        (stboxt_make(1, 2, "2001-01-03", 4, 5, "2001-01-06"),
+         "STBOX T((1,2,2001-01-03 00:00:00+00),"
+         "(4,5,2001-01-06 00:00:00+00))"),
+        (geodstbox_make(1, 2, 3, 4, 5, 6), "GEODSTBOX((1,2,3),(4,5,6))"),
+        (geodstbox_make(1, 2, 3, "2001-01-04", 5, 6, 7, "2001-01-08"),
+         "GEODSTBOX T((1,2,3,2001-01-04 00:00:00+00),"
+         "(5,6,7,2001-01-08 00:00:00+00))"),
+        # bounds auto-sorted per dimension
+        (stbox_make(8, 7, 6, "2001-01-05", 4, 3, 2, "2001-01-01"),
+         "STBOX ZT((4,3,2,2001-01-01 00:00:00+00),"
+         "(8,7,6,2001-01-05 00:00:00+00))"),
+        (stboxt_make(6, 5, "2001-01-04", 3, 2, "2001-01-01"),
+         "STBOX T((3,2,2001-01-01 00:00:00+00),"
+         "(6,5,2001-01-04 00:00:00+00))"),
+        (geodstbox_make(8, 7, 6, "2001-01-05", 4, 3, 2, "2001-01-01"),
+         "GEODSTBOX T((4,3,2,2001-01-01 00:00:00+00),"
+         "(8,7,6,2001-01-05 00:00:00+00))"),
+    ]
+    for box, want in cases:
+        assert stbox_out(box) == want
+
+
+def test_stbox_accessor_goldens():
+    from mobilitydb_spark import boxops as B
+    from mobilitydb_spark.types import fmt_ts
+    t1 = "2000-01-01 00:00:00+00"
+    t2 = "2000-01-02 00:00:00+00"
+    # literal → (xmin,ymin,zmin,tmin,xmax,ymax,zmax,tmax), time as text
+    cases = [
+        ("STBOX((1.0, 2.0), (3.0, 4.0))",
+         (1, 2, None, None, 3, 4, None, None)),
+        ("STBOX Z((1.0, 2.0, 3.0), (4.0, 5.0, 6.0))",
+         (1, 2, 3, None, 4, 5, 6, None)),
+        ("STBOX T((1.0, 2.0, 2000-01-01), (3.0, 4.0, 2000-01-02))",
+         (1, 2, None, t1, 3, 4, None, t2)),
+        ("STBOX ZT((1.0, 2.0, 3.0, 2000-01-01), "
+         "(4.0, 5.0, 6.0, 2000-01-02))",
+         (1, 2, 3, t1, 4, 5, 6, t2)),
+        ("STBOX T((, , 2000-01-01), (, , 2000-01-02))",
+         (None, None, None, t1, None, None, None, t2)),
+    ]
+    acc = [B.stbox_xmin, B.stbox_ymin, B.stbox_zmin, B.stbox_tmin,
+           B.stbox_xmax, B.stbox_ymax, B.stbox_zmax, B.stbox_tmax]
+    for lit, want in cases:
+        box = B.parse_stbox(lit)
+        for fn, w in zip(acc, want):
+            got = fn(box)
+            if w is None:
+                assert got is None, (lit, fn.__name__)
+            elif isinstance(w, str):
+                assert fmt_ts(got) == w, (lit, fn.__name__)
+            else:
+                assert got == float(w), (lit, fn.__name__)
+
+
+def test_stbox_cast_goldens():
+    from mobilitydb_spark import boxops as B
+    lits = ["STBOX((1.0, 2.0), (3.0, 4.0))",
+            "STBOX Z((1.0, 2.0, 3.0), (4.0, 5.0, 6.0))",
+            "STBOX T((1.0, 2.0, 2000-01-01), (3.0, 4.0, 2000-01-02))",
+            "STBOX ZT((1.0, 2.0, 3.0, 2000-01-01), "
+            "(4.0, 5.0, 6.0, 2000-01-02))",
+            "STBOX T((, , 2000-01-01), (, , 2000-01-02))"]
+    boxes = [B.parse_stbox(s) for s in lits]
+    per = "[2000-01-01 00:00:00+00, 2000-01-02 00:00:00+00]"
+    want_period = [None, None, per, per, per]
+    for box, w in zip(boxes, want_period):
+        got = B.stbox_to_period(box)
+        assert (got is None) == (w is None)
+        if w is not None:
+            assert str(got) == w
+    want_box2d = ["BOX(1 2,3 4)", "BOX(1 2,4 5)", "BOX(1 2,3 4)",
+                  "BOX(1 2,4 5)", None]
+    assert [B.stbox_to_box2d(b) for b in boxes] == want_box2d
+    want_box3d = ["BOX3D(1 2 0,3 4 0)", "BOX3D(1 2 3,4 5 6)",
+                  "BOX3D(1 2 0,3 4 0)", "BOX3D(1 2 3,4 5 6)", None]
+    assert [B.stbox_to_box3d(b) for b in boxes] == want_box3d
+
+
+def test_stbox_cmp_goldens():
+    from mobilitydb_spark.boxops import parse_stbox, stbox_cmp
+    base = "STBOX ZT((1,2,3,2001-01-04), (1,2,3,2001-01-04))"
+    # each variant bumps one field; cmp(base, v) = -1 and cmp(v, base) = 1
+    variants = [
+        "STBOX ZT((2,2,3,2001-01-04), (2,2,3,2001-01-04))",   # xmin
+        "STBOX ZT((1,3,3,2001-01-04), (1,3,3,2001-01-04))",   # ymin
+        "STBOX ZT((1,2,4,2001-01-04), (1,2,4,2001-01-04))",   # zmin
+        "STBOX ZT((1,2,3,2001-01-05), (1,2,3,2001-01-05))",   # tmin
+        "STBOX ZT((1,2,3,2001-01-04), (2,2,3,2001-01-04))",   # xmax
+        "STBOX ZT((1,2,3,2001-01-04), (1,3,3,2001-01-04))",   # ymax
+        "STBOX ZT((1,2,3,2001-01-04), (1,2,4,2001-01-04))",   # zmax
+        "STBOX ZT((1,2,3,2001-01-04), (1,2,3,2001-01-05))",   # tmax
+    ]
+    a = parse_stbox(base)
+    for lit in variants:
+        v = parse_stbox(lit)
+        assert stbox_cmp(a, v) == -1, lit
+        assert stbox_cmp(v, a) == 1, lit
+    assert stbox_cmp(a, parse_stbox(base)) == 0
+
+
+def test_stbox_total_order_counts():
+    """The suite's closing tbl_stbox pairwise counts
+    (`50_stbox.test.out:600-629`: = 100, <> 9900, < 4950, <= 5050,
+    > 4950, >= 5050 over a 100-row table).  These are
+    dataset-independent identities of any STRICT TOTAL ORDER over 100
+    distinct values — which is exactly what they verify about
+    stbox_cmp.  Run them over a deterministic 100 distinct boxes."""
+    import numpy as np
+
+    from mobilitydb_spark.boxops import stbox_cmp, stbox_make
+    rng = np.random.default_rng(50)
+    boxes, seen = [], set()
+    while len(boxes) < 100:
+        x1, y1, z1, x2, y2, z2 = (float(v) for v in
+                                  np.round(rng.uniform(0, 100, 6), 3))
+        key = (x1, y1, z1, x2, y2, z2)
+        if key in seen:
+            continue
+        seen.add(key)
+        boxes.append(stbox_make(x1, y1, z1, x2, y2, z2))
+    n_eq = n_ne = n_lt = n_le = n_gt = n_ge = 0
+    for b1 in boxes:
+        for b2 in boxes:
+            c = stbox_cmp(b1, b2)
+            n_eq += c == 0
+            n_ne += c != 0
+            n_lt += c < 0
+            n_le += c <= 0
+            n_gt += c > 0
+            n_ge += c >= 0
+    assert (n_eq, n_ne, n_lt, n_le, n_gt, n_ge) == \
+        (100, 9900, 4950, 5050, 4950, 5050)
