@@ -558,6 +558,28 @@ def _split_top(s: str) -> list[str]:
     return [t.strip() for t in out if t.strip()]
 
 
+def parse_duration_typmod(s: str) -> int:
+    """temporal_typmod_in (`src/temporal.c:739-783`): a single duration
+    name, matched case-insensitively; anything else is an error.  SQL
+    folds the unquoted typmod identifier to lowercase before the call,
+    so error messages echo the folded form — callers emulating the SQL
+    frontend should fold before calling."""
+    for dur, name in _DUR_NAMES.items():
+        if s.lower() == name.lower():
+            return dur
+    raise ValueError(f"Invalid temporal type modifier: {s}")
+
+
+def valid_typmod(tv: "Temporal", typmod_dur: int) -> "Temporal":
+    """temporal_valid_typmod (`src/temporal.c:113-126`): a positive
+    column typmod requires the literal's duration to match exactly."""
+    if typmod_dur > 0 and tv.duration != typmod_dur:
+        raise ValueError(
+            f"Temporal type ({_DUR_NAMES[tv.duration]}) does not match "
+            f"column type ({_DUR_NAMES[typmod_dur]})")
+    return tv
+
+
 def parse_temporal(text: str, point: bool | None = None) -> Temporal:
     """Parse a temporal literal (tpoint or tfloat/tbool grammar)."""
     s = text.strip()

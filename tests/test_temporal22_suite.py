@@ -837,3 +837,41 @@ def test_22_temporal_suite():
     assert not fails, (len(fails), fails[:8])
     assert ran == 1176 and skipped == 0, (ran, skipped)
     assert quirks <= 31, quirks
+
+
+# --- typmod block (`22_temporal.test.out` `SELECT <type>(<Duration>)
+# '<literal>';` — 65 cases via scripts/port_22_typmod_goldens.py) ---------
+
+def test_typmod_goldens():
+    import json
+    import os
+
+    from mobilitydb_spark.types import parse_duration_typmod, valid_typmod
+
+    gold = json.load(open(os.path.join(
+        os.path.dirname(__file__), "goldens", "temporal_22_typmod.json")))
+    assert len(gold) == 65
+    ran = 0
+    for typ, typmod, lit, kind, want in gold:
+        def run():
+            # SQL folds the unquoted typmod identifier to lowercase
+            dur = parse_duration_typmod(typmod.lower())
+            if typ == "ttext":
+                from mobilitydb_spark.ttext import TText
+                tt = TText.parse(lit)
+                valid_typmod(tt.temporal, dur)
+                return str(tt)
+            tv = parse_temporal(lit)
+            valid_typmod(tv, dur)
+            return str(tv)
+        if kind == "ok":
+            assert run() == want, (typ, typmod, lit)
+        else:
+            try:
+                run()
+            except ValueError as e:
+                assert str(e) == want, (typ, typmod, lit, str(e))
+            else:
+                raise AssertionError(f"expected error: {typ} {typmod} {lit}")
+        ran += 1
+    assert ran == 65
