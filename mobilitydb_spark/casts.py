@@ -23,7 +23,7 @@ from .types import (INSTANT, INSTANTSET, SEQUENCE, SEQUENCESET, Period, Seq,
 
 def to_instant(tv: Temporal) -> Temporal:
     if tv.num_instants() != 1:
-        raise ValueError("cannot cast to Instant: more than one instant")
+        raise ValueError("Cannot transform input to a temporal instant")
     return Temporal(INSTANT, [tv.seqs[0]], tv.linear, tv.srid,
                     tv.step_default)
 
@@ -35,7 +35,7 @@ def to_instant_set(tv: Temporal) -> Temporal:
     if all(len(s.times) == 1 for s in tv.seqs):
         return Temporal(INSTANTSET, tv.seqs, tv.linear, tv.srid,
                         tv.step_default)
-    raise ValueError("cannot cast continuous sequences to InstantSet")
+    raise ValueError("Cannot transform input to a temporal instant set")
 
 
 def to_sequence(tv: Temporal) -> Temporal:
@@ -47,7 +47,7 @@ def to_sequence(tv: Temporal) -> Temporal:
     if len(tv.seqs) == 1:
         return Temporal(SEQUENCE, tv.seqs, tv.linear, tv.srid,
                         tv.step_default)
-    raise ValueError("cannot cast to Sequence: multiple components")
+    raise ValueError("Cannot transform input to a temporal sequence")
 
 
 def to_sequence_set(tv: Temporal) -> Temporal:

@@ -381,7 +381,42 @@ def tmult(a, b):
 
 
 def tdiv(a, b):
+    """Lifted division with the reference's zero-divisor guard
+    (`src/arithops.c` div: errors when the divisor is — or, linear,
+    crosses — zero anywhere on the domain)."""
+    if isinstance(b, Temporal):
+        # the reference synchronizes FIRST: a zero in the divisor
+        # outside the common domain is fine (24-suite ok rows)
+        from .everops import ever
+        bb = b
+        if isinstance(a, Temporal):
+            pieces = synchronize(a, b)
+            if pieces:
+                seqs = [Seq(t, bv, lo, hi)
+                        for t, _, bv, lo, hi in pieces]
+                bb = Temporal(SEQUENCESET if len(seqs) > 1
+                              else b.duration if len(b.seqs) == 1
+                              else SEQUENCESET,
+                              seqs, b.linear, b.srid, b.step_default)
+        if ever("eq", bb, 0.0):
+            raise ValueError("Division by zero")
+    elif float(np.asarray(b).reshape(-1)[0]) == 0.0:
+        raise ValueError("Division by zero")
     return lift_binary(lambda x, y: x / y, a, b, turnfn=turn_product)
+
+
+def tround(a: Temporal, digits: int = 0) -> Temporal:
+    """Lifted round (`src/mathfuncs.c` tnumber round → PG numeric
+    round, half away from zero)."""
+    scale = 10.0 ** digits
+    return lift_unary(
+        lambda v: np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale,
+        a)
+
+
+def tdegrees(a: Temporal) -> Temporal:
+    """Lifted degrees (`src/mathfuncs.c` tnumber degrees)."""
+    return lift_unary(np.degrees, a)
 
 
 def _mark_bool(out, *ops):

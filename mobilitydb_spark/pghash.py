@@ -184,3 +184,50 @@ def temporal_hash(tv, kind: str, vocab: "list[str] | None" = None) -> int:
     for s in tv.seqs:
         h = ((h << 5) - h + seq_hash(s)) & M32
     return _as_int32(h)
+
+
+def tpoint_value_hash(coords) -> int:
+    """PostGIS lwgeom_hash for a point value, as pinned by the
+    51-suite comparison block: PG hash_any over the little-endian
+    coordinate doubles.  (Hashing the type/npoints-prefixed
+    gserialized data contradicts 6 of the 192 pinned outcomes;
+    the coords-only layout reproduces all of them.)"""
+    import struct
+    return hash_any(
+        b"".join(struct.pack("<d", float(x)) for x in coords)) & M32
+
+
+def tpoint_hash(tv) -> int:
+    """temporal_hash for tgeompoint/tgeogpoint (`temporalinst.c:757`
+    with lwgeom_hash as the value hash) — same rot1-xor-hashint8
+    instant merge and (h<<5)-h fold as temporal_hash above."""
+    from .types import INSTANT, INSTANTSET, SEQUENCE
+
+    def inst_hash(coords, t_us: int) -> int:
+        vh = tpoint_value_hash(coords)
+        th = hashint8(int(t_us) - PG_EPOCH_US) & M32
+        return (_rot(vh, 1) ^ th) & M32
+
+    if tv.duration == INSTANT:
+        s = tv.seqs[0]
+        return _as_int32(inst_hash(s.values[0], int(s.times[0])))
+    if tv.duration == INSTANTSET:
+        h = 1
+        for s in tv.seqs:
+            for t, v in zip(s.times, s.values):
+                h = ((h << 5) - h + inst_hash(v, int(t))) & M32
+        return _as_int32(h)
+
+    def seq_hash(s) -> int:
+        flags = (1 if s.lower_inc else 0) | (2 if s.upper_inc else 0)
+        h = hash_uint32(flags) & M32
+        for t, v in zip(s.times, s.values):
+            h = ((h << 5) - h + inst_hash(v, int(t))) & M32
+        return h
+
+    if tv.duration == SEQUENCE:
+        return _as_int32(seq_hash(tv.seqs[0]))
+    h = 1
+    for s in tv.seqs:
+        h = ((h << 5) - h + seq_hash(s)) & M32
+    return _as_int32(h)

@@ -117,3 +117,83 @@ def test_24_tnumber_mathfuncs_suite():
     assert not fails, (len(fails), fails[:6])
     assert ran == 300 and skipped == 0, (ran, skipped)
     assert quirks <= 95, quirks
+
+
+def test_24_round_degrees_and_division_by_zero():
+    """The 19 cases of the suite outside the binary-op grammar
+    (`24_tnumber_mathfuncs.test.out`): unary round(tfloat, d),
+    round(degrees(tfloat), d), and the 7-case 'Division by zero'
+    error block — run verbatim."""
+    import pytest
+
+    from mobilitydb_spark.lifting import tdegrees, tdiv, tround
+    from mobilitydb_spark.types import parse_temporal
+
+    round_cases = [
+        ("1.5@2000-01-01", 0, "2@2000-01-01 00:00:00+00"),
+        ("{1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03}", 0,
+         "{2@2000-01-01 00:00:00+00, 3@2000-01-02 00:00:00+00, "
+         "2@2000-01-03 00:00:00+00}"),
+        ("[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03]", 0,
+         "[2@2000-01-01 00:00:00+00, 3@2000-01-02 00:00:00+00, "
+         "2@2000-01-03 00:00:00+00]"),
+        ("{[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03],"
+         "[3.5@2000-01-04, 3.5@2000-01-05]}", 0,
+         "{[2@2000-01-01 00:00:00+00, 3@2000-01-02 00:00:00+00, "
+         "2@2000-01-03 00:00:00+00], [4@2000-01-04 00:00:00+00, "
+         "4@2000-01-05 00:00:00+00]}"),
+        ("1.55@2000-01-01", 1, "1.6@2000-01-01 00:00:00+00"),
+        ("{1.55@2000-01-01, 2.55@2000-01-02, 1.55@2000-01-03}", 1,
+         "{1.6@2000-01-01 00:00:00+00, 2.6@2000-01-02 00:00:00+00, "
+         "1.6@2000-01-03 00:00:00+00}"),
+        ("[1.55@2000-01-01, 2.55@2000-01-02, 1.55@2000-01-03]", 1,
+         "[1.6@2000-01-01 00:00:00+00, 2.6@2000-01-02 00:00:00+00, "
+         "1.6@2000-01-03 00:00:00+00]"),
+        ("{[1.55@2000-01-01, 2.55@2000-01-02, 1.55@2000-01-03],"
+         "[3.55@2000-01-04, 3.55@2000-01-05]}", 1,
+         "{[1.6@2000-01-01 00:00:00+00, 2.6@2000-01-02 00:00:00+00, "
+         "1.6@2000-01-03 00:00:00+00], [3.6@2000-01-04 00:00:00+00, "
+         "3.6@2000-01-05 00:00:00+00]}"),
+    ]
+    for lit, d, want in round_cases:
+        assert str(tround(parse_temporal(lit), d)) == want, (lit, d)
+    degrees_cases = [
+        ("1.5@2000-01-01", "85.9@2000-01-01 00:00:00+00"),
+        ("{1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03}",
+         "{85.9@2000-01-01 00:00:00+00, 143.2@2000-01-02 00:00:00+00, "
+         "85.9@2000-01-03 00:00:00+00}"),
+        ("[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03]",
+         "[85.9@2000-01-01 00:00:00+00, 143.2@2000-01-02 00:00:00+00, "
+         "85.9@2000-01-03 00:00:00+00]"),
+        ("{[1.5@2000-01-01, 2.5@2000-01-02, 1.5@2000-01-03],"
+         "[3.5@2000-01-04, 3.5@2000-01-05]}",
+         "{[85.9@2000-01-01 00:00:00+00, 143.2@2000-01-02 00:00:00+00, "
+         "85.9@2000-01-03 00:00:00+00], [200.5@2000-01-04 00:00:00+00, "
+         "200.5@2000-01-05 00:00:00+00]}"),
+    ]
+    for lit, want in degrees_cases:
+        got = str(tround(tdegrees(parse_temporal(lit)), 1))
+        assert got == want, (lit, got)
+    # 'Division by zero' error block (7 cases verbatim)
+    div_err = [
+        ("tint", "1@2000-01-01", 0.0),
+        ("tfloat", "1@2000-01-01", 0.0),
+        ("scalar", 1.0, "[-1@2000-01-01, 1@2000-01-02]"),
+        ("scalar", 1.5, "[-1@2000-01-01, 1@2000-01-02]"),
+        ("tt", "[-1@2000-01-01, 1@2000-01-02]",
+         "[0@2000-01-01, 1@2000-01-02]"),
+        ("tt", "[-1@2000-01-01, 1@2000-01-02]",
+         "[-1@2000-01-01, 1@2000-01-02]"),
+        ("tt", "[1@2000-01-01, 2@2000-01-02]",
+         "[-1@2000-01-01, 1@2000-01-02]"),
+    ]
+    for kind, lhs, rhs in div_err:
+        if kind == "scalar":
+            a = const_like(parse_temporal(rhs), float(lhs))
+            b = parse_temporal(rhs)
+        elif kind == "tt":
+            a, b = parse_temporal(lhs), parse_temporal(rhs)
+        else:
+            a, b = parse_temporal(lhs), 0.0
+        with pytest.raises(ValueError, match="Division by zero"):
+            tdiv(a, b)

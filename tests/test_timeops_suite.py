@@ -107,3 +107,19 @@ def test_11_timeops_suite():
         if got != want:
             fails.append((i, lk, ll, op, rk, rl, want, got))
     assert not fails, (len(fails), fails[:6])
+
+
+def test_11_minus_ts_ts_fn_form():
+    """The suite's two function-call-form cases
+    (`11_timeops.test.out`: temporal_minus(timestamptz, timestamptz))
+    — NULL when equal, the first timestamp otherwise — via the
+    engine's period-set minus on instantaneous periods."""
+    from mobilitydb_spark import timeops
+    from mobilitydb_spark.types import Period, fmt_ts, parse_ts
+
+    t1 = int(parse_ts("2000-01-01"))
+    t2 = int(parse_ts("2000-01-02"))
+    assert timeops.minus([Period(t1, t1)], [Period(t1, t1)]) == []
+    got = timeops.minus([Period(t1, t1)], [Period(t2, t2)])
+    assert len(got) == 1 and got[0].lower == got[0].upper == t1
+    assert fmt_ts(got[0].lower) == "2000-01-01 00:00:00+00"
