@@ -122,15 +122,13 @@ def grid_disk_np(cell: np.ndarray, k: int) -> np.ndarray:
     return (r[:, None] << R_BITS) | (nx << X_BITS) | ny
 
 
-def cover_bbox_np(lon_min, lat_min, lon_max, lat_max, res: int,
-                  max_cells: int = 4096) -> np.ndarray:
-    """All cells at ``res`` whose box intersects the given bbox.
+def cover_res_np(lon_min, lat_min, lon_max, lat_max, res: int,
+                 max_cells: int = 4096) -> int:
+    """The resolution ``cover_bbox_np`` would cover this bbox at.
 
-    The Spark stand-in for computing an R-tree key cover of an STBOX
-    (`point/src/tpoint_boxops.c:246-538`).  If the bbox would need
-    more than ``max_cells``, the resolution is coarsened — covers are
-    conservative by construction, the refine step stays exact.
-    """
+    Bounds-only (no cell materialization) — lets a caller enumerate
+    the distinct cover levels of a polygon layer without evaluating
+    the full cover explosion."""
     r = res
     while r > 0:
         x0, y1 = xy_np(np.array([lon_min]), np.array([lat_min]), r)
@@ -140,6 +138,21 @@ def cover_bbox_np(lon_min, lat_min, lon_max, lat_max, res: int,
         if nx * ny <= max_cells:
             break
         r -= 1
+    return r
+
+
+def cover_bbox_np(lon_min, lat_min, lon_max, lat_max, res: int,
+                  max_cells: int = 4096) -> np.ndarray:
+    """All cells at ``res`` whose box intersects the given bbox.
+
+    The Spark stand-in for computing an R-tree key cover of an STBOX
+    (`point/src/tpoint_boxops.c:246-538`).  If the bbox would need
+    more than ``max_cells``, the resolution is coarsened — covers are
+    conservative by construction, the refine step stays exact.
+    """
+    r = cover_res_np(lon_min, lat_min, lon_max, lat_max, res, max_cells)
+    x0, y1 = xy_np(np.array([lon_min]), np.array([lat_min]), r)
+    x1, y0 = xy_np(np.array([lon_max]), np.array([lat_max]), r)
     xs = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
     ys = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")

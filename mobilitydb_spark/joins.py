@@ -36,7 +36,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, LongType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                               StructField, StructType)
 
 from . import cells, geo
 
@@ -48,18 +49,24 @@ DEFAULT_RES = 12
 # ---------------------------------------------------------------------------
 
 def polygon_covers(polygons: DataFrame, res: int = DEFAULT_RES,
-                   max_cells: int = 4096) -> DataFrame:
-    """(cell, poly_id, geom_wkb): conservative bbox cover per polygon.
+                   max_cells: int = 4096,
+                   with_geom: bool = True) -> DataFrame:
+    """(cell, poly_id[, geom_wkb]): conservative bbox cover per polygon.
 
     Coarse polygons fall back to coarser cells (cover_bbox_np caps the
-    cell count), so the output also carries ``cover_res`` — the join
-    must then probe each distinct cover resolution (normally just one).
+    cell count), so the cell ids carry their resolution in the high
+    bits — the join must probe each distinct cover resolution
+    (normally just one).  ``with_geom=False`` omits the WKB column:
+    the shuffle then moves only (cell, poly_id) rows and the geometry
+    is re-attached post-join from the polygon dim — at crawl scale the
+    replicated WKB bytes, not the cell ids, dominate cover shuffle
+    volume.
     """
-    out_schema = StructType([
-        StructField("cell", LongType()),
-        StructField("poly_id", LongType()),
-        StructField("geom_wkb", BinaryType()),
-    ])
+    fields = [StructField("cell", LongType()),
+              StructField("poly_id", LongType())]
+    if with_geom:
+        fields.append(StructField("geom_wkb", BinaryType()))
+    out_schema = StructType(fields)
 
     def explode_cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,16 +79,47 @@ def polygon_covers(polygons: DataFrame, res: int = DEFAULT_RES,
                 cc = cells.cover_bbox_np(*b, res=res, max_cells=max_cells)
                 rows_cell.append(cc)
                 rows_pid.append(np.full(len(cc), pid, dtype=np.int64))
-                rows_wkb.extend([bytes(wkb)] * len(cc))
+                if with_geom:
+                    rows_wkb.extend([bytes(wkb)] * len(cc))
             if not rows_cell:
                 continue
-            yield pd.DataFrame({
-                "cell": np.concatenate(rows_cell),
-                "poly_id": np.concatenate(rows_pid),
-                "geom_wkb": rows_wkb})
+            out = {"cell": np.concatenate(rows_cell),
+                   "poly_id": np.concatenate(rows_pid)}
+            if with_geom:
+                out["geom_wkb"] = rows_wkb
+            yield pd.DataFrame(out)
 
     return polygons.select("poly_id", "geom_wkb") \
         .mapInPandas(explode_cover, out_schema)
+
+
+def polygon_cover_res(polygons: DataFrame, res: int = DEFAULT_RES,
+                      max_cells: int = 4096) -> DataFrame:
+    """(poly_id, r): the cover resolution each polygon's bbox selects.
+
+    One bounds-only row per polygon — no cell explosion — so a caller
+    can enumerate the distinct cover levels with a job that is
+    O(#polygons), not O(#cover cells)."""
+    out_schema = StructType([StructField("poly_id", LongType()),
+                             StructField("r", IntegerType())])
+
+    def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids, rs = [], []
+            for pid, wkb in zip(pdf["poly_id"], pdf["geom_wkb"]):
+                b = geo.from_wkb(wkb).bounds()
+                if b is None:
+                    continue
+                pids.append(pid)
+                rs.append(cells.cover_res_np(*b, res=res,
+                                             max_cells=max_cells))
+            if not pids:
+                continue
+            yield pd.DataFrame({"poly_id": np.asarray(pids, np.int64),
+                                "r": np.asarray(rs, np.int32)})
+
+    return polygons.select("poly_id", "geom_wkb") \
+        .mapInPandas(pick, out_schema)
 
 
 def _refine_pip(joined: DataFrame, point_cols: list[str]) -> DataFrame:
@@ -139,10 +177,17 @@ def pip_join_shuffle(points: DataFrame, polygons: DataFrame,
     point_cols = [c for c in points.columns]
     pts = points.withColumn(
         "cell", cells.cell_col(F.col("lon"), F.col("lat"), res))
-    covers = polygon_covers(polygons, res)
-    # polygons may cover at coarser resolutions; probe each present level
-    res_rows = [r["r"] for r in
-                covers.select(F.shiftright("cell", cells.R_BITS).alias("r"))
+    # SLIM covers: the shuffle moves (cell, poly_id) pairs only; the
+    # WKB geometry joins back on poly_id after the cell equi-join
+    # (Catalyst auto-broadcasts a small dim; AQE converts at runtime
+    # otherwise), so polygon bytes never replicate per cover cell.
+    covers = polygon_covers(polygons, res, with_geom=False)
+    geoms = polygons.select("poly_id", "geom_wkb")
+    # polygons may cover at coarser resolutions; probe each present
+    # level — enumerated by a bounds-only O(#polygons) pass, not by
+    # evaluating the cover explosion twice
+    res_rows = [row["r"] for row in
+                polygon_cover_res(polygons, res).select("r")
                 .distinct().collect()]
     joined_parts = []
     for r in sorted(res_rows):
@@ -167,7 +212,8 @@ def pip_join_shuffle(points: DataFrame, polygons: DataFrame,
             joined = pts_r.join(cov_r, ["jcell", "salt"])
         else:
             joined = pts_r.join(cov_r, "jcell")
-        joined_parts.append(_refine_pip(joined, point_cols))
+        joined_parts.append(_refine_pip(joined.join(geoms, "poly_id"),
+                                        point_cols))
     out = joined_parts[0]
     for p in joined_parts[1:]:
         out = out.unionByName(p)
