@@ -101,6 +101,36 @@ def main() -> None:
         .alias("v"))
     probes = [base_us + h * 3 * 3_600_000_000 for h in range(240)]
 
+    # kNN-join workload: every geotag point in the join corpus is a
+    # candidate; a deterministic 1-in-64 hash slice of them are the
+    # queries (NOT limit(), which collapses parallelism).  Exercises
+    # the density-adaptive ladder end-to-end: per-cell counts at every
+    # resolution, broadcast count join, disk explode, windowed top-k.
+    kpts = pipeline.extract_points(jpages)
+    knn_c = kpts.select(
+        F.xxhash64("url", "tag_idx").alias("c_id"), "lon", "lat")
+    knn_q = knn_c.where(F.pmod(F.col("c_id"), F.lit(64)) == 0).select(
+        F.col("c_id").alias("q_id"), "lon", "lat")
+
+    # interval-join workload: one span per page over a 30-day domain,
+    # duration 0-26 s (hash-distributed) so the expected pair count
+    # stays ~n*avg_overlap rather than quadratic; even/odd hash split
+    # gives the two sides.  Exercises the auto bucket sizing, the
+    # long-span split and the claim-by-first-common-bucket dedup.
+    sp = pages.select(
+        F.xxhash64("url").alias("sid"),
+        (F.lit(base_us)
+         + F.pmod(F.xxhash64("url", F.lit(3)), F.lit(span_us)))
+        .alias("t0_us"),
+        F.pmod(F.xxhash64("url", F.lit(4)), F.lit(26_000_000))
+        .alias("dur"))
+    sp = sp.select("sid", "t0_us",
+                   (F.col("t0_us") + F.col("dur")).alias("t1_us"))
+    iv_l = sp.where(F.pmod(F.col("sid"), F.lit(2)) == 0) \
+        .select(F.col("sid").alias("l_id"), "t0_us", "t1_us")
+    iv_r = sp.where(F.pmod(F.col("sid"), F.lit(2)) == 1) \
+        .select(F.col("sid").alias("r_id"), "t0_us", "t1_us")
+
     ops = {
         "flagship": lambda: pipeline.flagship(pages, admin, zoom=12).count(),
         "pyramid": lambda: tiles.build_pyramid(
@@ -117,6 +147,8 @@ def main() -> None:
             ST.temporal_agg_profile(ev_prepart, probes)),
         "tcount_seq": lambda: force(AG.tcount_sequences(
             ev.select(F.col("key").alias("mkey"), "t"))),
+        "knn": lambda: joins.knn_join(knn_q, knn_c, 5).count(),
+        "interval": lambda: joins.interval_join(iv_l, iv_r).count(),
     }
     if "tagg_prepart" in (set(args.ops.split(",")) if args.ops else ops):
         ev_prepart = ev.repartition(4 * args.cpus, "key").persist()
