@@ -101,28 +101,38 @@ def main() -> None:
         .alias("v"))
     probes = [base_us + h * 3 * 3_600_000_000 for h in range(240)]
 
-    # kNN-join workload: every geotag point in the join corpus is a
-    # candidate; a deterministic 1-in-64 hash slice of them are the
-    # queries (NOT limit(), which collapses parallelism).  Exercises
-    # the density-adaptive ladder end-to-end: per-cell counts at every
-    # resolution, broadcast count join, disk explode, windowed top-k.
-    kpts = pipeline.extract_points(jpages)
-    knn_c = kpts.select(
-        F.xxhash64("url", "tag_idx").alias("c_id"), "lon", "lat")
-    knn_q = knn_c.where(F.pmod(F.col("c_id"), F.lit(64)) == 0).select(
+    # kNN-join workload: ONE hash-placed point per join-page row (the
+    # in-text geotags are too sparse — ~2% of pages — to make a heavy
+    # corpus), clustered toward a hot band by squaring the longitude
+    # hash so the density-adaptive ladder actually splits levels; a
+    # deterministic 1-in-64 hash slice are the queries (NOT limit(),
+    # which collapses parallelism).  Exercises the full ladder:
+    # per-cell counts at every resolution, broadcast count join, disk
+    # explode, windowed top-k.
+    hx = F.pmod(F.xxhash64("url", F.lit(5)), F.lit(1_000_000))
+    knn_c = jpages.select(
+        F.xxhash64("url", F.lit(6)).alias("c_id"),
+        (hx * hx / F.lit(1e12) * 340.0 - 170.0).alias("lon"),
+        (F.pmod(F.xxhash64("url", F.lit(7)), F.lit(1_600_000))
+         / 10_000.0 - 80.0).alias("lat"))
+    # 1-in-8: kNN-join cost is query-count-bound (each query touches
+    # ~target_cands candidates regardless of corpus size), so the
+    # query side must scale with the corpus for the pair to measure
+    # the join rather than the fixed job floor
+    knn_q = knn_c.where(F.pmod(F.col("c_id"), F.lit(8)) == 0).select(
         F.col("c_id").alias("q_id"), "lon", "lat")
 
-    # interval-join workload: one span per page over a 30-day domain,
-    # duration 0-26 s (hash-distributed) so the expected pair count
-    # stays ~n*avg_overlap rather than quadratic; even/odd hash split
-    # gives the two sides.  Exercises the auto bucket sizing, the
-    # long-span split and the claim-by-first-common-bucket dedup.
-    sp = pages.select(
+    # interval-join workload: one span per join-page row over a 30-day
+    # domain, duration 0-100 s (hash-distributed) so the expected pair
+    # count stays ~n*avg_overlap rather than quadratic; even/odd hash
+    # split gives the two sides.  Exercises the auto bucket sizing,
+    # the long-span split and the claim-by-first-common-bucket dedup.
+    sp = jpages.select(
         F.xxhash64("url").alias("sid"),
         (F.lit(base_us)
          + F.pmod(F.xxhash64("url", F.lit(3)), F.lit(span_us)))
         .alias("t0_us"),
-        F.pmod(F.xxhash64("url", F.lit(4)), F.lit(26_000_000))
+        F.pmod(F.xxhash64("url", F.lit(4)), F.lit(100_000_000))
         .alias("dur"))
     sp = sp.select("sid", "t0_us",
                    (F.col("t0_us") + F.col("dur")).alias("t1_us"))
