@@ -118,9 +118,23 @@ def main() -> None:
     # 1-in-8: kNN-join cost is query-count-bound (each query touches
     # ~target_cands candidates regardless of corpus size), so the
     # query side must scale with the corpus for the pair to measure
-    # the join rather than the fixed job floor
-    knn_q = knn_c.where(F.pmod(F.col("c_id"), F.lit(8)) == 0).select(
-        F.col("c_id").alias("q_id"), "lon", "lat")
+    # the join rather than the fixed job floor.  The slice REMAINDER
+    # rotates per call: knn_join persists its ranked result
+    # internally, so an identical lambda re-run is served from
+    # Spark's plan cache and times hollow (measured: 6.9 s "rep" vs
+    # 64 s true cost).  Rotating gives every rep an equal-sized,
+    # disjoint, hash-uniform query set and full re-execution; the
+    # corpus-side cell cache (cpts) is plan-identical across calls
+    # and stays warm, which is the deployment shape — corpus prep
+    # amortizes, per-query work does not.
+    knn_i = {"i": 0}
+
+    def knn_op():
+        rem = knn_i["i"] % 8
+        knn_i["i"] += 1
+        q = knn_c.where(F.pmod(F.col("c_id"), F.lit(8)) == rem).select(
+            F.col("c_id").alias("q_id"), "lon", "lat")
+        return joins.knn_join(q, knn_c, 5).count()
 
     # interval-join workload: one span per join-page row over a 30-day
     # domain, duration 0-100 s (hash-distributed) so the expected pair
@@ -157,7 +171,7 @@ def main() -> None:
             ST.temporal_agg_profile(ev_prepart, probes)),
         "tcount_seq": lambda: force(AG.tcount_sequences(
             ev.select(F.col("key").alias("mkey"), "t"))),
-        "knn": lambda: joins.knn_join(knn_q, knn_c, 5).count(),
+        "knn": knn_op,
         "interval": lambda: joins.interval_join(iv_l, iv_r).count(),
     }
     if "tagg_prepart" in (set(args.ops.split(",")) if args.ops else ops):
