@@ -330,7 +330,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              resolutions: tuple[int, ...] = (16, 14, 12, 10, 8),
              rings: int = 1, target_cands: int = 64,
              query_id: str = "q_id", cand_id: str = "c_id",
-             broadcast_queries: bool = False) -> DataFrame:
+             broadcast_queries: bool = False,
+             broadcast_counts: bool | None = None) -> DataFrame:
     """k nearest candidate points per query point (planar degrees).
 
     **Density-adaptive resolution** — the skew answer for kNN: a
@@ -391,24 +392,60 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # map-side, and the <= |Q|·levels result broadcasts back.  Cell
     # ids encode their resolution, so one combined table serves every
     # level's join without collisions.
-    qcells = (qpts.select(F.explode(F.array(
-        *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
-        .distinct())
-    counts = (cpts.select(F.explode(F.array(
-        *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
-        .join(F.broadcast(qcells), "cell")
-        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= target_cands))
-    for r in resolutions[:-1]:
-        cnt = counts.select(F.col("cell"), F.col("n").alias(f"cnt{r}"))
-        qpts = qpts.join(F.broadcast(cnt),
-                         qpts[f"cell{r}"] == cnt["cell"], "left") \
-                   .drop("cell")
-    # build the chosen-resolution expression finest-first
-    expr = F.lit(resolutions[-1])
-    for r in reversed(resolutions[:-1]):
-        expr = F.when(F.col(f"cnt{r}").isNotNull(), F.lit(r)).otherwise(expr)
-    qpts = qpts.withColumn("res", expr)
+    # ``broadcast_counts``: the broadcast form builds |Q|·levels-row
+    # hash tables ON THE DRIVER — measured ~16 s of serial time per
+    # call at 250k queries (Amdahl fit of the 4→16-core scaling pair:
+    # 0.67 efficiency), which caps scaling however many executors the
+    # cluster has.  Auto mode counts the query side (one narrow job)
+    # and switches to a fully-parallel long-form shuffle join when it
+    # is large; the broadcast form stays the default shape for the
+    # common small-query-set case (it is 13x faster there, see above).
+    if broadcast_counts is None:
+        broadcast_counts = queries.count() <= 50_000
+    if broadcast_counts:
+        qcells = (qpts.select(F.explode(F.array(
+            *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
+            .distinct())
+        counts = (cpts.select(F.explode(F.array(
+            *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
+            .join(F.broadcast(qcells), "cell")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= target_cands))
+        for r in resolutions[:-1]:
+            cnt = counts.select(F.col("cell"), F.col("n").alias(f"cnt{r}"))
+            qpts = qpts.join(F.broadcast(cnt),
+                             qpts[f"cell{r}"] == cnt["cell"], "left") \
+                       .drop("cell")
+        # build the chosen-resolution expression finest-first
+        expr = F.lit(resolutions[-1])
+        for r in reversed(resolutions[:-1]):
+            expr = F.when(F.col(f"cnt{r}").isNotNull(), F.lit(r)) \
+                    .otherwise(expr)
+        qpts = qpts.withColumn("res", expr)
+    else:
+        # long form: melt the query cells once, count candidates only
+        # in query-occupied cells via ONE shuffle equi-join (cell ids
+        # encode their resolution, so one join serves every level),
+        # and pick the finest satisfied level with a max() — no
+        # driver-side |Q|-sized structure anywhere, every stage
+        # shuffles on a key.  Exactly the semantics of the broadcast
+        # ladder above.
+        qlong = qpts.select(query_id, F.explode(F.array(
+            *[F.struct(F.lit(r).alias("r"),
+                       F.col(f"cell{r}").alias("cell"))
+              for r in resolutions[:-1]])).alias("s")) \
+            .select(query_id, F.col("s.r").alias("r"),
+                    F.col("s.cell").alias("cell"))
+        clong = cpts.select(F.explode(F.array(
+            *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
+        counts = (clong.join(qlong.select("cell").distinct(), "cell")
+                  .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                  .where(F.col("n") >= target_cands))
+        sat = (qlong.join(counts, "cell")
+               .groupBy(query_id).agg(F.max("r").alias("res")))
+        qpts = qpts.join(sat, query_id, "left") \
+            .withColumn("res", F.coalesce(F.col("res"),
+                                          F.lit(resolutions[-1])))
 
     w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(cand_id))
     dist = F.sqrt((F.col("lon") - F.col("c_lon")) ** 2
