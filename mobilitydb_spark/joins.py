@@ -365,6 +365,22 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
        distance exceeds the covered radius ``rings · cell_height`` —
        or that found fewer than k — re-runs in a brute pass over the
        (small) remainder.
+
+    Candidates beyond the guarantee radius are filtered out map-side
+    BEFORE the top-k window — routing-identical, because such a
+    candidate can only matter to a query whose k-th distance exceeds
+    the guarantee, and that query is re-run anyway: pre-filter, it
+    failed ``dmax <= g``; post-filter it fails ``found >= k`` — the
+    same query set retries either way, and a satisfied query's top-k
+    lies entirely within g so its output rows are bit-identical.  This
+    bounds the window's input to the ~pi·target_cands in-radius
+    candidates per query instead of the ladder-overshoot disk
+    population (own-cell count lands anywhere in
+    [target, 16·target) from the 2-level step, ×9 disk cells — up to
+    ~150x target): measured on an 8M-corpus × 1M-query pair, the
+    unfiltered window spilled its sort at shuffle_partitions=cpus and
+    capped scaling at 0.47 efficiency with a ~235 s non-scaling
+    component (BENCH/quiet_knn_interval_r5.log attempt 8).
     """
     from pyspark.sql import Window
     resolutions = tuple(sorted(resolutions, reverse=True))
@@ -480,8 +496,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             .where(F.col(query_id) != F.col(cand_id))
         guarantee = rings * 180.0 / (1 << r)
         parts.append(
-            cand.select(query_id, cand_id, dist.alias("dist"),
-                        F.lit(guarantee).alias("guarantee")))
+            cand.select(query_id, cand_id, dist.alias("dist"))
+                .where(F.col("dist") <= F.lit(guarantee)))
     allcand = parts[0]
     for p in parts[1:]:
         allcand = allcand.unionByName(p)
@@ -490,14 +506,12 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
               .withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)).persist()
 
-    per_q = ranked.groupBy(query_id).agg(
-        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"),
-        F.max("guarantee").alias("g"))
-    # bad = every query NOT proven satisfied (a query with ZERO
-    # candidates has no per_q row at all, so a found<k filter alone
-    # would silently drop it)
-    ok = per_q.where((F.col("found") >= k) & (F.col("dmax") <= F.col("g"))) \
-              .select(query_id)
+    # every surviving candidate is within the guarantee radius, so
+    # found >= k alone proves the query satisfied (dmax <= g is
+    # automatic); a query with ZERO in-radius candidates has no per_q
+    # row at all, so bad is built by anti-join, not a found<k filter
+    per_q = ranked.groupBy(query_id).agg(F.count(F.lit(1)).alias("found"))
+    ok = per_q.where(F.col("found") >= k).select(query_id)
     bad = queries.select(query_id).distinct().join(ok, query_id, "left_anti")
     n_bad = bad.count()  # materializes `ranked` exactly once
     keep = ranked.select(query_id, cand_id, "dist", "rank")
@@ -543,18 +557,16 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                     .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell")
               .where(F.col(query_id) != F.col(cand_id)))
         rguar = retry_rings * 180.0 / (1 << r)
-        rparts.append(rc.select(query_id, cand_id, dist.alias("dist"),
-                                F.lit(rguar).alias("guarantee")))
+        rparts.append(rc.select(query_id, cand_id, dist.alias("dist"))
+                        .where(F.col("dist") <= F.lit(rguar)))
     rall = rparts[0]
     for p in rparts[1:]:
         rall = rall.unionByName(p)
     ranked2 = (rall.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= k)).persist()
     per_q2 = ranked2.groupBy(query_id).agg(
-        F.count(F.lit(1)).alias("found"), F.max("dist").alias("dmax"),
-        F.max("guarantee").alias("g"))
-    ok2 = per_q2.where((F.col("found") >= k)
-                       & (F.col("dmax") <= F.col("g"))).select(query_id)
+        F.count(F.lit(1)).alias("found"))
+    ok2 = per_q2.where(F.col("found") >= k).select(query_id)
     bad2 = bad.join(ok2, query_id, "left_anti")
     n_bad2 = bad2.count()
     keep2 = ranked2.select(query_id, cand_id, "dist", "rank")
