@@ -501,6 +501,20 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     allcand = parts[0]
     for p in parts[1:]:
         allcand = allcand.unionByName(p)
+    # NOTE on window-exchange sizing (measured on the 8M x 1M scaling
+    # pair, BENCH/quiet_knn_interval_r5.log): each query carries
+    # ~pi*own_count in-radius candidates (own_count in
+    # [target, 16*target) from the 2-level ladder), so at 1M queries
+    # the top-k window sorts ~3.2e8 narrow rows (measured).  An explicit
+    # repartition(|Q|/1250, query_id) to shrink sort partitions was
+    # tried and REJECTED: it adds a full extra exchange of the
+    # candidate relation (~5.9 GB written, +79 s at 16 cores) to save
+    # a sort spill that adequate executor memory eliminates for free.
+    # The sort partition count is spark.sql.shuffle.partitions — on a
+    # real cluster that is sized to the data (thousands), and the
+    # scaling harness provisions memory per core, so each sort
+    # partition (~|cand|/sp) must fit the per-task execution memory
+    # the deployment provides.
     # persist: feeds the guarantee check, keep-side anti-join, fallback
     ranked = (allcand
               .withColumn("rank", F.row_number().over(w))

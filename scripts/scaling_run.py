@@ -42,6 +42,20 @@ def main() -> None:
     from mobilitydb_spark import fixtures, joins, pipeline, tiles
     from mobilitydb_spark.session import get_spark
 
+    # Memory scales WITH the parallelism level (2 GB/core unless the
+    # caller pinned SPARK_GRAFT_DRIVER_MEM): the north rule compares
+    # the same job on two CLUSTER SIZES, and a cluster of 4x the
+    # executors brings 4x the executor memory with it.  Pinning one
+    # fixed heap while quadrupling cores models a different hardware
+    # change — per-task execution memory shrinks 4x, and any
+    # memory-hungry stage (e.g. the kNN top-k window sort: ~6 GB of
+    # in-flight rows at the 8M x 1M workload) starts spilling ONLY in
+    # the high-core half, which reads as fake non-scaling work (kNN
+    # pair measured 0.53 at a fixed 8 GB heap with 13 GB of sort
+    # spill at 16 cores vs in-memory at 4; see
+    # BENCH/quiet_knn_interval_r5.log).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * args.cpus}g")
+
     # 1x cores shuffle partitions (the get_spark default): the old
     # "4x waves even out stragglers" heuristic COST the 16-core tagg
     # half ~70% (sp=64: 7.1-7.9 s vs sp=16: 4.2 s, in-process clean
