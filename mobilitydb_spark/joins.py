@@ -331,7 +331,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              rings: int = 1, target_cands: int = 64,
              query_id: str = "q_id", cand_id: str = "c_id",
              broadcast_queries: bool = False,
-             broadcast_counts: bool | None = None) -> DataFrame:
+             broadcast_counts: bool | None = None,
+             adaptive_factor: float | None = 9.0) -> DataFrame:
     """k nearest candidate points per query point (planar degrees).
 
     **Density-adaptive resolution** — the skew answer for kNN: a
@@ -381,7 +382,26 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     unfiltered window spilled its sort at shuffle_partitions=cpus and
     capped scaling at 0.47 efficiency with a ~235 s non-scaling
     component (BENCH/quiet_knn_interval_r5.log attempt 8).
+
+    ``adaptive_factor`` tightens that filter further, per query, from
+    the own-cell DENSITY: with n candidates in the query's chosen
+    cell (area a), the radius expected to hold ``adaptive_factor·k``
+    candidates is r' = sqrt(factor·k·a / (pi·n)), and the filter uses
+    min(g, r').  The SAME exactness argument applies at any radius:
+    every surviving candidate is within r', every excluded one is
+    beyond r', so ``found >= k`` proves the top-k exact, and a query
+    whose k-th neighbour lies beyond r' simply fails into the
+    widened-ring retry it already had.  The expected window input
+    drops from ~pi·own_n per query (own_n up to 16·target from the
+    ladder step) to ~factor·k — the difference between a spilling
+    sort and an in-memory one at 1M queries (the r5-close profile
+    measured the spilling form at 329→805 task-seconds from 4→16-way
+    concurrency, BENCH/knn_profile_*_r5.txt, while the no-spill sort
+    substrate scales at 0.83).  Queries whose chosen level has no
+    counted cell (the coarsest-level fallback) keep the full g.
+    ``None`` disables (filter at g exactly as before).
     """
+    import math
     from pyspark.sql import Window
     resolutions = tuple(sorted(resolutions, reverse=True))
     finest = resolutions[0]
@@ -438,6 +458,14 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             expr = F.when(F.col(f"cnt{r}").isNotNull(), F.lit(r)) \
                     .otherwise(expr)
         qpts = qpts.withColumn("res", expr)
+        # own-cell count at the chosen level (null at the coarsest
+        # fallback level, which is never counted) — feeds the
+        # adaptive filter radius
+        own = F.lit(None).cast("long")
+        for r in resolutions[:-1]:
+            own = F.when(F.col("res") == r, F.col(f"cnt{r}")) \
+                   .otherwise(own)
+        qpts = qpts.withColumn("own_n", own)
     else:
         # long form: melt the query cells once, count candidates only
         # in query-occupied cells via ONE shuffle equi-join (cell ids
@@ -458,8 +486,11 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                   .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
                   .where(F.col("n") >= target_cands))
         sat = (qlong.join(counts, "cell")
-               .groupBy(query_id).agg(F.max("r").alias("res")))
-        qpts = qpts.join(sat, query_id, "left") \
+               .groupBy(query_id)
+               .agg(F.max(F.struct("r", "n")).alias("s")))
+        qpts = qpts.join(
+            sat.select(query_id, F.col("s.r").alias("res"),
+                       F.col("s.n").alias("own_n")), query_id, "left") \
             .withColumn("res", F.coalesce(F.col("res"),
                                           F.lit(resolutions[-1])))
 
@@ -469,8 +500,22 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
 
     parts = []
     for r in resolutions:
+        guarantee = rings * 180.0 / (1 << r)
+        if adaptive_factor is not None:
+            # radius expected to hold ~factor*k candidates at the
+            # own-cell density n / a_r, clamped to the disk guarantee
+            a_r = (360.0 / (1 << r)) * (180.0 / (1 << r))
+            r_ad = F.sqrt(F.lit(adaptive_factor * k * a_r / math.pi)
+                          / F.col("own_n"))
+            rad = F.when(F.col("own_n").isNotNull()
+                         & (F.col("own_n") > 0),
+                         F.least(F.lit(guarantee), r_ad)) \
+                   .otherwise(F.lit(guarantee))
+        else:
+            rad = F.lit(guarantee)
         q_r = qpts.where(F.col("res") == r) \
-            .select(query_id, "lon", "lat", F.col(f"cell{r}").alias("cell"))
+            .select(query_id, "lon", "lat",
+                    F.col(f"cell{r}").alias("cell"), rad.alias("rad"))
         disk_schema = StructType(list(q_r.schema.fields)
                                  + [StructField("jcell", LongType())])
 
@@ -494,10 +539,9 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             cpts.withColumnRenamed(f"cell{r}", "jcell")
                 .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell") \
             .where(F.col(query_id) != F.col(cand_id))
-        guarantee = rings * 180.0 / (1 << r)
         parts.append(
-            cand.select(query_id, cand_id, dist.alias("dist"))
-                .where(F.col("dist") <= F.lit(guarantee)))
+            cand.where(dist <= F.col("rad"))
+                .select(query_id, cand_id, dist.alias("dist")))
     allcand = parts[0]
     for p in parts[1:]:
         allcand = allcand.unionByName(p)
@@ -520,10 +564,11 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
               .withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)).persist()
 
-    # every surviving candidate is within the guarantee radius, so
-    # found >= k alone proves the query satisfied (dmax <= g is
-    # automatic); a query with ZERO in-radius candidates has no per_q
-    # row at all, so bad is built by anti-join, not a found<k filter
+    # every surviving candidate is within that query's filter radius
+    # (<= the guarantee g), so found >= k alone proves the query
+    # satisfied — no excluded candidate can displace a survivor; a
+    # query with ZERO in-radius candidates has no per_q row at all,
+    # so bad is built by anti-join, not a found<k filter
     per_q = ranked.groupBy(query_id).agg(F.count(F.lit(1)).alias("found"))
     ok = per_q.where(F.col("found") >= k).select(query_id)
     bad = queries.select(query_id).distinct().join(ok, query_id, "left_anti")

@@ -256,3 +256,37 @@ def test_interval_join_bimodal_auto_bucket(spark):
     W = max(2 * med, p90, 1)
     nb = (pdf["t1_us"] // W) - (pdf["t0_us"] // W) + 1
     assert (nb <= 64).all()  # nothing takes the broadcast NL pass
+
+
+def test_knn_adaptive_radius_output_identical(spark):
+    """The density-adaptive filter radius (adaptive_factor) must be
+    output-identical to the plain guarantee-radius path on a skewed
+    corpus: a dense cluster (where r' << g genuinely tightens the
+    filter) plus a sparse tail (coarsest-level fallback keeps g).
+    Exactness argument in joins.knn_join's docstring: found >= k
+    within ANY radius proves the top-k, failures retry."""
+    rng = np.random.default_rng(11)
+    dense_lon = 10.0 + rng.uniform(0, 0.1, 600)
+    dense_lat = 50.0 + rng.uniform(0, 0.1, 600)
+    sparse_lon = rng.uniform(-60, 60, 200)
+    sparse_lat = rng.uniform(-40, 40, 200)
+    cpdf = pd.DataFrame({
+        "c_id": [f"c{i}" for i in range(800)],
+        "lon": np.concatenate([dense_lon, sparse_lon]),
+        "lat": np.concatenate([dense_lat, sparse_lat])})
+    qpdf = cpdf.iloc[::17].rename(columns={"c_id": "q_id"}).copy()
+    q = spark.createDataFrame(qpdf)
+    c = spark.createDataFrame(cpdf)
+    kwargs = dict(resolutions=(12, 10, 8), rings=1, target_cands=8)
+    got_ad = (joins.knn_join(q, c, 4, adaptive_factor=9.0, **kwargs)
+              .toPandas().sort_values(["q_id", "rank"])
+              .reset_index(drop=True))
+    got_g = (joins.knn_join(q, c, 4, adaptive_factor=None, **kwargs)
+             .toPandas().sort_values(["q_id", "rank"])
+             .reset_index(drop=True))
+    assert len(got_ad) and len(got_ad) == len(got_g)
+    pd.testing.assert_frame_equal(got_ad, got_g, check_like=True)
+    # non-vacuity: a dense-cluster query's own-cell population at the
+    # chosen level must exceed factor*k, otherwise r' never < g and
+    # this test pins nothing
+    assert (qpdf["lon"] < 11).sum() > 0
