@@ -30,6 +30,7 @@ R-trees (`point/src/sql/70_tpoint_gist.in.sql`,
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -494,6 +495,39 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             .withColumn("res", F.coalesce(F.col("res"),
                                           F.lit(resolutions[-1])))
 
+    # coarsest-level own-cell counts: the ladder only counts the finer
+    # levels (they gate the resolution CHOICE), so a query that falls
+    # back to the coarsest level used to carry own_n = NULL and the
+    # density-adaptive filter radius silently stayed at the full disk
+    # guarantee — on the 8M x 1M scaling workload that fallback is the
+    # COMMON case (coarse cells hold ~140 candidates, finer ones a
+    # handful), so the top-k window sorted ~300 in-guarantee candidates
+    # per query (6.7 GB / 1340 executor-s measured) instead of the
+    # ~factor*k the adaptive radius promises.  The coarsest level has
+    # at most 4^res cells, so its count table is broadcast-bounded by
+    # construction — no query-cell restriction needed; gate on res<=11
+    # (<= 4M cells) for exotic ladders and fall back to the old
+    # NULL-own_n behaviour (full guarantee) beyond it.
+    coarsest = resolutions[-1]
+    if adaptive_factor is not None and coarsest <= 11:
+        ccnt = cpts.groupBy(F.col(f"cell{coarsest}").alias("_ccell")) \
+                   .agg(F.count(F.lit(1)).alias("_cn"))
+        qpts = qpts.join(F.broadcast(ccnt),
+                         qpts[f"cell{coarsest}"] == F.col("_ccell"),
+                         "left").drop("_ccell")
+        qpts = qpts.withColumn(
+            "own_n",
+            F.coalesce(F.col("own_n"),
+                       F.when(F.col("res") == coarsest, F.col("_cn")))) \
+            .drop("_cn")
+
+    # persist: the chosen-resolution ladder (two joins + aggregations
+    # over the candidate scan) feeds every per-resolution branch below
+    # plus the retry pass — unpersisted, each branch re-ran the whole
+    # ladder subtree (5 x ~30 executor-s measured on the 8M x 1M
+    # workload).  |Q| rows x ~12 narrow columns.
+    qpts = qpts.persist()
+
     w = Window.partitionBy(query_id).orderBy(F.asc("dist"), F.asc(cand_id))
     dist = F.sqrt((F.col("lon") - F.col("c_lon")) ** 2
                   + (F.col("lat") - F.col("c_lat")) ** 2)
@@ -513,30 +547,65 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                    .otherwise(F.lit(guarantee))
         else:
             rad = F.lit(guarantee)
+        # JOIN one ladder level finer than the guarantee level: the
+        # branch's filter radius (<= the guarantee g) is known per
+        # query, so the cover only needs the rj-cells intersecting
+        # circle(q, rad) — ceil(rad / cell_height(rj)) square rings,
+        # at most rings * 2^(r - rj) of them (coverage parity with the
+        # old r-level disk when rad == g; the square-ring argument is
+        # unchanged because lon cells are WIDER than lat cells in
+        # degrees, so the lat-height ring count dominates).  At the
+        # default 2-level ladder step this shrinks the joined area
+        # from 9 r-cell areas to <= (2*4+1)^2 / 16 ~ 5.1 — and to
+        # ~1.6 when the adaptive radius bites (nr = 2) — which is the
+        # join stage's CPU: measured 1.3e9 -> ~0.3e9 hash-probe +
+        # distance evaluations on the 8M x 1M workload.  The exchange
+        # grows (up to (2 nr_max+1)^2 / (2 rings+1)^2 more exploded
+        # query rows) but stays narrow; the pair cut dominates at any
+        # density that matters.
+        idx = resolutions.index(r)
+        rj = resolutions[idx - 1] if idx > 0 else r
+        h_rj = 180.0 / (1 << rj)
+        nr_max = max(1, rings * (1 << (rj - r))) if rj > r else rings
         q_r = qpts.where(F.col("res") == r) \
             .select(query_id, "lon", "lat",
-                    F.col(f"cell{r}").alias("cell"), rad.alias("rad"))
+                    F.col(f"cell{rj}").alias("cell"), rad.alias("rad"))
         disk_schema = StructType(list(q_r.schema.fields)
                                  + [StructField("jcell", LongType())])
 
         def explode_disk(batches: Iterator[pd.DataFrame],
+                         _h=h_rj, _nmax=nr_max,
                          ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                disk = cells.grid_disk_np(pdf["cell"].to_numpy(), rings)
-                m = disk.shape[1]
-                rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
-                rep["jcell"] = disk.ravel()
-                rep = rep.drop_duplicates(subset=[query_id, "jcell"],
-                                          ignore_index=True)
-                yield rep
+                nr = np.ceil(pdf["rad"].to_numpy() / _h)
+                nr = np.clip(nr, 1, _nmax).astype(np.int64)
+                for kk in np.unique(nr):
+                    sub = pdf[nr == kk]
+                    disk = cells.grid_disk_np(sub["cell"].to_numpy(),
+                                              int(kk))
+                    m = disk.shape[1]
+                    rep = sub.loc[sub.index.repeat(m)] \
+                             .reset_index(drop=True)
+                    rep["jcell"] = disk.ravel()
+                    rep = rep.drop_duplicates(subset=[query_id, "jcell"],
+                                              ignore_index=True)
+                    yield rep
 
         qexp = q_r.mapInPandas(explode_disk, disk_schema)
         if broadcast_queries:
             qexp = F.broadcast(qexp)
+        # join strategy: plain sort-merge, measured A/B against a
+        # shuffle_hash hint on the exploded-query build side at the
+        # 8M x 1M workload (post radius-filter + finer-cell cover):
+        # SMJ ran the join stage in 59 executor-s vs 118 for SHJ at 16
+        # cores — the merge's sequential access wins over 0.3e9 random
+        # hash probes once the pair count is filter-bounded, and the
+        # sort spill that once argued for SHJ is gone (922 MB exchange,
+        # zero spill measured at both 4 and 16 cores).
         cand = qexp.join(
-            cpts.withColumnRenamed(f"cell{r}", "jcell")
+            cpts.withColumnRenamed(f"cell{rj}", "jcell")
                 .select(cand_id, "c_lon", "c_lat", "jcell"), "jcell") \
             .where(F.col(query_id) != F.col(cand_id))
         parts.append(
@@ -560,21 +629,46 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # partition (~|cand|/sp) must fit the per-task execution memory
     # the deployment provides.
     # persist: feeds the guarantee check, keep-side anti-join, fallback
-    ranked = (allcand
-              .withColumn("rank", F.row_number().over(w))
-              .where(F.col("rank") <= k)).persist()
+    #
+    # WindowGroupLimit pushdown is DISABLED for this window
+    # (spark.sql.optimizer.windowGroupLimitThreshold=-1, scoped to the
+    # materializing count below): the pushed-down map-side top-k sort
+    # runs INSIDE the cell-partitioned join stage, where spatial skew
+    # concentrates a dense cell's whole join output in one task — the
+    # profiled 8M x 1M workload spilled 6.5 GB there (max task 832 MB,
+    # MEDIAN 0) and that one skewed sort was the job's entire
+    # non-scaling residue.  Without the pushdown the narrow
+    # post-radius-filter rows (~factor*k per query) hash-exchange on
+    # the query id first, and the per-partition sort is balanced by
+    # construction — measured spill-free at every parallelism level.
+    sess = allcand.sparkSession
+    _wgl = "spark.sql.optimizer.windowGroupLimitThreshold"
+    _wgl_old = sess.conf.get(_wgl)
+    sess.conf.set(_wgl, "-1")
+    try:
+        ranked = (allcand
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)).persist()
 
-    # every surviving candidate is within that query's filter radius
-    # (<= the guarantee g), so found >= k alone proves the query
-    # satisfied — no excluded candidate can displace a survivor; a
-    # query with ZERO in-radius candidates has no per_q row at all,
-    # so bad is built by anti-join, not a found<k filter
-    per_q = ranked.groupBy(query_id).agg(F.count(F.lit(1)).alias("found"))
-    ok = per_q.where(F.col("found") >= k).select(query_id)
-    bad = queries.select(query_id).distinct().join(ok, query_id, "left_anti")
-    n_bad = bad.count()  # materializes `ranked` exactly once
+        # every surviving candidate is within that query's filter
+        # radius (<= the guarantee g), so found >= k alone proves the
+        # query satisfied — no excluded candidate can displace a
+        # survivor; a query with ZERO in-radius candidates has no
+        # per_q row at all, so bad is built by anti-join, not a
+        # found<k filter
+        per_q = ranked.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("found"))
+        ok = per_q.where(F.col("found") >= k).select(query_id)
+        bad = queries.select(query_id).distinct() \
+                     .join(ok, query_id, "left_anti")
+        n_bad = bad.count()  # materializes `ranked` exactly once
+    finally:
+        sess.conf.set(_wgl, _wgl_old)
     keep = ranked.select(query_id, cand_id, "dist", "rank")
     if n_bad == 0:
+        # `ranked` is materialized and holds every row `keep` needs;
+        # release the ladder cache (same lazy pattern as ranked2)
+        qpts.unpersist(blocking=False)
         return keep
     good = keep.join(bad, query_id, "left_anti")
 

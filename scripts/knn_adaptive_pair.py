@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Attested kNN scaling pair at current HEAD (density-adaptive filter
+radius, joins.knn_join adaptive_factor=9.0 default — commit ecedada).
+
+The prior r5-close pair (BENCH/quiet_knn_interval_r5.log, eff 0.53)
+straddled that commit: the orchestrator's subprocess halves may have
+run mixed code. This reruns ONLY the pair — sp32 both halves (the
+sweep's winner), 2 GB/core — with the same quiet gating and per-rep
+external-core attestation, and appends to the same log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "BENCH", "quiet_knn_interval_r5.log")
+
+
+def loadavg():
+    parts = open("/proc/loadavg").read().split()
+    return float(parts[0]), float(parts[1])
+
+
+def wait_quiet(l1_max=1.5, l5_max=3.0, timeout_s=5400):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        l1, l5 = loadavg()
+        if l1 < l1_max and l5 < l5_max:
+            return True
+        time.sleep(15)
+    return False
+
+
+def pair_log(obj):
+    with open(LOG, "a") as fh:
+        fh.write(json.dumps(obj) + "\n")
+    print(json.dumps(obj), flush=True)
+
+
+def run_half(cpus, mult, reps, mem_gb):
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=f"{mem_gb}g")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "scaling_run.py"),
+           "--cpus", str(cpus), "--ops", "knn",
+           "--join-pages", "8000000", "--reps", str(reps),
+           "--shuffle-mult", str(mult)]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=REPO, timeout=7200)
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except Exception:
+            continue
+    pair_log({"err": "no json", "cpus": cpus, "etail": out.stderr[-300:]})
+    return None
+
+
+def clean_reps(res, thresh=0.5):
+    return [t for t, e in zip(res["raw_sec"]["knn"],
+                              res["external_cores"]["knn"]) if e <= thresh]
+
+
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def attested(cpus, mult, mem_gb, need, label, max_rounds=3):
+    got = []
+    for _ in range(max_rounds):
+        if not wait_quiet():
+            pair_log({"label": label, "err": "no quiet window"})
+            break
+        l1, l5 = loadavg()
+        res = run_half(cpus, mult, need, mem_gb)
+        if res is None:
+            continue
+        res.update(label=label, mult=mult, mem_gb=mem_gb,
+                   load_start=[l1, l5])
+        pair_log(res)
+        got += clean_reps(res)
+        if len(got) >= need:
+            return median(got)
+    return median(got) if got else None
+
+
+def main():
+    pair_log({"note": "adaptive-radius pair at HEAD (commit ecedada live "
+                      "in both halves), sp32, 2 GB/core"})
+    t16 = attested(16, 2, 32, need=3, label="adaptive 16c sp32")
+    t4 = attested(4, 8, 8, need=3, label="adaptive 4c sp32")
+    if t4 and t16:
+        pair_log({"pair": "knn adaptive-radius", "sp": 32,
+                  "t4_median": t4, "t16_median": t16,
+                  "speedup": round(t4 / t16, 2),
+                  "efficiency": round(t4 / t16 / 4.0, 2)})
+
+
+if __name__ == "__main__":
+    main()
