@@ -1,12 +1,10 @@
 #!/usr/bin/env python
-"""Attested kNN scaling pair at current HEAD (density-adaptive filter
-radius, joins.knn_join adaptive_factor=9.0 default — commit ecedada).
+"""Attested kNN scaling pair at current HEAD.
 
-The prior r5-close pair (BENCH/quiet_knn_interval_r5.log, eff 0.53)
-straddled that commit: the orchestrator's subprocess halves may have
-run mixed code. This reruns ONLY the pair — sp32 both halves (the
-sweep's winner), 2 GB/core — with the same quiet gating and per-rep
-external-core attestation, and appends to the same log.
+Runs the 8M-corpus x 1M-query kNN-join halves — sp32 both halves (the
+sweep's winner), 2 GB/core — with quiet gating and per-rep
+external-core attestation, appending to BENCH/quiet_knn_interval_r5.log.
+The label below is stamped from the live HEAD commit.
 """
 
 from __future__ import annotations
@@ -90,12 +88,14 @@ def attested(cpus, mult, mem_gb, need, label, max_rounds=3):
 
 
 def main():
-    pair_log({"note": "adaptive-radius pair at HEAD (commit ecedada live "
-                      "in both halves), sp32, 2 GB/core"})
-    t16 = attested(16, 2, 32, need=3, label="adaptive 16c sp32")
-    t4 = attested(4, 8, 8, need=3, label="adaptive 4c sp32")
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          capture_output=True, text=True,
+                          cwd=REPO).stdout.strip()
+    pair_log({"note": f"kNN pair at HEAD {head}, sp32, 2 GB/core"})
+    t16 = attested(16, 2, 32, need=3, label=f"{head} 16c sp32")
+    t4 = attested(4, 8, 8, need=3, label=f"{head} 4c sp32")
     if t4 and t16:
-        pair_log({"pair": "knn adaptive-radius", "sp": 32,
+        pair_log({"pair": f"knn {head}", "sp": 32,
                   "t4_median": t4, "t16_median": t16,
                   "speedup": round(t4 / t16, 2),
                   "efficiency": round(t4 / t16 / 4.0, 2)})
