@@ -438,7 +438,13 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     # is large; the broadcast form stays the default shape for the
     # common small-query-set case (it is 13x faster there, see above).
     if broadcast_counts is None:
-        broadcast_counts = queries.count() <= 50_000
+        # the decision only needs "<= 50k or not", so probe with a
+        # LIMIT: CollectLimit executes partitions incrementally and
+        # stops at 50_001 rows, where a full count() scanned (and
+        # re-derived) the whole query relation — a measured ~30
+        # executor-s job of its own on an 8M-row derived input
+        broadcast_counts = (
+            queries.select(query_id).limit(50_001).count() <= 50_000)
     if broadcast_counts:
         qcells = (qpts.select(F.explode(F.array(
             *[F.col(f"cell{r}") for r in resolutions[:-1]])).alias("cell"))
