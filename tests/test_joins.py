@@ -290,3 +290,41 @@ def test_knn_adaptive_radius_output_identical(spark):
     # chosen level must exceed factor*k, otherwise r' never < g and
     # this test pins nothing
     assert (qpdf["lon"] < 11).sum() > 0
+
+
+def test_knn_long_form_and_broadcast_queries_match_brute(spark):
+    """Pin the two non-default knn_join ladder/join forms against
+    brute force on the adaptive-radius fixture: the long-form shuffle
+    ladder (broadcast_counts=False — the >50k-query scale path, where
+    own_n comes from the sat join + the coarsest-level count table)
+    and the broadcast_queries cover form. Both exercise the
+    one-level-finer variable-ring cover introduced in r5-final."""
+    rng = np.random.default_rng(23)
+    dense_lon = 10.0 + rng.uniform(0, 0.1, 600)
+    dense_lat = 50.0 + rng.uniform(0, 0.1, 600)
+    sparse_lon = rng.uniform(-60, 60, 200)
+    sparse_lat = rng.uniform(-40, 40, 200)
+    cpdf = pd.DataFrame({
+        "c_id": [f"c{i}" for i in range(800)],
+        "lon": np.concatenate([dense_lon, sparse_lon]),
+        "lat": np.concatenate([dense_lat, sparse_lat])})
+    qpdf = cpdf.iloc[::13].rename(columns={"c_id": "q_id"}).copy()
+    q = spark.createDataFrame(qpdf)
+    c = spark.createDataFrame(cpdf)
+    k = 3
+
+    def brute(qrow):
+        d = np.sqrt((cpdf["lon"] - qrow["lon"]) ** 2
+                    + (cpdf["lat"] - qrow["lat"]) ** 2)
+        mask = cpdf["c_id"] != qrow["q_id"]
+        return [cid for _, cid in sorted(zip(d[mask],
+                                             cpdf["c_id"][mask]))[:k]]
+
+    kwargs = dict(resolutions=(12, 10, 8), rings=1, target_cands=8)
+    for variant in (dict(broadcast_counts=False),
+                    dict(broadcast_queries=True)):
+        got = joins.knn_join(q, c, k, **kwargs, **variant).toPandas()
+        for _, qrow in qpdf.iterrows():
+            got_ids = got[got["q_id"] == qrow["q_id"]] \
+                .sort_values("rank")["c_id"].tolist()
+            assert got_ids == brute(qrow), (variant, qrow["q_id"])
