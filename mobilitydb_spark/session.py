@@ -18,7 +18,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "mobilitydb-spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """``extra_conf`` lets callers set master-specific knobs (e.g.
+    ``local-cluster[n,c,mem]`` needs spark.executor.memory and an
+    executor-side PYTHONPATH) without duplicating the defaults."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
@@ -42,4 +46,6 @@ def get_spark(app: str = "mobilitydb-spark", master: str | None = None,
          # files and this knob is overridden via spark-submit --conf.
          .config("spark.sql.files.maxPartitionBytes", "33554432")
          .config("spark.ui.enabled", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return b.getOrCreate()

@@ -37,7 +37,17 @@ def main() -> None:
                     help="keep docs with xxhash64(url) %% mod == 0")
     ap.add_argument("--shuffle-mult", type=int, default=1,
                     help="shuffle partitions = mult * cpus")
+    ap.add_argument("--executors", type=int, default=0,
+                    help="run on local-cluster[N,4,9216] — N separate "
+                         "4-core executor JVMs (8g each) instead of "
+                         "N*4 threads in one JVM; the faithful sandbox "
+                         "proxy for the north rule's 'N vs 4N "
+                         "executors' (per-executor heap, GC, and "
+                         "allocator are isolated; only the host's "
+                         "memory bus stays shared). --cpus is ignored.")
     args = ap.parse_args()
+    if args.executors:
+        args.cpus = 4 * args.executors
 
     from mobilitydb_spark import fixtures, joins, pipeline, tiles
     from mobilitydb_spark.session import get_spark
@@ -54,7 +64,8 @@ def main() -> None:
     # pair measured 0.53 at a fixed 8 GB heap with 13 GB of sort
     # spill at 16 cores vs in-memory at 4; see
     # BENCH/quiet_knn_interval_r5.log).
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * args.cpus}g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                          "8g" if args.executors else f"{2 * args.cpus}g")
 
     # 1x cores shuffle partitions (the get_spark default): the old
     # "4x waves even out stragglers" heuristic COST the 16-core tagg
@@ -62,8 +73,17 @@ def main() -> None:
     # windows, r5) — four task waves of fixed overhead on a 240-group
     # reduce, while the straggler risk it hedged is now visible
     # directly in the per-rep external_cores attestation.
-    spark = get_spark("scaling", master=f"local[{args.cpus}]",
-                      shuffle_partitions=args.shuffle_mult * args.cpus)
+    if args.executors:
+        # 2 GB/core executors, matching the thread-mode memory model;
+        # worker JVM gets 1 GiB headroom over spark.executor.memory
+        spark = get_spark(
+            "scaling", master=f"local-cluster[{args.executors},4,9216]",
+            shuffle_partitions=args.shuffle_mult * args.cpus,
+            extra_conf={"spark.executor.memory": "8g",
+                        "spark.executorEnv.PYTHONPATH": REPO})
+    else:
+        spark = get_spark("scaling", master=f"local[{args.cpus}]",
+                          shuffle_partitions=args.shuffle_mult * args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     def pages_at(n):
@@ -217,6 +237,7 @@ def main() -> None:
         med[name] = round(statistics.median(raw[name]), 3)
     print(json.dumps({
         "cpus": args.cpus, "n_pages": args.pages, "reps": args.reps,
+        **({"executors": args.executors} if args.executors else {}),
         "median_sec": med, "raw_sec": raw, "external_cores": ext,
         **({"flagship_pages_per_sec":
             round(args.pages / med["flagship"], 1)}
