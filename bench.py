@@ -31,36 +31,72 @@ PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000,
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
-def _proc_jiffies() -> tuple[int, int]:
-    """(host_busy_jiffies, own_subtree_jiffies) — the self-attestation
-    counters (r4 verdict: the official bench artifact could not prove
-    it ran on a quiet host).  Host busy time comes from /proc/stat;
-    our own share walks the live process subtree (this python + the
-    Spark JVM), so `(host_busy - own) / wall` is the average number of
-    cores OTHER tenants burned while a query ran — loadavg alone can't
-    separate our 32-thread bursts from external contention."""
+def _proc_sample() -> tuple[int, dict[int, tuple[int, int]]]:
+    """(host_busy_jiffies, {pid: (self_jiffies, reaped_child_jiffies)})
+    over the process subtree rooted at this python — the
+    self-attestation counters (r4 verdict: the official bench artifact
+    could not prove it ran on a quiet host).  Host busy time comes from
+    /proc/stat; our own share walks the live subtree (this python + the
+    Spark JVM, plus separate executor JVMs in local-cluster mode), so
+    `(host_busy - own) / wall` is the average number of cores OTHER
+    tenants burned while a query ran — loadavg alone can't separate our
+    32-thread bursts from external contention.  Per-pid maps (not one
+    sum) because subtree processes churn mid-window — Python workers
+    are reaped, local-cluster executors respawn — and a dead process's
+    ACCUMULATED jiffies leaving a summed counter fabricates impossible
+    external readings (observed: 115.9 "cores" on a 32-core host);
+    `_ext_cores` pairs two samples and counts survivors by delta,
+    in-window spawns in full, and corrects reaped children via the
+    parent's cutime/cstime."""
     with open("/proc/stat") as fh:
         vals = [int(x) for x in fh.readline().split()[1:]]
     busy = sum(vals) - vals[3] - vals[4]  # total - idle - iowait
-    procs: dict[int, tuple[int, int]] = {}
+    procs: dict[int, tuple[int, int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
         try:
             with open(f"/proc/{d}/stat") as fh:
                 parts = fh.read().rsplit(")", 1)[1].split()
-            procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+            procs[int(d)] = (int(parts[1]),
+                             int(parts[11]) + int(parts[12]),
+                             int(parts[13]) + int(parts[14]))
         except (OSError, IndexError, ValueError):
             continue
     kids: dict[int, list[int]] = {}
-    for pid, (ppid, _) in procs.items():
+    for pid, (ppid, _s, _c) in procs.items():
         kids.setdefault(ppid, []).append(pid)
-    own, stack = 0, [os.getpid()]
+    own: dict[int, tuple[int, int]] = {}
+    stack = [os.getpid()]
     while stack:
         p = stack.pop()
-        own += procs.get(p, (0, 0))[1]
+        if p in procs:
+            own[p] = (procs[p][1], procs[p][2])
         stack.extend(kids.get(p, []))
     return busy, own
+
+
+def _ext_cores(s0: tuple[int, dict], s1: tuple[int, dict],
+               wall: float) -> float:
+    """Average external busy cores between two `_proc_sample`s.
+
+    Survivors count by delta; pids spawned in-window count their whole
+    life; pids that DIED in-window have just been folded (full
+    lifetime) into an ancestor's reaped-child counter, so subtracting
+    the pre-window jiffies we observed at s0 leaves exactly their
+    in-window usage.  Only an orphan reparented outside the subtree
+    still leaks (to the external term, i.e. conservatively)."""
+    b0, m0 = s0
+    b1, m1 = s1
+    own = 0
+    for pid, (self1, reaped1) in m1.items():
+        prev = m0.get(pid)
+        if prev is not None:
+            own += (self1 - prev[0]) + (reaped1 - prev[1])
+        else:
+            own += self1 + reaped1
+    own -= sum(j0 for pid, (j0, _r0) in m0.items() if pid not in m1)
+    return max(0.0, ((b1 - b0) - max(own, 0)) / _CLK_TCK / wall)
 
 
 def main() -> None:
@@ -108,12 +144,11 @@ def main() -> None:
         reps: list[list[float]] = []  # [sec, ext_cores] per rep
 
         def one_rep():
-            b0, o0 = _proc_jiffies()
+            s0 = _proc_sample()
             t0 = time.time()
             fn()
             wall = time.time() - t0
-            b1, o1 = _proc_jiffies()
-            ext = max(0.0, ((b1 - b0) - (o1 - o0)) / _CLK_TCK / wall)
+            ext = _ext_cores(s0, _proc_sample(), wall)
             reps.append([round(wall, 3), round(ext, 2)])
 
         one_rep()

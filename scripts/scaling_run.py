@@ -219,20 +219,20 @@ def main() -> None:
 
     med: dict[str, float] = {}
     raw: dict[str, list[float]] = {k: [] for k in ops}
-    from bench import _CLK_TCK, _proc_jiffies
+    from bench import _ext_cores, _proc_sample
     ext: dict[str, list[float]] = {k: [] for k in ops}
     for _ in range(args.reps):
         for name, fn in ops.items():
-            b0, o0 = _proc_jiffies()
+            s0 = _proc_sample()
             t0 = time.time()
             fn()
             wall = time.time() - t0
-            b1, o1 = _proc_jiffies()
+            s1 = _proc_sample()
             raw[name].append(round(wall, 3))
             # avg busy cores NOT in our own process subtree during the
-            # rep — each rep attests its own window (r4 verdict)
-            ext[name].append(round(max(
-                0.0, ((b1 - b0) - (o1 - o0)) / _CLK_TCK / wall), 2))
+            # rep — each rep attests its own window (r4 verdict);
+            # churn-robust per-pid deltas (see bench._proc_sample)
+            ext[name].append(round(_ext_cores(s0, s1, wall), 2))
     for name in ops:
         med[name] = round(statistics.median(raw[name]), 3)
     print(json.dumps({
