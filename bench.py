@@ -99,6 +99,27 @@ def _ext_cores(s0: tuple[int, dict], s1: tuple[int, dict],
     return max(0.0, ((b1 - b0) - max(own, 0)) / _CLK_TCK / wall)
 
 
+def _bandwidth_canary_gbps(n_bytes: int = 1 << 30) -> float:
+    """Achieved single-thread memcpy bandwidth (GB/s) on a fixed 1 GiB
+    working set — the attestation CPU-time cannot see: two clean runs
+    with identical per-query external_cores ~0 still differed 40% on
+    the memory-bound queries, because co-tenant MEMORY-BUS pressure
+    never appears in any /proc CPU counter.  A fixed-size copy probe
+    moves the same bytes every run, so its GB/s is a direct canary for
+    the memory subsystem's state; record it at suite start and end and
+    compare across runs (the ratio between two runs' canaries bounds
+    how much of a per-query delta is the box, not the code)."""
+    import numpy as np
+    src = np.ones(n_bytes // 8, dtype=np.int64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # touch both buffers (page-in, not timed)
+    t0 = time.time()
+    np.copyto(dst, src)
+    dt = time.time() - t0
+    del src, dst
+    return round(n_bytes / dt / 1e9, 2)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -169,6 +190,8 @@ def main() -> None:
     # session otherwise absorbs codegen/JIT cost and skews per-core
     # comparisons
     pipeline.flagship(pages.limit(5000), admin, zoom=12).count()
+
+    canary_start = _bandwidth_canary_gbps()
 
     # headline: flagship spatial join + tile assignment (pages/sec basis)
     run("flagship_pip_tiles",
@@ -265,6 +288,10 @@ def main() -> None:
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / flagship_sec, 1),
         "master": spark.sparkContext.master,
+        # memory-bus canary: single-thread GB/s on a fixed 1 GiB copy
+        # at suite start/end — co-tenant bandwidth pressure is invisible
+        # to CPU-time attestation; compare canaries ACROSS runs
+        "membw_canary_gbps": [canary_start, _bandwidth_canary_gbps()],
     }
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
