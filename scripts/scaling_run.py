@@ -219,7 +219,8 @@ def main() -> None:
 
     med: dict[str, float] = {}
     raw: dict[str, list[float]] = {k: [] for k in ops}
-    from bench import _ext_cores, _proc_sample
+    from bench import _bandwidth_canary_gbps, _ext_cores, _proc_sample
+    canary_start = _bandwidth_canary_gbps()
     ext: dict[str, list[float]] = {k: [] for k in ops}
     for _ in range(args.reps):
         for name, fn in ops.items():
@@ -239,6 +240,10 @@ def main() -> None:
         "cpus": args.cpus, "n_pages": args.pages, "reps": args.reps,
         **({"executors": args.executors} if args.executors else {}),
         "median_sec": med, "raw_sec": raw, "external_cores": ext,
+        # memory-bus canary (GB/s, fixed 1 GiB copy) at run start/end:
+        # co-tenant bandwidth pressure is invisible to the CPU-time
+        # attestation — compare canaries between a pair's two halves
+        "membw_canary_gbps": [canary_start, _bandwidth_canary_gbps()],
         **({"flagship_pages_per_sec":
             round(args.pages / med["flagship"], 1)}
            if "flagship" in med else {}),
