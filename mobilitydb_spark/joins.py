@@ -327,6 +327,79 @@ def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
 # kNN join (ring expansion + guaranteed fallback)
 # ---------------------------------------------------------------------------
 
+def _partition_topk(df: DataFrame, k: int, query_id: str,
+                    cand_id: str, compact_rows: int = 2_000_000) -> DataFrame:
+    """Per-PARTITION top-k reduction ahead of the per-query window.
+
+    Narrow (no exchange): runs inside the cell-join stage and keeps, per
+    input partition, only each query's k smallest (dist, cand_id) rows.
+    Exactness: any global top-k row is by definition among the k
+    smallest of its OWN partition, so the union of per-partition top-k
+    sets is a superset of the true result and the downstream window
+    re-ranks it; and ``sum_i min(k, n_i) >= min(k, sum_i n_i)`` keeps
+    the ``found >= k`` guarantee count faithful.  A query's candidates
+    land in at most as many partitions as its disk has distinct cell
+    hashes, so the window exchange shrinks from ~all in-radius
+    candidates per query (pi * factor * k at the adaptive radius) to
+    <= k * |cells|.
+
+    Why Arrow/pandas and not Spark's own WindowGroupLimit partial mode:
+    the JVM pushdown is SORT-based — it must sort the whole task by
+    (query, dist) first, and spatial skew concentrates a dense cell's
+    entire join output in one task (6.5 GB spill measured, see the
+    window note in knn_join).  The heap-shaped reduction here touches
+    rows one bounded Arrow batch at a time (lexsort of ~10k rows) and
+    compacts its per-query accumulator whenever it crosses
+    ``compact_rows``, so the dense task streams in O(batch) memory and
+    never spills, at any skew.
+
+    Default OFF after measurement: on the 8M-corpus x 1M-query scaling
+    workload at local[16]/sp32 the reduction shrank the window
+    exchange ~4x (to 560 MB, zero spill, the downstream rank stage to
+    2-4 s) but the Arrow+lexsort pass costs ~1.7 us per candidate row
+    (~180 task-s) — more than the in-process shuffle+sort it replaces
+    (A/B same-session: 40.5 s off vs 47.5 s on).  It is the right
+    shape only where a shuffled byte costs far more than local CPU —
+    a real NIC-bound cluster, or executor memory too small to sort
+    the window exchange — so it ships as an explicit knob, exactness
+    pinned by test_knn_partial_topk_output_identical.
+    """
+    schema = df.schema
+
+    def _topk_pd(pdf: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((pdf[cand_id].to_numpy(),
+                        pdf["dist"].to_numpy(),
+                        pdf[query_id].to_numpy()))
+        q = pdf[query_id].to_numpy()[o]
+        idx = np.arange(len(q), dtype=np.int64)
+        starts = np.zeros(len(q), dtype=np.int64)
+        if len(q) > 1:
+            change = np.empty(len(q), dtype=bool)
+            change[0] = True
+            change[1:] = q[1:] != q[:-1]
+            starts = np.maximum.accumulate(np.where(change, idx, 0))
+        return pdf.iloc[o[(idx - starts) < k]]
+
+    def reduce_part(batches: Iterator[pd.DataFrame],
+                    ) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        acc_rows = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            r = _topk_pd(pdf)
+            acc.append(r)
+            acc_rows += len(r)
+            if acc_rows > compact_rows:
+                comb = _topk_pd(pd.concat(acc, ignore_index=True))
+                acc = [comb]
+                acc_rows = len(comb)
+        if acc:
+            yield _topk_pd(pd.concat(acc, ignore_index=True))
+
+    return df.mapInPandas(reduce_part, schema)
+
+
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              resolutions: tuple[int, ...] = (16, 14, 12, 10, 8),
              rings: int = 1, target_cands: int = 64,
@@ -334,7 +407,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              broadcast_queries: bool = False,
              broadcast_counts: bool | None = None,
              adaptive_factor: float | None = 9.0,
-             brute_pairs_budget: int = 64_000_000) -> DataFrame:
+             brute_pairs_budget: int = 64_000_000,
+             partial_topk: bool = False) -> DataFrame:
     """k nearest candidate points per query point (planar degrees).
 
     **Density-adaptive resolution** — the skew answer for kNN: a
@@ -621,6 +695,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     allcand = parts[0]
     for p in parts[1:]:
         allcand = allcand.unionByName(p)
+    if partial_topk:
+        allcand = _partition_topk(allcand, k, query_id, cand_id)
     # NOTE on window-exchange sizing (measured on the 8M x 1M scaling
     # pair, BENCH/quiet_knn_interval_r5.log): each query carries
     # ~pi*own_count in-radius candidates (own_count in

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--driver-mem", type=str, default="8g")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-partial-topk", action="store_true",
+                    help="A/B: disable the per-partition top-k reduction")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,7 +68,8 @@ def main() -> None:
         q = knn_c.where(F.pmod(F.col("c_id"), F.lit(8)) == rem).select(
             F.col("c_id").alias("q_id"), "lon", "lat")
         t0 = time.time()
-        joins.knn_join(q, knn_c, 5).count()
+        joins.knn_join(q, knn_c, 5,
+                       partial_topk=not args.no_partial_topk).count()
         return time.time() - t0
 
     print(f"warmup: {rep(0):.1f}s", flush=True)

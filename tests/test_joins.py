@@ -113,6 +113,26 @@ def test_knn_join_matches_bruteforce(spark, pts):
         assert got_ids == want_ids, qrow["q_id"]
 
 
+def test_knn_partial_topk_output_identical(spark, pts):
+    """The per-partition top-k reduction (joins._partition_topk) must
+    be output-invariant: the union of per-partition k-smallest sets is
+    a superset of the true top-k, and sum_i min(k, n_i) >= min(k, n)
+    keeps the found>=k guarantee count faithful.  Exercises q_ids whose
+    candidates span several cell-hash partitions (string ids, multiple
+    resolutions)."""
+    q = pts.select(F.concat_ws("#", "url", "tag_idx").alias("q_id"),
+                   "lon", "lat").limit(60).cache()
+    c = pts.select(F.concat_ws("#", "url", "tag_idx").alias("c_id"),
+                   "lon", "lat")
+    kwargs = dict(resolutions=(12, 10, 8), rings=1, target_cands=8)
+    base = joins.knn_join(q, c, 4, partial_topk=False, **kwargs) \
+        .toPandas().sort_values(["q_id", "rank"], ignore_index=True)
+    red = joins.knn_join(q, c, 4, partial_topk=True, **kwargs) \
+        .toPandas().sort_values(["q_id", "rank"], ignore_index=True)
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, red)
+
+
 def test_knn_widened_ring_retry_and_brute(spark):
     """Outlier queries: one whose kNN lies within the 4x widened retry
     radius (retry pass), one whose kNN is beyond it (brute pass) —
