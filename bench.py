@@ -84,8 +84,12 @@ def _ext_cores(s0: tuple[int, dict], s1: tuple[int, dict],
     life; pids that DIED in-window have just been folded (full
     lifetime) into an ancestor's reaped-child counter, so subtracting
     the pre-window jiffies we observed at s0 leaves exactly their
-    in-window usage.  Only an orphan reparented outside the subtree
-    still leaks (to the external term, i.e. conservatively)."""
+    in-window usage.  cutime propagates RECURSIVELY at reap time (the
+    kernel folds a child's own cutime into the parent's on wait), so a
+    dead pid's pre-window reaped-grandchildren jiffies (r0) arrive in
+    the ancestor's counter too and must be subtracted along with its
+    self time.  Only an orphan reparented outside the subtree still
+    leaks (to the external term, i.e. conservatively)."""
     b0, m0 = s0
     b1, m1 = s1
     own = 0
@@ -95,7 +99,7 @@ def _ext_cores(s0: tuple[int, dict], s1: tuple[int, dict],
             own += (self1 - prev[0]) + (reaped1 - prev[1])
         else:
             own += self1 + reaped1
-    own -= sum(j0 for pid, (j0, _r0) in m0.items() if pid not in m1)
+    own -= sum(j0 + r0 for pid, (j0, r0) in m0.items() if pid not in m1)
     return max(0.0, ((b1 - b0) - max(own, 0)) / _CLK_TCK / wall)
 
 

@@ -61,6 +61,21 @@ def test_synthetic_dead_child_history_is_corrected():
     assert ext_legacy == pytest.approx(200.5)  # the artifact, pinned
 
 
+def test_synthetic_dead_middle_process_with_reaped_grandchildren():
+    """cutime propagates recursively at reap time: when a pid that had
+    ITSELF reaped children (r0 > 0) dies in-window, the ancestor's
+    reaped counter gains its self lifetime AND its cutime — both the
+    pre-window self (j0) and pre-window reaped (r0) observations must
+    be subtracted or `own` overcounts and external under-reads."""
+    # pid 2: 100 s self + 500 s reaped grandchildren at s0; burns 5
+    # more self-seconds in-window, then dies and is reaped by pid 1
+    # (whose reaped counter gains 105 + 500 = 605).
+    s0 = (9000 * J, {1: (100 * J, 0), 2: (100 * J, 500 * J)})
+    s1 = (9035 * J, {1: (110 * J, 605 * J)})
+    # busy delta 35 s = our 10 (parent) + 5 (child in-window) + 20 ext
+    assert _ext_cores(s0, s1, 10.0) == pytest.approx(2.0)
+
+
 def test_synthetic_inwindow_spawn_counts_in_full():
     s0 = (1000 * J, {1: (100 * J, 0)})
     s1 = (1012 * J, {1: (110 * J, 0), 7: (2 * J, 0)})  # new child
