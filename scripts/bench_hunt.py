@@ -19,7 +19,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 LOG = os.path.join(REPO, "BENCH", "bench_hunt_r5.log")
-OUT = os.path.join(REPO, "BENCH", "bench_r5_final5.json")
+OUT = os.path.join(REPO, "BENCH",
+                   os.environ.get("SPARK_GRAFT_HUNT_OUT",
+                                  "bench_r5_final5.json"))
 
 
 def log(obj):
