@@ -28,7 +28,13 @@ def get_spark(app: str = "mobilitydb-spark", master: str | None = None,
     if shuffle_partitions is None:
         # local mode: match core count; on a cluster this is overridden
         n = master[master.find("[") + 1:master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        if n == "*":
+            shuffle_partitions = 32
+        elif "," in n:  # local-cluster[N,cores,mem] -> N*cores
+            execs, cores = n.split(",")[:2]
+            shuffle_partitions = max(8, int(execs) * int(cores))
+        else:
+            shuffle_partitions = max(8, int(n))
     b = (SparkSession.builder.appName(app).master(master)
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")

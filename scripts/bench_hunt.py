@@ -30,7 +30,13 @@ def log(obj):
     print(json.dumps(obj)[:200], flush=True)
 
 
-def wait_window(max_wait_s, l1_max=1.2, canary_min=9.0):
+def wait_window(max_wait_s, l1_max=1.2, canary_min=None):
+    if canary_min is None:
+        # 9.0 is the quiet-morning bar the final5 artifact cleared;
+        # afternoons with a sustained bus co-tenant cap out near 8 —
+        # override to hunt the best window the day offers (the
+        # artifact records its gate either way)
+        canary_min = float(os.environ.get("SPARK_GRAFT_HUNT_CANARY", "9.0"))
     from bench import _bandwidth_canary_gbps
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
