@@ -216,6 +216,79 @@ def cosine_pairs_brute(df: DataFrame, threshold: float,
             .where(F.col("score") >= threshold))
 
 
+def _bucket_gram_pairs(b: DataFrame, threshold: float, max_bucket: int,
+                       g1: str, g2: str) -> DataFrame:
+    """Within-bucket near-dup pairs: every bucket (``g1``, ``g2``) of
+    ``b`` (id, e, g1, g2) yields its (id_i < id_j, round(dot, 6) >=
+    threshold) pairs, buckets larger than ``max_bucket`` dropped.
+
+    Execution shape (r6): ONE exchange co-locates each bucket, then a
+    partition-local numpy kernel computes the bucket's gram matrix and
+    emits surviving pairs directly.  The previous shape self-joined the
+    exploded table on the bucket key, which shipped BOTH 64-float
+    embeddings through the join for every candidate pair (~n²/8 pairs
+    for the 4-bit pigeonhole chunks) — at sf1.0 that was ~27 GB
+    through the JVM→Python boundary for cosine_neardup_lsh; moving the
+    pairing into the bucket turns the Arrow traffic into 4n input rows
+    and only the surviving pairs out (guide §8: decide with small
+    rows, never shuffle the payload per candidate).
+
+    Exactness: the BLAS gram is only a PREFILTER at threshold − 1e-6
+    (|blas − strict-fold| <= 64·eps·Σ|aᵢbᵢ| ≈ 1e-14 for unit-norm
+    rows, eight orders below the margin); every surviving pair's score
+    is recomputed with the np.cumsum strict left fold — bit-identical
+    to DuckDB's list_dot_product, which the SQL oracles rely on.
+    """
+    schema = "id_i bigint, id_j bigint, score double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        a1 = pdf[g1].to_numpy()
+        a2 = pdf[g2].to_numpy()
+        ids = pdf["id"].to_numpy()
+        order = np.lexsort((ids, a2, a1))
+        a1, a2, ids = a1[order], a2[order], ids[order]
+        E = np.vstack(pdf["e"].to_numpy()).astype(np.float64)[order]
+        cuts = np.flatnonzero((np.diff(a1) != 0) | (np.diff(a2) != 0)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(ids)]))
+        out_i: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s0, e0 in zip(starts, ends):
+            m = int(e0 - s0)
+            if m < 2 or m > max_bucket:
+                continue
+            M = E[s0:e0]
+            gid = ids[s0:e0]
+            # row-blocked gram bounds peak memory to ~32 MB per block
+            # even at the max_bucket cap (20k² doubles would be 3.2 GB)
+            blk = max(1, min(m, (4 << 20) // m))
+            for r0 in range(0, m, blk):
+                r1 = min(m, r0 + blk)
+                G = M[r0:r1] @ M.T
+                ii, jj = np.nonzero(G >= threshold - 1e-6)
+                keep = jj > ii + r0
+                ii, jj = ii[keep] + r0, jj[keep]
+                if not len(ii):
+                    continue
+                sc = np.round(np.cumsum(M[ii] * M[jj], axis=1)[:, -1], 6)
+                k2 = sc >= threshold
+                out_i.append(gid[ii[k2]])
+                out_j.append(gid[jj[k2]])
+                out_s.append(sc[k2])
+        if out_i:
+            yield pd.DataFrame({"id_i": np.concatenate(out_i),
+                                "id_j": np.concatenate(out_j),
+                                "score": np.concatenate(out_s)})
+
+    return (b.repartition(g1, g2).mapInPandas(kernel, schema)
+            .dropDuplicates(["id_i", "id_j"]))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec: str = "embedding",
                          n_planes: int = 16, dim: int = 64,
@@ -233,8 +306,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     per-plane split probability is <= 0.15 and the miss rate of the
     4-chunk banding is pytest-gated on planted near-dups.
 
-    100 TB shape: row-local signature map, band self-join on
-    (chunk, value) with a ``max_bucket`` cap, refine only candidates.
+    100 TB shape: row-local signature map, ONE exchange on the
+    (chunk, value) bucket key, bucket-local gram pairing with a
+    ``max_bucket`` cap (see ``_bucket_gram_pairs``).
     """
     sigs = hyperplane_signatures(
         df.select(F.col(id_col).alias("_id"), F.col(vec)),
@@ -247,46 +321,10 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
          .bitwiseAND(F.lit((1 << width) - 1))
         for c in range(n_chunks)])).alias("chunk", "ckey")
     b = sigs.select("id", "e", chunks)
-    # one reused exchange on the chunk key (same rationale as
-    # cosine_neardup_banded / minhash_lsh_pairs)
-    b = b.repartition("chunk", "ckey")
-    sizes = b.groupBy("chunk", "ckey").count() \
-        .where(F.col("count") <= max_bucket).select("chunk", "ckey")
-    b = b.join(sizes, ["chunk", "ckey"])
-    l = b.select(F.col("id").alias("id_i"), F.col("e").alias("ea"),
-                 "chunk", "ckey")
-    r = b.select(F.col("id").alias("id_j"), F.col("e").alias("eb"),
-                 "chunk", "ckey")
-    cand = (l.join(r, ["chunk", "ckey"])
-            .where(F.col("id_i") < F.col("id_j"))
-            .select("id_i", "id_j", "ea", "eb"))
-
-    # vectorized Arrow refine: np.cumsum is a strict sequential left
-    # fold, BIT-IDENTICAL to the aggregate/zip_with HOF (verified over
-    # 20k samples) and to DuckDB's list_dot_product, so the SQL
-    # oracles still hash-match.  At sf0.1 (2k embeddings) this is a
-    # wash with the interpreted fold — stage overheads dominate — but
-    # the refine cost per candidate drops from ~64 interpreted eval
-    # steps to one vectorized multiply, which is the term that grows
-    # with bucket density at scale.  The dedup runs AFTER the
-    # threshold filter on (id, id, score) rows only — multi-chunk
-    # duplicate pairs recompute a cheap dot instead of shuffling 128
-    # floats through the distinct.
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.vstack(pdf["ea"].to_numpy()).astype(np.float64)
-            B = np.vstack(pdf["eb"].to_numpy()).astype(np.float64)
-            s = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
-            keep = s >= threshold
-            out = pdf.loc[keep, ["id_i", "id_j"]].copy()
-            out["score"] = s[keep]
-            yield out
-
-    return (cand.mapInPandas(refine,
-                             "id_i bigint, id_j bigint, score double")
-            .dropDuplicates(["id_i", "id_j"]))
+    # the bucket-size cap moves INTO the kernel (a bucket is wholly
+    # co-located, so its size is known locally) — the previous
+    # separate count-aggregate + semi-join pass is gone
+    return _bucket_gram_pairs(b, threshold, max_bucket, "chunk", "ckey")
 
 
 def band_signatures(df: DataFrame, id_col: str, vec: str,
@@ -351,35 +389,7 @@ def cosine_neardup_banded(df: DataFrame, threshold: float,
         .select(F.col("_id").alias("id"), F.col(vec).alias("e"), "keys")
     b = sigs.select(
         "id", "e", F.posexplode("keys").alias("band", "key"))
-    # one reused exchange on the bucket key (same rationale as
-    # minhash_lsh_pairs): without it the size aggregate and both
-    # self-join sides each re-run the hyperplane signature map; the
-    # shuffled rows carry the embedding (~540 B x 16 bands) but that
-    # is one write+read vs two extra full signature passes
-    b = b.repartition("band", "key")
-    sizes = b.groupBy("band", "key").count() \
-        .where(F.col("count") <= max_bucket).select("band", "key")
-    b = b.join(sizes, ["band", "key"])
-    l = b.select(F.col("id").alias("id_i"), F.col("e").alias("ea"),
-                 "band", "key")
-    r = b.select(F.col("id").alias("id_j"), F.col("e").alias("eb"),
-                 "band", "key")
-    cand = (l.join(r, ["band", "key"])
-            .where(F.col("id_i") < F.col("id_j"))
-            .select("id_i", "id_j", "ea", "eb"))
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.vstack(pdf["ea"].to_numpy()).astype(np.float64)
-            B = np.vstack(pdf["eb"].to_numpy()).astype(np.float64)
-            s = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
-            keep = s >= threshold
-            out = pdf.loc[keep, ["id_i", "id_j"]].copy()
-            out["score"] = s[keep]
-            yield out
-
-    return (cand.mapInPandas(refine,
-                             "id_i bigint, id_j bigint, score double")
-            .dropDuplicates(["id_i", "id_j"]))
+    # ONE exchange on the bucket key feeding the bucket-local gram
+    # kernel (r6, see _bucket_gram_pairs): the previous count + join +
+    # self-join shape re-shipped both embeddings per candidate pair
+    return _bucket_gram_pairs(b, threshold, max_bucket, "band", "key")
