@@ -140,22 +140,57 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     hxd = (th.where(F.size("th") >= shingle_n)
            .select("id", comb.alias("hx")))
 
-    # One selectExpr with generated SQL strings: building the 48
-    # permutations from Column operators costs hundreds of py4j round
-    # trips (~2 s of driver-side build per invocation at sf0.1);
-    # Catalyst sees the identical tree either way.  h_j(x) =
-    # (a_j·(x mod M) + b_j) mod M over the pre-combined shingle hash.
-    sig = hxd.selectExpr("id", *[
-        f"array_min(transform(hx, x -> pmod(pmod(x, {MERSENNE31}) * "
-        f"CAST({int(a[j])} AS BIGINT) + {int(b_[j])}, {MERSENNE31}))) "
-        f"AS m{j}" for j in range(n_hashes)])
-    band_arr = ", ".join(
-        "xxhash64(concat_ws(','," +
-        ",".join(f"CAST(m{b * rows + r} AS STRING)" for r in range(rows))
-        + "))" for b in range(n_bands))
+    # The 48 permutation minima ran as interpreted HOF transforms (48
+    # lambda passes over every shingle hash — ~10 s of the 16.6 s
+    # query at sf1.0, measured with a noop sink on the sig stage
+    # alone).  A numpy Arrow kernel computes the SAME values with the
+    # same integer arithmetic: numpy's % on int64 has Python/pmod
+    # non-negative semantics, r < 2^31 and a_j < 2^31 keep r*a_j+b_j
+    # under 2^62 (no overflow), and MIN over exact integers is
+    # order-insensitive, so the signature is bit-identical to the
+    # previous Catalyst expression (guide §4.2: hand whole batches to
+    # vectorized native code).  The per-band bucket key is a splitmix64
+    # fold of the band's minhash values — docs share a bucket iff the
+    # band's minhash triple is equal, exactly the previous
+    # xxhash64(concat_ws) intent (either keying differs only through
+    # 2^-64 hash collisions, and the exact-Jaccard verify below pins
+    # the output either way).
+    def _mix64(h: np.ndarray, x: np.ndarray) -> np.ndarray:
+        z = (h ^ x) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def sig_kernel(batches):
+        import pandas as pd
+        M = np.int64(MERSENNE31)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            col = pdf["hx"].to_numpy()
+            lens = np.fromiter((len(v) for v in col), np.int64, len(col))
+            flat = np.concatenate(col).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            r = flat % M
+            mins = np.empty((len(col), n_hashes), dtype=np.int64)
+            for j in range(n_hashes):
+                y = (r * a[j] + b_[j]) % M
+                mins[:, j] = np.minimum.reduceat(y, starts)
+            keys = np.zeros((len(col), n_bands), dtype=np.uint64)
+            um = mins.astype(np.uint64)
+            with np.errstate(over="ignore"):
+                for bb in range(n_bands):
+                    h = np.zeros(len(col), dtype=np.uint64)
+                    for rr in range(rows):
+                        h = _mix64(h, um[:, bb * rows + rr])
+                    keys[:, bb] = h
+            out = pdf[["id"]].copy()
+            out["bkeys"] = list(keys.astype(np.int64))
+            yield out
+
+    sig = hxd.mapInPandas(sig_kernel, "id bigint, bkeys array<bigint>")
     bands = sig.select(
-        "id",
-        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "bkey"))
+        "id", F.posexplode("bkeys").alias("band", "bkey"))
     # ONE explicit exchange on the bucket key: the three consumers
     # below (the bucket-size aggregate, and both sides of the
     # candidate self-join) all need hashpartitioning(band, bkey), so
