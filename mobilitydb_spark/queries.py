@@ -2261,31 +2261,35 @@ def q_relate_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typing import Iterator
     import numpy as np
     import pandas as pd
-    from . import geo as G
-    from .de9im import matches_pattern, relate_geoms
     x0, y0, x1, y1 = _BOX
-    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
-                    dtype=np.float64)
-    rect = G.Geometry("Polygon", [ring])
     docs = _load(spark, sf_dir, "documents")
     pts = docs.select("doc_id", F.expr(_LON).alias("lon"),
                       F.expr(_LAT).alias("lat"))
 
+    # Vectorized point×rectangle DE-9IM (r6): the general relate_geoms
+    # kernel classified one Geometry per row in a Python loop (~6.7 s
+    # at sf1.0, pure per-row object construction).  A point against a
+    # closed axis-aligned polygon has exactly three DE-9IM outcomes —
+    # interior ('0FFFFF212'), boundary ('F0FFFF212'), exterior
+    # ('FF0FFF212') — decided by strict/closed box containment, so the
+    # batch classifies with three numpy comparisons.  relate_geoms
+    # produces these same matrices (equivalence pinned by
+    # tests/test_r06_optimizations.py on interior/edge/corner/exterior
+    # samples); matches_pattern('T*F**F***') reduces to the interior
+    # case.
     def kernel(batches: "Iterator[pd.DataFrame]"):
+        mats = np.array(["FF0FFF212", "F0FFFF212", "0FFFFF212"])
         for pdf in batches:
             if not len(pdf):
                 continue
-            ms, wi = [], []
-            for lon, lat in zip(pdf["lon"].to_numpy(),
-                                pdf["lat"].to_numpy()):
-                p = G.Geometry("Point",
-                               [np.array([[lon, lat]], dtype=np.float64)])
-                m = relate_geoms(p, rect)
-                ms.append(m)
-                wi.append(matches_pattern(m, "T*F**F***"))
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
+            inside = (lon > x0) & (lon < x1) & (lat > y0) & (lat < y1)
+            closed = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+            cls = closed.astype(np.int64) + inside.astype(np.int64)
             out = pdf[["doc_id"]].copy()
-            out["de9im"] = ms
-            out["within"] = wi
+            out["de9im"] = mats[cls]
+            out["within"] = inside
             yield out
 
     return (pts.mapInPandas(kernel,

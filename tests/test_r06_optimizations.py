@@ -1,0 +1,148 @@
+"""Round-6 optimization equivalence pins.
+
+Each test pins a rewritten hot path to the semantics of the formulation
+it replaced: the bucket-local gram kernel vs the brute candidate rule,
+the numpy minhash signature vs the Catalyst permutation expressions,
+and the vectorized point×rect DE-9IM classification vs relate_geoms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# point×rect DE-9IM fast path ≡ relate_geoms
+# ---------------------------------------------------------------------------
+
+def test_point_rect_de9im_classification_matches_relate_geoms():
+    from mobilitydb_spark import geo as G
+    from mobilitydb_spark.de9im import matches_pattern, relate_geoms
+    x0, y0, x1, y1 = 2.0, 40.0, 12.0, 52.0
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+    rect = G.Geometry("Polygon", [ring])
+    mats = np.array(["FF0FFF212", "F0FFFF212", "0FFFFF212"])
+    # interior / every edge / every corner / exterior on all sides.
+    # relate_geoms snaps points within a ~1e-9 epsilon of an edge to
+    # the boundary class; the vectorized query path uses the oracle's
+    # EXACT comparisons (the two agree everywhere outside that band,
+    # and the derived fixture coordinates never land inside it), so
+    # the near-edge samples here sit 1e-6 off the edge.
+    samples = [(7.0, 46.0), (x0, 46.0), (x1, 46.0), (7.0, y0), (7.0, y1),
+               (x0, y0), (x1, y0), (x0, y1), (x1, y1),
+               (x0 - 1, 46.0), (x1 + 1, 46.0), (7.0, y0 - 1), (7.0, y1 + 1),
+               (x0 - 1e-6, 46.0), (x0 + 1e-6, 46.0)]
+    for lon, lat in samples:
+        p = G.Geometry("Point", [np.array([[lon, lat]], dtype=np.float64)])
+        m = relate_geoms(p, rect)
+        inside = (lon > x0) and (lon < x1) and (lat > y0) and (lat < y1)
+        closed = (x0 <= lon <= x1) and (y0 <= lat <= y1)
+        assert m == mats[int(closed) + int(inside)], (lon, lat)
+        assert matches_pattern(m, "T*F**F***") == inside
+
+
+# ---------------------------------------------------------------------------
+# bucket-local gram kernel ≡ brute bucket pairing
+# ---------------------------------------------------------------------------
+
+def test_bucket_gram_pairs_matches_brute(spark):
+    from mobilitydb_spark.datagen.similarity import _bucket_gram_pairs
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    base = rng.standard_normal((n, dim))
+    # plant near-dup clusters so scores straddle the threshold
+    base[50:60] = base[50] + rng.standard_normal((10, dim)) * 0.05
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    g1 = rng.integers(0, 3, n)
+    g2 = rng.integers(0, 4, n)
+    rows = [(int(i), base[i].astype(np.float32).tolist(),
+             int(g1[i]), int(g2[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id bigint, e array<float>, c1 int, c2 int")
+    thr, cap = 0.9, 50
+    got = {(r.id_i, r.id_j): r.score
+           for r in _bucket_gram_pairs(df, thr, cap, "c1", "c2").collect()}
+
+    # brute reference: per bucket (size <= cap), all i<j pairs with the
+    # strict left-fold dot rounded to 6 >= threshold
+    exp = {}
+    E32 = base.astype(np.float32)
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for i in range(n):
+        buckets[(g1[i], g2[i])].append(i)
+    for mem in buckets.values():
+        if len(mem) > cap:
+            continue
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                i, j = sorted((mem[ai], mem[bi]))
+                prod = (E32[i].astype(np.float64)
+                        * E32[j].astype(np.float64))
+                s = round(float(np.cumsum(prod)[-1]), 6)
+                if s >= thr:
+                    exp[(i, j)] = s
+    assert got == exp
+
+
+def test_bucket_gram_pairs_drops_oversized_bucket(spark):
+    from mobilitydb_spark.datagen.similarity import _bucket_gram_pairs
+    # 5 identical vectors in one bucket, cap 4 -> bucket dropped
+    v = (np.ones(8) / np.sqrt(8)).astype(np.float32).tolist()
+    rows = [(i, v, 0, 0) for i in range(5)] + [(10, v, 1, 0), (11, v, 1, 0)]
+    df = spark.createDataFrame(
+        rows, "id bigint, e array<float>, c1 int, c2 int")
+    got = sorted((r.id_i, r.id_j)
+                 for r in _bucket_gram_pairs(df, 0.9, 4, "c1", "c2").collect())
+    assert got == [(10, 11)]
+
+
+# ---------------------------------------------------------------------------
+# numpy minhash signature ≡ Catalyst permutation expressions
+# ---------------------------------------------------------------------------
+
+def test_minhash_numpy_minima_match_catalyst(spark):
+    from mobilitydb_spark.datagen.dedup import MERSENNE31
+    rng = np.random.default_rng(42)
+    n_hashes = 48
+    a = rng.integers(1, MERSENNE31, n_hashes, dtype=np.int64)
+    b_ = rng.integers(0, MERSENNE31, n_hashes, dtype=np.int64)
+    # raw shingle hashes, including negatives (xxhash64 range)
+    hx = rng.integers(-(2 ** 62), 2 ** 62, 37, dtype=np.int64)
+    sdf = spark.createDataFrame([(1, [int(x) for x in hx])],
+                                "id bigint, hx array<bigint>")
+    cat = sdf.selectExpr(*[
+        f"array_min(transform(hx, x -> pmod(pmod(x, {MERSENNE31}) * "
+        f"CAST({int(a[j])} AS BIGINT) + {int(b_[j])}, {MERSENNE31}))) "
+        f"AS m{j}" for j in range(n_hashes)]).collect()[0]
+    r = hx % np.int64(MERSENNE31)
+    for j in range(n_hashes):
+        y = (r * a[j] + b_[j]) % np.int64(MERSENNE31)
+        assert int(y.min()) == cat[f"m{j}"], j
+
+
+def test_minhash_lsh_pairs_equals_brute_small(spark):
+    """End-to-end recall pin on planted near-dups (same docs through
+    the rewritten signature kernel vs the quadratic exact baseline)."""
+    from mobilitydb_spark.datagen.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        rng = np.random.default_rng(d)
+        toks = [words[i] for i in rng.integers(0, 30, 25)]
+        docs.append((d, " ".join(toks)))
+        if d % 7 == 0:  # planted near-dup: one token changed
+            toks2 = list(toks)
+            toks2[3] = "zz"
+            docs.append((1000 + d, " ".join(toks2)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted((r.id_i, r.id_j, r.jaccard)
+                 for r in minhash_lsh_pairs(df, threshold=0.6).collect())
+    exp = sorted((r.id_i, r.id_j, r.jaccard)
+                 for r in ngram_jaccard_pairs(df, threshold=0.6).collect())
+    assert got == exp and len(got) >= 5
