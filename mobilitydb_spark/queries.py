@@ -371,8 +371,30 @@ _T0 = "2024-01-15 00:00:00"
 
 
 def _ev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side evaluation of _EV_PTS with a single MIN aggregate.
+
+    x, y and the rounded-cents source of v are pure functions of
+    event_id, so min_by(f(event_id), event_id) == f(min(event_id))
+    whenever the per-group argmin is unique (event_id is the event
+    PK; on a hypothetical tie both forms see equal f values).  One
+    bigint MIN plus one min_by carries far less partial-aggregate
+    state through the 1M-group hash aggregate than three min_bys, and
+    Catalyst prunes the min_by entirely for the x/y-only consumers.
+    Equivalence to the shared _EV_PTS oracle text is pinned by every
+    oracle-parity test over this CTE."""
     ev = _load(spark, sf_dir, "events")
-    return spark.sql(_EV_PTS.replace("FROM events", "FROM {ev}"), ev=ev)
+    eid = F.min("event_id").alias("_eid")
+    vc = F.min_by(F.round(F.col("value") * 100).cast("bigint"),
+                  "event_id").alias("_vc")
+    g = ev.groupBy(F.col("user_id").alias("key"), F.col("ts").alias("t")) \
+        .agg(eid, vc)
+    return g.select(
+        "key", "t",
+        (F.pmod(F.col("_eid"), F.lit(1000)).cast("double") / 10.0)
+        .alias("x"),
+        (F.pmod(F.col("_eid") * 7919, F.lit(1000)).cast("double") / 10.0)
+        .alias("y"),
+        (F.col("_vc").cast("double") / 100.0).alias("v"))
 
 
 def q_traj_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,7 +1827,21 @@ def q_traj3d_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`tpoint_distance.c:172-243`, `temporal.h:118-129`)."""
     from . import spark_temporal as ST
     ev = _load(spark, sf_dir, "events")
-    pts = spark.sql(_EV_PTS3.replace("FROM events", "FROM {ev}"), ev=ev)
+    # single-MIN evaluation of _EV_PTS3: x, y, z are all pure
+    # functions of event_id, so min_by(f(event_id), event_id) ==
+    # f(min(event_id)) (same argument as _ev_points; equivalence
+    # pinned by the oracle-parity test over the shared CTE text)
+    eid = F.min("event_id").alias("_eid")
+    g = ev.groupBy(F.col("user_id").alias("key"),
+                   F.col("ts").alias("t")).agg(eid)
+    pts = g.select(
+        "key", "t",
+        (F.pmod(F.col("_eid"), F.lit(1000)).cast("double") / 10.0)
+        .alias("x"),
+        (F.pmod(F.col("_eid") * 7919, F.lit(1000)).cast("double") / 10.0)
+        .alias("y"),
+        (F.pmod(F.col("_eid") * 31, F.lit(1000)).cast("double") / 10.0)
+        .alias("z"))
     got = ST.traj3d_stats(pts)
     return got.select(
         "key", F.round("length3d", 4).alias("len3d_r"),

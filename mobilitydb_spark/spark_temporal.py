@@ -71,34 +71,118 @@ def _per_key_kernel(points: DataFrame, key: str, schema: str,
     return points.repartition(n_parts, key).mapInPandas(kernel, schema)
 
 
+def _per_key_np_kernel(points: DataFrame, key: str, schema: str,
+                       np_stats, t: str = "t",
+                       cols: tuple[str, ...] = ()) -> DataFrame:
+    """Vectorized sibling of ``_per_key_kernel`` (r6): ONE repartition
+    co-locates each key, then the kernel flattens the whole partition
+    into numpy arrays ONCE — stable lexsort by (key, t), duplicate
+    (key, t) knots dropped keeping the first-seen row (exactly the
+    drop_duplicates + stable-sort prep every stats callback repeated
+    per group), group bounds via the key-change positions — and hands
+    ``np_stats(keys, starts, ends, t_us, cols_dict)`` the full
+    partition.  ``np_stats`` returns a dict of output-column arrays
+    (one entry per group, aligned with ``keys``), optionally with a
+    ``_mask`` boolean array selecting which groups emit a row.
+
+    Motivation (measured at sf1.0, 1M instants / 15k keys): the
+    pandas groupby + per-group drop_duplicates/sort_values/one-row
+    DataFrame prep cost ~0.42 s of a 0.73 s partition while the
+    actual numpy kernels cost 0.03 s — the per-key Python/pandas
+    overhead WAS the query (guide §4.2: vectorize across the batch,
+    not per row/group)."""
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        k = pdf[key].to_numpy()
+        tv = pdf[t].to_numpy()
+        if np.issubdtype(tv.dtype, np.datetime64):
+            tv = tv.astype("datetime64[us]").astype(np.int64)
+        else:
+            tv = tv.astype(np.int64)
+        order = np.lexsort((tv, k))
+        k, tv = k[order], tv[order]
+        dup = np.zeros(len(k), dtype=bool)
+        dup[1:] = (k[1:] == k[:-1]) & (tv[1:] == tv[:-1])
+        cd = {c: pdf[c].to_numpy()[order][~dup] for c in cols}
+        k, tv = k[~dup], tv[~dup]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        keys = k[starts]
+        out = np_stats(keys, starts, ends, tv, cd)
+        mask = out.pop("_mask", None)
+        res = pd.DataFrame({key: keys, **out})
+        if mask is not None:
+            res = res.loc[mask]
+        if len(res):
+            yield res
+
+    return points.repartition(n_parts, key).mapInPandas(kernel, schema)
+
+
+def _seg_reduceat(contrib: np.ndarray, starts: np.ndarray,
+                  cross: np.ndarray, op=np.add) -> np.ndarray:
+    """Per-group reduction of a per-segment array (len n-1 for n
+    points): segment i joins points i and i+1, so positions where
+    i+1 starts a new group are zeroed (``cross``), a trailing zero is
+    appended, and ufunc.reduceat over the POINT starts yields each
+    group's own segments plus harmless zeros — single-point groups
+    reduce to exactly their zeroed boundary slot."""
+    zero = contrib.dtype.type(0) if len(contrib) else 0.0
+    c = np.concatenate((np.where(cross, zero, contrib), [zero]))
+    return op.reduceat(c, starts)
+
+
 def trajectory_metrics(points: DataFrame, key: str = "key",
                        t: str = "t", x: str = "x", y: str = "y") -> DataFrame:
-    """Per-key trajectory metrics computed by the spatial kernels:
-    length, max/time-weighted-avg speed, time-weighted centroid,
-    duration seconds, instant count."""
+    """Per-key trajectory metrics computed by the spatial kernel
+    semantics (length `tpoint_spatialfuncs.c:887`, stepwise speed
+    `:1073`, twcentroid `:1184`), vectorized across keys: per-segment
+    displacement/speed/trapezoid terms in one pass, per-key totals by
+    reduceat (the per-Temporal loop formulation is kept by the kernel
+    modules and pinned equal by tests/test_r06_optimizations.py)."""
     schema = (f"{key} bigint, length double, speed_max double, "
               "speed_twavg double, centroid_x double, centroid_y double, "
               "duration_sec double, n_points bigint")
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (x, y))
-        sp = spatial.speed(tv)
-        cen = spatial.twcentroid(tv)
-        return pd.DataFrame([{
-            key: kv,
-            "length": spatial.length(tv),
-            "speed_max": float(sp.max_value()[0]) if sp is not None else 0.0,
-            "speed_twavg": (spatial.twavg(sp)
-                            if sp is not None and tv.num_instants() > 1 else 0.0),
-            "centroid_x": float(cen[0]),
-            "centroid_y": float(cen[1]),
-            "duration_sec": tv.duration_us() / 1e6,
-            "n_points": tv.num_instants(),
-        }])
+    def stats(keys, starts, ends, t_us, cd):
+        xs, ys = cd[x].astype(np.float64), cd[y].astype(np.float64)
+        cross = np.zeros(max(len(xs) - 1, 0), dtype=bool)
+        cross[ends[:-1] - 1] = True
+        dxx = np.diff(xs)
+        dyy = np.diff(ys)
+        dt_s = np.diff(t_us) / 1e6
+        seglen = np.sqrt(dxx * dxx + dyy * dyy)
+        length = _seg_reduceat(seglen, starts, cross)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sp = np.where(dt_s > 0, seglen / dt_s, 0.0)
+        speed_max = _seg_reduceat(sp, starts, cross, np.maximum)
+        num_x = _seg_reduceat((xs[:-1] + xs[1:]) / 2.0 * dt_s, starts, cross)
+        num_y = _seg_reduceat((ys[:-1] + ys[1:]) / 2.0 * dt_s, starts, cross)
+        den = _seg_reduceat(dt_s, starts, cross)
+        sp_num = _seg_reduceat(sp * dt_s, starts, cross)
+        single = ends - starts == 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cx = np.where(single, xs[np.minimum(starts, len(xs) - 1)],
+                          num_x / np.where(den > 0, den, 1.0))
+            cy = np.where(single, ys[np.minimum(starts, len(ys) - 1)],
+                          num_y / np.where(den > 0, den, 1.0))
+            twsp = np.where(single, 0.0,
+                            sp_num / np.where(den > 0, den, 1.0))
+        return {
+            "length": np.where(single, 0.0, length),
+            "speed_max": np.where(single, 0.0, speed_max),
+            "speed_twavg": twsp,
+            "centroid_x": cx, "centroid_y": cy,
+            "duration_sec": (t_us[ends - 1] - t_us[starts]) / 1e6,
+            "n_points": ends - starts,
+        }
 
-    return _per_key_kernel(points, key, schema, agg)
+    return _per_key_np_kernel(points, key, schema, stats, t, (x, y))
 
 
 def value_at_timestamp(points: DataFrame, at_ts, key: str = "key",
@@ -130,16 +214,24 @@ def value_at_timestamp(points: DataFrame, at_ts, key: str = "key",
 def tnumber_twavg(points: DataFrame, key: str = "key", t: str = "t",
                   v: str = "v") -> DataFrame:
     """Per-key time-weighted average of a tfloat (twAvg,
-    `src/temporal.c:3256`)."""
+    `src/temporal.c:3256`) — trapezoid integral / duration, vectorized
+    across keys (see ``_per_key_np_kernel``)."""
     schema = f"{key} bigint, twavg double"
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (v,))
-        return pd.DataFrame([{key: kv, "twavg": spatial.twavg(tv)}])
+    def stats(keys, starts, ends, t_us, cd):
+        vs = cd[v].astype(np.float64)
+        cross = np.zeros(max(len(vs) - 1, 0), dtype=bool)
+        cross[ends[:-1] - 1] = True
+        dt_s = np.diff(t_us) / 1e6
+        num = _seg_reduceat((vs[:-1] + vs[1:]) / 2.0 * dt_s, starts, cross)
+        den = _seg_reduceat(dt_s, starts, cross)
+        single = ends - starts == 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tw = np.where(single, vs[np.minimum(starts, len(vs) - 1)],
+                          num / np.where(den > 0, den, 1.0))
+        return {"twavg": tw}
 
-    return _per_key_kernel(points, key, schema, agg)
+    return _per_key_np_kernel(points, key, schema, stats, t, (v,))
 
 
 def _lerp_at_probes(points: DataFrame, probes_us: list[int],
@@ -516,60 +608,81 @@ def ttext_state_stats(points: DataFrame, target: str,
     stepwise temporal text (vocab-coded, `ttext.TText`), then
     normalized instant count, exact microseconds in the ``target``
     state (atValue on the stepwise code), and ever_eq."""
-    import numpy as np
-    from .restrict import at_value
-    from .ttext import TText
-    from .types import Temporal
     schema = (f"{key} bigint, n_inst bigint, target_us bigint, "
               "ever_target boolean")
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tt = pdf[t].to_numpy().astype("datetime64[us]").astype(np.int64)
-        # first-appearance vocab coding, vectorized (same order as the
-        # incremental loop it replaces)
-        code_arr, vocab_arr = pd.factorize(pdf[v])
-        vocab = [str(w) for w in vocab_arr]
-        tv = Temporal.sequence(tt, code_arr.astype(np.float64)[:, None],
-                               linear=False)
-        tv.step_default = True
-        txt = TText(tv, vocab)
-        if target in vocab:
-            hit = at_value(tv, float(vocab.index(target)))
-            ps = hit.get_time() if hit is not None else []
-            tus = int(sum(p.upper - p.lower for p in ps))
-        else:
-            tus = 0
-        return pd.DataFrame([{
-            key: kv, "n_inst": tv.num_instants(), "target_us": tus,
-            "ever_target": bool(txt.ever_eq(target))}])
+    def stats(keys, starts, ends, t_us, cd):
+        # global first-appearance coding: code equality == string
+        # equality, which is all the stepwise state machine needs
+        codes, vocab = pd.factorize(pd.Series(cd[v]))
+        codes = codes.astype(np.int64)
+        tcode = -2
+        for i, w in enumerate(vocab):
+            if str(w) == target:
+                tcode = i
+                break
+        size = ends - starts
+        nseg = max(len(codes) - 1, 0)
+        cross = np.zeros(nseg, dtype=bool)
+        cross[ends[:-1] - 1] = True
+        # normalized stepwise instant count (exact integers, the
+        # `normalize_instants(linear=False)` rule): 1 + value changes,
+        # plus a terminal knot when the last value repeats the
+        # previous one (the sequence must still end at the domain end)
+        chg = (codes[1:] != codes[:-1]).astype(np.int64)
+        changes = _seg_reduceat(chg, starts, cross)
+        last_eq = np.zeros(len(starts), dtype=np.int64)
+        multi = size > 1
+        last_eq[multi] = (codes[ends[multi] - 1]
+                          == codes[ends[multi] - 2]).astype(np.int64)
+        n_inst = np.where(size == 1, 1, 1 + changes + last_eq)
+        # atValue total: a stepwise knot with the target value holds
+        # it on [t_i, t_{i+1}) — exact integer microseconds
+        dt_us = np.diff(t_us)
+        hit = np.where(codes[:-1] == tcode, dt_us, 0)
+        target_us = _seg_reduceat(hit, starts, cross)
+        # ever_eq sees every instant: point-level reduceat needs no
+        # boundary trick
+        ever = np.maximum.reduceat(
+            (codes == tcode).astype(np.int64), starts) > 0
+        return {"n_inst": n_inst, "target_us": target_us,
+                "ever_target": ever}
 
-    return _per_key_kernel(points, key, schema, stats)
+    return _per_key_np_kernel(points, key, schema, stats, t, (v,))
 
 
 def traj3d_stats(points: DataFrame, key: str = "key", t: str = "t",
                  x: str = "x", y: str = "y", z: str = "z") -> DataFrame:
     """Per-key 3D trajectory metrics: the dimension-agnostic length /
-    speed kernels over (x, y, z) plus the STBOX z extent
-    (`tpoint_distance.c:172-243` 3D forms; STBOX z `temporal.h:118`)."""
-    from . import spatial
-    from .boxops import STBox
+    speed semantics over (x, y, z) plus the STBOX z extent
+    (`tpoint_distance.c:172-243` 3D forms; STBOX z `temporal.h:118`),
+    vectorized across keys (see ``_per_key_np_kernel``)."""
     schema = (f"{key} bigint, length3d double, speed_max double, "
               "zmin double, zmax double")
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (x, y, z))
-        sp = spatial.speed(tv)
-        box = STBox.of(tv)
-        return pd.DataFrame([{
-            key: kv, "length3d": spatial.length(tv),
-            "speed_max": float(sp.max_value()[0]) if sp is not None else 0.0,
-            "zmin": box.zmin, "zmax": box.zmax}])
+    def stats(keys, starts, ends, t_us, cd):
+        xs = cd[x].astype(np.float64)
+        ys = cd[y].astype(np.float64)
+        zs = cd[z].astype(np.float64)
+        cross = np.zeros(max(len(xs) - 1, 0), dtype=bool)
+        cross[ends[:-1] - 1] = True
+        dxx, dyy, dzz = np.diff(xs), np.diff(ys), np.diff(zs)
+        dt_s = np.diff(t_us) / 1e6
+        seglen = np.sqrt(dxx * dxx + dyy * dyy + dzz * dzz)
+        length = _seg_reduceat(seglen, starts, cross)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sp = np.where(dt_s > 0, seglen / dt_s, 0.0)
+        speed_max = _seg_reduceat(sp, starts, cross, np.maximum)
+        single = ends - starts == 1
+        # point-level reductions need no boundary trick: reduceat over
+        # the point starts reduces exactly each group's members
+        zmin = np.minimum.reduceat(zs, starts)
+        zmax = np.maximum.reduceat(zs, starts)
+        return {"length3d": np.where(single, 0.0, length),
+                "speed_max": np.where(single, 0.0, speed_max),
+                "zmin": zmin, "zmax": zmax}
 
-    return _per_key_kernel(points, key, schema, stats)
+    return _per_key_np_kernel(points, key, schema, stats, t, (x, y, z))
 
 
 def azimuth_cumlen_stats(points: DataFrame, at_us: int,
@@ -579,24 +692,55 @@ def azimuth_cumlen_stats(points: DataFrame, at_us: int,
     (`tpoint_spatialfuncs.c:942-1070, :1520-1595`): time-weighted
     average bearing over moving segments and the running length
     interpolated at one probe instant."""
-    import numpy as np
-    from . import spatial
     schema = f"{key} bigint, tw_azimuth double, cumlen_at double"
+    at_us = int(at_us)
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (x, y))
-        az = spatial.azimuth(tv)
-        cl = spatial.cumulative_length(tv)
-        v = cl.value_at(int(at_us))
-        if az is None or v is None:
-            return pd.DataFrame(columns=[key, "tw_azimuth", "cumlen_at"])
-        return pd.DataFrame([{key: kv,
-                              "tw_azimuth": spatial.twavg(az),
-                              "cumlen_at": float(v[0])}])
+    def stats(keys, starts, ends, t_us, cd):
+        xs, ys = cd[x].astype(np.float64), cd[y].astype(np.float64)
+        nseg = max(len(xs) - 1, 0)
+        cross = np.zeros(nseg, dtype=bool)
+        cross[ends[:-1] - 1] = True
+        dxx, dyy = np.diff(xs), np.diff(ys)
+        dt_s = np.diff(t_us) / 1e6
+        # azimuth (`tpoint_spatialfuncs.c:1520`): radians clockwise
+        # from north over MOVING segments only; stationary segments
+        # contribute neither weight nor time
+        az = np.arctan2(dxx, dyy)
+        az = np.where(az < 0, az + 2 * np.pi, az)
+        moving = (np.abs(dxx) > 0) | (np.abs(dyy) > 0)
+        w = np.where(moving, dt_s, 0.0)
+        num = _seg_reduceat(az * w, starts, cross)
+        den = _seg_reduceat(w, starts, cross)
+        # cumulativeLength (`:942`) at one probe: running length at
+        # at_us, linear between knots; keys whose domain excludes the
+        # probe drop (value_at -> None), matching the kernel
+        seglen = np.sqrt(dxx * dxx + dyy * dyy)
+        seg_c = np.concatenate((np.where(cross, 0.0, seglen), [0.0]))
+        cum = np.concatenate(([0.0], np.cumsum(seg_c)))
+        base = cum[starts]
+        # locate the knot interval containing at_us per key: t_us is
+        # sorted only WITHIN a key, so bracket via per-key counts of
+        # knots <= at_us (point-level reduceat, no global searchsorted)
+        cnt_le = np.add.reduceat((t_us <= at_us).astype(np.int64), starts)
+        in_dom = (cnt_le >= 1) & (t_us[ends - 1] >= at_us)
+        i0 = np.clip(starts + cnt_le - 1, starts,
+                     np.maximum(ends - 2, starts))
+        hi_i = np.minimum(i0 + 1, ends - 1)
+        lo_t, hi_t = t_us[i0], t_us[hi_i]
+        cum_lo = cum[i0] - base
+        cum_hi = cum[hi_i] - base
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(hi_t > lo_t,
+                            (at_us - lo_t) / (hi_t - lo_t), 0.0)
+            tw = num / np.where(den > 0, den, 1.0)
+        # exact-knot probes take the knot's running length (kernel
+        # parity: value_at returns the knot value, no lerp round-trip)
+        cumlen = np.where(at_us == hi_t, cum_hi,
+                          cum_lo + (cum_hi - cum_lo) * frac)
+        mask = in_dom & (den > 0) & (ends - starts > 1)
+        return {"tw_azimuth": tw, "cumlen_at": cumlen, "_mask": mask}
 
-    return _per_key_kernel(points, key, schema, stats)
+    return _per_key_np_kernel(points, key, schema, stats, t, (x, y))
 
 
 def extent(points: DataFrame, key: str = "key", t: str = "t",

@@ -146,3 +146,110 @@ def test_minhash_lsh_pairs_equals_brute_small(spark):
     exp = sorted((r.id_i, r.id_j, r.jaccard)
                  for r in ngram_jaccard_pairs(df, threshold=0.6).collect())
     assert got == exp and len(got) >= 5
+
+
+# ---------------------------------------------------------------------------
+# vectorized per-key temporal operators ≡ per-Temporal kernel loop
+# ---------------------------------------------------------------------------
+
+def _longform_df(spark, with_z=False, with_str=False):
+    """Adversarial long-form fixture: single-point keys, stationary
+    segments, duplicate (key, t) rows, irregular gaps."""
+    rng = np.random.default_rng(11)
+    rows = []
+    base = np.datetime64("2024-01-15T00:00:00", "us")
+    for k in range(25):
+        n = int(rng.integers(1, 12))
+        ts = np.sort(rng.choice(np.arange(0, 500), n, replace=False))
+        xs = rng.integers(0, 10, n) / 10.0
+        ys = rng.integers(0, 10, n) / 10.0
+        zs = rng.integers(0, 10, n) / 10.0
+        if n > 3:
+            xs[1] = xs[0]
+            ys[1] = ys[0]  # stationary segment
+        for i in range(n):
+            t = (base + np.timedelta64(int(ts[i]) * 3600_000_000, "us")) \
+                .astype("datetime64[us]").item()
+            row = {"key": k, "t": t, "x": float(xs[i]), "y": float(ys[i]),
+                   "v": float(xs[i] + ys[i])}
+            if with_z:
+                row["z"] = float(zs[i])
+            if with_str:
+                row["etype"] = ["ok", "error", "warn"][int(xs[i] * 10) % 3]
+            rows.append(row)
+    # duplicate (key, t) rows are out-of-contract upstream (grouped
+    # feeds), but the harness must still drop them like the old prep
+    rows.append(dict(rows[0]))
+    return spark.createDataFrame(rows)
+
+
+def test_vectorized_trajectory_metrics_matches_kernels(spark):
+    import pandas as pd
+    from mobilitydb_spark import spatial
+    from mobilitydb_spark import spark_temporal as ST
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    df = _longform_df(spark)
+    got = {r["key"]: r.asDict()
+           for r in ST.trajectory_metrics(df).collect()}
+    pdf = df.toPandas()
+    for kv, g in pdf.groupby("key"):
+        g2 = g.drop_duplicates(subset=["t"]).sort_values("t")
+        tv = temporal_from_pdf(g2, "t", ("x", "y"))
+        sp = spatial.speed(tv)
+        cen = spatial.twcentroid(tv)
+        r = got[kv]
+        assert abs(r["length"] - spatial.length(tv)) < 1e-9
+        want_max = float(sp.max_value()[0]) if sp is not None else 0.0
+        assert abs(r["speed_max"] - want_max) < 1e-9
+        assert abs(r["centroid_x"] - float(cen[0])) < 1e-9
+        assert abs(r["centroid_y"] - float(cen[1])) < 1e-9
+        assert r["n_points"] == tv.num_instants()
+        assert abs(r["duration_sec"] - tv.duration_us() / 1e6) < 1e-9
+
+
+def test_vectorized_twavg_azimuth_ttext_match_kernels(spark):
+    import pandas as pd
+    from mobilitydb_spark import spatial
+    from mobilitydb_spark import spark_temporal as ST
+    from mobilitydb_spark.restrict import at_value
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    from mobilitydb_spark.types import Temporal
+    df = _longform_df(spark, with_str=True)
+    pdf = df.toPandas()
+    at_us = int(np.datetime64("2024-01-20T07:30:00", "us").astype(np.int64))
+
+    got_tw = {r["key"]: r["twavg"]
+              for r in ST.tnumber_twavg(df, v="v").collect()}
+    got_az = {r["key"]: r.asDict()
+              for r in ST.azimuth_cumlen_stats(df, at_us).collect()}
+    got_tt = {r["key"]: r.asDict()
+              for r in ST.ttext_state_stats(df, "error").collect()}
+
+    for kv, g in pdf.groupby("key"):
+        g2 = g.drop_duplicates(subset=["t"]).sort_values("t")
+        tv1 = temporal_from_pdf(g2, "t", ("v",))
+        assert abs(got_tw[kv] - spatial.twavg(tv1)) < 1e-9
+        tv2 = temporal_from_pdf(g2, "t", ("x", "y"))
+        az = spatial.azimuth(tv2)
+        cl = spatial.cumulative_length(tv2)
+        vat = cl.value_at(at_us)
+        if az is None or vat is None:
+            assert kv not in got_az
+        else:
+            assert abs(got_az[kv]["tw_azimuth"] - spatial.twavg(az)) < 1e-9
+            assert abs(got_az[kv]["cumlen_at"] - float(vat[0])) < 1e-9
+        # ttext reference: stepwise code machine
+        tt = g2["t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes, vocab = pd.factorize(g2["etype"])
+        tvs = Temporal.sequence(tt, codes.astype(np.float64)[:, None],
+                                linear=False)
+        if "error" in list(vocab):
+            hit = at_value(tvs, float(list(vocab).index("error")))
+            ps = hit.get_time() if hit is not None else []
+            tus = int(sum(p.upper - p.lower for p in ps))
+        else:
+            tus = 0
+        r = got_tt[kv]
+        assert r["n_inst"] == tvs.num_instants()
+        assert r["target_us"] == tus
+        assert r["ever_target"] == bool((g2["etype"] == "error").any())
