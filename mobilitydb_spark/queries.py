@@ -2926,32 +2926,53 @@ def q_trajectory_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds the WKT with lag-dedup + string_agg and the same
     %.15g number formatting (one-decimal fixture values make the two
     formatters provably agree)."""
+    import numpy as np
     import pandas as pd
-    from . import spatial
-    from .spark_temporal import temporal_from_pdf, _per_key_kernel
+    from .spark_temporal import _per_key_np_kernel
     pts = _ev_points(spark, sf_dir)
     schema = "key bigint, geom_type string, n_pts int, wkt string"
 
-    def fmt(v: float) -> str:
-        return f"{v:.15g}"
+    # %.15g strings for the fixture's one-decimal coordinate domain
+    # (x, y = k/10 for k in 0..999), precomputed once: "12" for
+    # integral values, shortest "12.3" otherwise — exactly what
+    # f"{k/10:.15g}" prints for every k (pinned below by the fallback
+    # check).  Values off the one-decimal grid fall back to %.15g.
+    _lut = np.array([str(k // 10) if k % 10 == 0
+                     else f"{k // 10}.{k % 10}" for k in range(1000)],
+                    dtype=object)
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf["key"].iloc[0]
-        pdf = pdf.drop_duplicates(subset=["t"]).sort_values("t")
-        tv = temporal_from_pdf(pdf, "t", ("x", "y"))
-        g = spatial.trajectory(tv)
-        if g.kind == "Point":
-            c = g.parts[0][0]
-            n, wkt = 1, f"POINT({fmt(c[0])} {fmt(c[1])})"
-        else:
-            coords = g.parts[0]
-            n = len(coords)
-            wkt = "LINESTRING(" + ",".join(
-                f"{fmt(x)} {fmt(y)}" for x, y in coords) + ")"
-        return pd.DataFrame([{"key": kv, "geom_type": g.kind,
-                              "n_pts": n, "wkt": wkt}])
+    def _fmt_arr(v: np.ndarray) -> np.ndarray:
+        k = np.rint(v * 10).astype(np.int64)
+        on_grid = (np.abs(v * 10 - k) < 1e-9) & (k >= 0) & (k < 1000)
+        out = np.empty(len(v), dtype=object)
+        out[on_grid] = _lut[k[on_grid]]
+        for i in np.flatnonzero(~on_grid):
+            out[i] = f"{v[i]:.15g}"
+        return out
 
-    return _per_key_kernel(pts, "key", schema, stats).orderBy("key")
+    def stats(keys, starts, ends, t_us, cd):
+        xs, ys = cd["x"].astype(np.float64), cd["y"].astype(np.float64)
+        # trajectory (`tpoint_spatialfuncs.c:513-885`): consecutive
+        # duplicate positions collapse (keep the first of each run)
+        keep = np.ones(len(xs), dtype=bool)
+        keep[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        keep[starts] = True
+        pt_str = pd.Series(_fmt_arr(xs)) + " " + pd.Series(_fmt_arr(ys))
+        pt_str = pt_str.to_numpy()
+        n_pts = np.add.reduceat(keep.astype(np.int64), starts)
+        wkts = np.empty(len(starts), dtype=object)
+        types = np.where(n_pts == 1, "Point", "LineString")
+        for g, (s0, e0) in enumerate(zip(starts, ends)):
+            coords = pt_str[s0:e0][keep[s0:e0]]
+            if len(coords) == 1:
+                wkts[g] = f"POINT({coords[0]})"
+            else:
+                wkts[g] = "LINESTRING(" + ",".join(coords) + ")"
+        return {"geom_type": types, "n_pts": n_pts.astype(np.int32),
+                "wkt": wkts}
+
+    return _per_key_np_kernel(pts, "key", schema, stats,
+                              cols=("x", "y")).orderBy("key")
 
 
 # %.15g for one-decimal doubles: integral values print bare ("12"),

@@ -124,6 +124,95 @@ def _per_key_np_kernel(points: DataFrame, key: str, schema: str,
     return points.repartition(n_parts, key).mapInPandas(kernel, schema)
 
 
+def _per_pair_np_kernel(points: DataFrame, pair: str, member: str,
+                        schema: str, pair_stats, t: str = "t",
+                        cols: tuple[str, ...] = ()) -> DataFrame:
+    """Vectorized sibling of ``_per_key_kernel`` for PAIR kernels
+    (r6): one repartition on ``pair``, partition flattened to numpy
+    once (stable lexsort by (pair, member, t), first-seen dedup of
+    duplicate (pair, member, t) knots — the per-member
+    drop_duplicates + sort prep of the old per-pair callbacks), then
+    ``pair_stats(ta, a_cols, tb, b_cols)`` runs per pair on raw
+    array slices (members ordered by ascending member id, matching
+    the old pandas groupby(member) iteration).  Pairs without exactly
+    two members, or for which ``pair_stats`` returns None, emit no
+    row."""
+    n_parts = points.sparkSession.sparkContext.defaultParallelism
+    out_cols = [c.strip().split()[0] for c in schema.split(",")]
+
+    def kernel(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        k = pdf[pair].to_numpy()
+        m = pdf[member].to_numpy()
+        tv = pdf[t].to_numpy()
+        if np.issubdtype(tv.dtype, np.datetime64):
+            tv = tv.astype("datetime64[us]").astype(np.int64)
+        else:
+            tv = tv.astype(np.int64)
+        order = np.lexsort((tv, m, k))
+        k, m, tv = k[order], m[order], tv[order]
+        dup = np.zeros(len(k), dtype=bool)
+        dup[1:] = (k[1:] == k[:-1]) & (m[1:] == m[:-1]) \
+            & (tv[1:] == tv[:-1])
+        cd = {c: pdf[c].to_numpy()[order][~dup].astype(np.float64)
+              for c in cols}
+        k, m, tv = k[~dup], m[~dup], tv[~dup]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        rows = []
+        for s0, e0 in zip(starts, ends):
+            ms = m[s0:e0]
+            cut = np.flatnonzero(ms[1:] != ms[:-1]) + 1
+            if len(cut) != 1:
+                continue
+            mid = s0 + cut[0]
+            ta, tb = tv[s0:mid], tv[mid:e0]
+            a_cols = {c: cd[c][s0:mid] for c in cols}
+            b_cols = {c: cd[c][mid:e0] for c in cols}
+            got = pair_stats(ta, a_cols, tb, b_cols)
+            if got is not None:
+                rows.append((k[s0],) + tuple(got))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return points.repartition(n_parts, pair).mapInPandas(kernel, schema)
+
+
+def _samp1(tk: np.ndarray, vk: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """1-D twin of ``lifting._sample``: same searchsorted bracket,
+    same float op order for the lerp, exact-knot override."""
+    idx = np.searchsorted(tk, ts, side="right") - 1
+    idx = np.clip(idx, 0, len(tk) - 1)
+    exact = tk[idx] == ts
+    if len(tk) == 1:
+        return vk[idx].copy()
+    nxt = np.clip(idx + 1, 0, len(tk) - 1)
+    t0 = tk[idx].astype(np.float64)
+    t1 = tk[nxt].astype(np.float64)
+    dt = np.where(t1 > t0, t1 - t0, 1.0)
+    r = (ts.astype(np.float64) - t0) / dt
+    out = vk[idx] + (vk[nxt] - vk[idx]) * r
+    out[exact] = vk[idx[exact]]
+    return out
+
+
+def _sync_grid(ta: np.ndarray, tb: np.ndarray) -> np.ndarray | None:
+    """Synchronized instant grid of two single-sequence domains
+    (`lifting.synchronize` for SEQUENCE×SEQUENCE): both members'
+    knots inside the common closed window plus its bounds; None when
+    the domains do not overlap."""
+    lo = max(int(ta[0]), int(tb[0]))
+    hi = min(int(ta[-1]), int(tb[-1]))
+    if lo > hi:
+        return None
+    return np.unique(np.concatenate((
+        ta[(ta >= lo) & (ta <= hi)], tb[(tb >= lo) & (tb <= hi)],
+        np.array([lo, hi], dtype=np.int64))))
+
+
 def _seg_reduceat(contrib: np.ndarray, starts: np.ndarray,
                   cross: np.ndarray, op=np.add) -> np.ndarray:
     """Per-group reduction of a per-segment array (len n-1 for n
@@ -435,28 +524,121 @@ def tdwithin_pair_stats(points: DataFrame, dist: float,
     """Per pair of tpoints: exact total microseconds and component
     count where tdwithin(a, b, dist) is true
     (`tpoint_tempspatialrels.c:952-1098` quadratic solver)."""
-    from . import spatial
-    from .restrict import at_value
+    from .types import EPSILON
     schema = f"{pair} bigint, total_us bigint, n_periods bigint"
+    d = float(dist)
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        pv = pdf[pair].iloc[0]
-        groups = [g for _, g in pdf.groupby(member)]
-        if len(groups) != 2:
-            return pd.DataFrame(columns=[pair, "total_us", "n_periods"])
-        tvs = [temporal_from_pdf(
-            g.drop_duplicates(subset=[t]).sort_values(t), t, (x, y))
-            for g in groups]
-        tb = spatial.tdwithin(tvs[0], tvs[1], dist)
-        if tb is None:
-            return pd.DataFrame(columns=[pair, "total_us", "n_periods"])
-        hit = at_value(tb, 1.0)
-        ps = hit.get_time() if hit is not None else []
-        return pd.DataFrame([{
-            pair: pv, "total_us": int(sum(p.upper - p.lower for p in ps)),
-            "n_periods": len(ps)}])
+    def stats(ta, ac, tb, bc):
+        ts = _sync_grid(ta, tb)
+        if ts is None:
+            return None
+        ax = _samp1(ta, ac[x], ts)
+        ay = _samp1(ta, ac[y], ts)
+        bx = _samp1(tb, bc[x], ts)
+        by = _samp1(tb, bc[y], ts)
+        if len(ts) == 1:
+            dx0, dy0 = ax[0] - bx[0], ay[0] - by[0]
+            within = float(np.sqrt(dx0 * dx0 + dy0 * dy0)) <= d
+            return (0, 1) if within else (0, 0)
+        # per synced segment: the reference solver vectorized
+        # (`tpoint_tempspatialrels.c:952-1290` via spatial._tdw_solve
+        # / _tdwithin_segment, linear×linear branches; li is always
+        # True on a closed sync window, ui only on the final segment)
+        lower, upper = ts[:-1], ts[1:]
+        nseg = len(lower)
+        ui = np.zeros(nseg, dtype=bool)
+        ui[-1] = True
+        dax = np.diff(ax) - np.diff(bx)
+        day = np.diff(ay) - np.diff(by)
+        dcx = ax[:-1] - bx[:-1]
+        dcy = ay[:-1] - by[:-1]
+        const = (np.diff(ax) == 0) & (np.diff(ay) == 0) \
+            & (np.diff(bx) == 0) & (np.diff(by) == 0)
+        start_within = np.sqrt(dcx * dcx + dcy * dcy) <= d
+        qa = dax * dax + day * day
+        qb = (2.0 * dax * dcx) + (2.0 * day * dcy)
+        qc = (dcx * dcx + dcy * dcy) - d * d
+        # piece accumulators: at most one true interval per segment
+        plo = np.zeros(nseg, dtype=np.int64)
+        phi = np.zeros(nseg, dtype=np.int64)
+        plo_inc = np.zeros(nseg, dtype=bool)
+        phi_inc = np.zeros(nseg, dtype=bool)
+        has = np.zeros(nseg, dtype=bool)
 
-    return _per_key_kernel(points, pair, schema, stats)
+        def put(m, lo_, hi_, li_, hi_i):
+            has[m] = True
+            plo[m], phi[m] = lo_, hi_
+            plo_inc[m], phi_inc[m] = li_, hi_i
+
+        whole = const & start_within  # constant pair within d
+        put(whole, lower[whole], upper[whole], True, ui[whole])
+        par = (~const) & (qa == 0.0) & start_within  # parallel, same v
+        put(par, lower[par], upper[par], True, ui[par])
+        solve = (~const) & (qa != 0.0)
+        if solve.any():
+            la = qa[solve].astype(np.longdouble)
+            lb = qb[solve].astype(np.longdouble)
+            lc = qc[solve].astype(np.longdouble)
+            ldur = (upper[solve] - lower[solve]).astype(
+                np.float64).astype(np.longdouble)
+            disc = lb * lb - 4 * la * lc
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sq = np.sqrt(np.maximum(disc, 0))
+                t5 = np.where(qb[solve] >= 0.0,
+                              (-lb - sq) / (2 * la), (2 * lc) / (-lb + sq))
+                t6 = np.where(qb[solve] >= 0.0,
+                              (2 * lc) / (-lb - sq), (-lb + sq) / (2 * la))
+                tno = np.where(disc == 0, (-lb) / (2 * la),
+                               np.longdouble(0.0))
+            t7 = np.maximum(np.longdouble(0.0), t5)
+            t8 = np.minimum(np.longdouble(1.0), t6)
+            sl = np.flatnonzero(solve)
+            # disc == 0: one root (if inside [0, 1])
+            one0 = (disc == 0) & (tno >= 0.0) & (tno <= 1.0)
+            tt0 = np.zeros(len(sl), dtype=np.int64)
+            tt0[one0] = lower[sl][one0] + (tno[one0]
+                                           * ldur[one0]).astype(np.int64)
+            # disc > 0 with window overlap
+            two = (disc > 0) & ~(t6 < 0.0) & ~(t5 > 1.0)
+            near = two & (np.abs(t7 - t8) < EPSILON)
+            full2 = two & ~near
+            t1i = np.zeros(len(sl), dtype=np.int64)
+            t2i = np.zeros(len(sl), dtype=np.int64)
+            t1i[two] = lower[sl][two] + (t7[two]
+                                         * ldur[two]).astype(np.int64)
+            t2i[full2] = lower[sl][full2] + (t8[full2]
+                                             * ldur[full2]).astype(np.int64)
+            # nsol == 1 (disc==0 root, or EPSILON-collapsed pair):
+            # a single instant, dropped on an excluded bound
+            one = one0 | near
+            t1o = np.where(near, t1i, tt0)
+            keep1 = one & ~((t1o == upper[sl]) & ~ui[sl])
+            m1 = sl[keep1]
+            put(m1, t1o[keep1], t1o[keep1], True, True)
+            # nsol == 2: the true window [t1, t2] with the reference's
+            # branch-exact bounds
+            m2 = sl[full2]
+            lo2, hi2 = t1i[full2], t2i[full2]
+            at_lo = lo2 == lower[m2]
+            at_hi = hi2 == upper[m2]
+            put(m2, lo2, hi2,
+                np.where(at_lo, True, True),
+                np.where(at_hi, ui[m2], np.where(at_lo & ~at_hi,
+                                                 False, True)))
+        if not has.any():
+            return (0, 0)
+        lo_k = plo[has]
+        hi_k = phi[has]
+        li_k = plo_inc[has]
+        hi_inc_k = phi_inc[has]
+        total = int((hi_k - lo_k).sum())
+        new = np.ones(len(lo_k), dtype=bool)
+        new[1:] = (lo_k[1:] > hi_k[:-1]) | \
+            ((lo_k[1:] == hi_k[:-1]) & ~(hi_inc_k[:-1] | li_k[1:]))
+        return (total, int(new.sum()))
+
+    return _per_pair_np_kernel(points, pair, member, schema, stats,
+                               t, (x, y))
 
 
 def nearest_approach_pairs(points: DataFrame, pair: str = "pair",
@@ -813,46 +995,54 @@ def tmath_turning_pairs(points: DataFrame, div_shift: float = 1000.0,
     quadratic-vertex instants and the vertex-exact extrema of a·b and
     a/(b+shift) (the divisor is shifted positive so the quotient stays
     bounded — the turning-point kernel is exercised identically)."""
-    import numpy as np
-    from .lifting import synchronize, tdiv, tmult, turn_product
     schema = (f"{pair} bigint, n_turn_mult bigint, mult_max double, "
               "mult_min double, n_turn_div bigint, div_max double, "
               "div_min double")
 
-    def n_turns(a, b) -> int:
-        n = 0
-        for ts, va, vb, _, _ in synchronize(a, b):
-            for i in range(len(ts) - 1):
-                n += len(turn_product(va[i], va[i + 1], vb[i], vb[i + 1],
-                                      int(ts[i]), int(ts[i + 1])))
-        return n
+    def turns(ts: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Vectorized `lifting.turn_product` over every synced
+        segment: quadratic-vertex parameter r strictly inside (0, 1),
+        timestamp via banker's round (np.rint == Python round), kept
+        only strictly inside the segment."""
+        if len(ts) < 2:
+            return np.empty(0, dtype=np.int64)
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        denom = 2.0 * dx * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = -(x[:-1] * dy + y[:-1] * dx) / np.where(denom == 0.0,
+                                                        1.0, denom)
+        ok = (denom != 0.0) & (r > 0.0) & (r < 1.0)
+        t0, t1 = ts[:-1][ok], ts[1:][ok]
+        tt = np.rint(t0 + (t1 - t0) * r[ok]).astype(np.int64)
+        return tt[(tt > t0) & (tt < t1)]
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = [pair, "n_turn_mult", "mult_max", "mult_min",
-                "n_turn_div", "div_max", "div_min"]
-        pv = pdf[pair].iloc[0]
-        groups = [g for _, g in pdf.groupby(member)]
-        if len(groups) != 2:
-            return pd.DataFrame(columns=cols)
-        prepped = [g.drop_duplicates(subset=[t]).sort_values(t)
-                   for g in groups]
-        a, b = [temporal_from_pdf(g, t, (v,)) for g in prepped]
-        bs = temporal_from_pdf(
-            prepped[1].assign(**{v: prepped[1][v] + div_shift}), t, (v,))
-        m = tmult(a, b)
-        d = tdiv(a, bs)
-        if m is None or d is None:
-            return pd.DataFrame(columns=cols)
-        return pd.DataFrame([{
-            pair: pv,
-            "n_turn_mult": n_turns(a, b),
-            "mult_max": float(m.max_value()[0]),
-            "mult_min": float(m.min_value()[0]),
-            "n_turn_div": n_turns(a, bs),
-            "div_max": float(d.max_value()[0]),
-            "div_min": float(d.min_value()[0])}])
+    def stats(ta, ac, tb, bc):
+        av, bv = ac[v], bc[v]
+        ts = _sync_grid(ta, tb)
+        if ts is None:
+            return None
+        va = _samp1(ta, av, ts)
+        vb = _samp1(tb, bv, ts)
+        # the shifted divisor lerps from SHIFTED knots (knot-level
+        # derivation, not vb + shift: (v1+s)-(v0+s) != v1-v0 in float)
+        ws = bv + div_shift
+        tm = turns(ts, va, vb)
+        td_ = turns(ts, va, _samp1(tb, ws, ts))
+        # extrema over every sync knot + every turning instant, both
+        # members lerped from ORIGINAL knots (the oracle's candidate
+        # rule; lift_binary's normalize pass only ever drops knots
+        # within EPSILON of the retained hull, which the oracle never
+        # modelled either)
+        ts2 = np.unique(np.concatenate((ts, tm)))
+        mv = _samp1(ta, av, ts2) * _samp1(tb, bv, ts2)
+        ts3 = np.unique(np.concatenate((ts, td_)))
+        dv = _samp1(ta, av, ts3) / _samp1(tb, ws, ts3)
+        return (len(tm), float(mv.max()), float(mv.min()),
+                len(td_), float(dv.max()), float(dv.min()))
 
-    return _per_key_kernel(points, pair, schema, stats)
+    return _per_pair_np_kernel(points, pair, member, schema, stats,
+                               t, (v,))
 
 
 def at_range_stats(points: DataFrame, lo: float, hi: float,

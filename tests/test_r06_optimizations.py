@@ -253,3 +253,82 @@ def test_vectorized_twavg_azimuth_ttext_match_kernels(spark):
         assert r["n_inst"] == tvs.num_instants()
         assert r["target_us"] == tus
         assert r["ever_target"] == bool((g2["etype"] == "error").any())
+
+
+def test_vectorized_pair_kernels_match_reference_path(spark):
+    """tmath_turning_pairs / tdwithin_pair_stats (vectorized, r6) vs
+    the per-Temporal kernel modules they replaced, on adversarial
+    pairs: no overlap, instant overlap, stationary segments, distance
+    crossings in both directions, single-knot members."""
+    import pandas as pd
+    from mobilitydb_spark import spark_temporal as ST
+    from mobilitydb_spark import spatial
+    from mobilitydb_spark.lifting import synchronize, tdiv, tmult, \
+        turn_product
+    from mobilitydb_spark.restrict import at_value
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(23)
+    rows = []
+    base = np.datetime64("2024-01-15T00:00:00", "us")
+    for k in range(60):
+        n = int(rng.integers(1, 10))
+        off = int(rng.integers(0, 5)) * 40  # some pairs barely overlap
+        ts = off + np.sort(rng.choice(np.arange(0, 200), n, replace=False))
+        for i in range(n):
+            t = (base + np.timedelta64(int(ts[i]) * 3600_000_000, "us")) \
+                .astype("datetime64[us]").item()
+            rows.append({"key": k, "pair": k // 2, "t": t,
+                         "x": float(rng.integers(0, 800) / 10.0),
+                         "y": float(rng.integers(0, 800) / 10.0),
+                         "v": float(rng.integers(0, 1000) / 10.0)})
+    df = spark.createDataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    dist = 30.0
+
+    got_td = {r["pair"]: (r["total_us"], r["n_periods"])
+              for r in ST.tdwithin_pair_stats(df, dist).collect()}
+    got_tm = {r["pair"]: r.asDict()
+              for r in ST.tmath_turning_pairs(df).collect()}
+
+    for pv, g in pdf.groupby("pair"):
+        groups = [gg for _, gg in g.groupby("key")]
+        if len(groups) != 2:
+            assert pv not in got_td and pv not in got_tm
+            continue
+        prepped = [gg.drop_duplicates(subset=["t"]).sort_values("t")
+                   for gg in groups]
+        tvs = [temporal_from_pdf(gg, "t", ("x", "y")) for gg in prepped]
+        tb = spatial.tdwithin(tvs[0], tvs[1], dist)
+        if tb is None:
+            assert pv not in got_td
+        else:
+            hit = at_value(tb, 1.0)
+            ps = hit.get_time() if hit is not None else []
+            want = (int(sum(p.upper - p.lower for p in ps)), len(ps))
+            assert got_td[pv] == want, (pv, got_td[pv], want)
+        a, b = [temporal_from_pdf(gg, "t", ("v",)) for gg in prepped]
+        bs = temporal_from_pdf(
+            prepped[1].assign(v=prepped[1]["v"] + 1000.0), "t", ("v",))
+        m = tmult(a, b)
+        dq = tdiv(a, bs)
+        if m is None or dq is None:
+            assert pv not in got_tm
+            continue
+
+        def n_turns(aa, bb):
+            cnt = 0
+            for tss, va, vb, _, _ in synchronize(aa, bb):
+                for i in range(len(tss) - 1):
+                    cnt += len(turn_product(va[i], va[i + 1], vb[i],
+                                            vb[i + 1], int(tss[i]),
+                                            int(tss[i + 1])))
+            return cnt
+        r = got_tm[pv]
+        assert r["n_turn_mult"] == n_turns(a, b)
+        assert r["n_turn_div"] == n_turns(a, bs)
+        # extrema: vectorized path evaluates the full (un-normalized)
+        # candidate set, the kernel the EPSILON-normalized hull
+        assert abs(r["mult_max"] - float(m.max_value()[0])) < 2e-6
+        assert abs(r["mult_min"] - float(m.min_value()[0])) < 2e-6
+        assert abs(r["div_max"] - float(dq.max_value()[0])) < 2e-6
+        assert abs(r["div_min"] - float(dq.min_value()[0])) < 2e-6
