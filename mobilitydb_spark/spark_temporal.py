@@ -495,26 +495,95 @@ def at_box_stats(points: DataFrame, x0: float, y0: float,
     """Per-key atGeometry restriction to a rectangle
     (``tpointseq_at_geometry1``, `tpoint_spatialfuncs.c:1627`):
     connected-component count, knots inside, exact total microseconds."""
-    import numpy as np
-    from . import geo, spatial
-    schema = f"{key} bigint, n_periods bigint, n_knots_in bigint, total_us bigint"
+    from . import geo
+    schema = (f"{key} bigint, n_periods bigint, n_knots_in bigint, "
+              "total_us bigint")
     ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
                     dtype=np.float64)
     box = geo.Geometry("Polygon", [ring])
+    e0, e1 = ring[:-1], ring[1:]
+    ed = e1 - e0
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (x, y))
-        ps = spatial.at_geometry_periods(tv, box)
-        xs = np.concatenate([s.values[:, 0] for s in tv.seqs])
-        ys = np.concatenate([s.values[:, 1] for s in tv.seqs])
-        n_in = int(((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)).sum())
-        return pd.DataFrame([{
-            key: kv, "n_periods": len(ps), "n_knots_in": n_in,
-            "total_us": int(sum(p.upper - p.lower for p in ps))}])
+    def stats(keys, starts, ends, t_us, cd):
+        # `spatial.at_geometry_periods` (the per-sequence vectorized
+        # kernel) applied across ALL keys at once: same crossing
+        # formula, same exact-dedupe of (segment, r), same midpoint
+        # points_in_polygon classification and banker's-rounded µs
+        # bounds — cross-key segments are simply excluded up front.
+        xs, ys = cd[x].astype(np.float64), cd[y].astype(np.float64)
+        nk = len(starts)
+        size = ends - starts
+        point_key = np.repeat(np.arange(nk), size)
+        n_in = np.add.reduceat(
+            ((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1))
+            .astype(np.int64), starts)
+        seg_ok = np.flatnonzero(point_key[:-1] == point_key[1:])
+        v0 = np.stack((xs[seg_ok], ys[seg_ok]), axis=1)
+        v1 = np.stack((xs[seg_ok + 1], ys[seg_ok + 1]), axis=1)
+        d = v1 - v0
+        nseg = len(seg_ok)
+        denom = (d[:, 0, None] * ed[None, :, 1]
+                 - d[:, 1, None] * ed[None, :, 0])
+        ok = denom != 0.0
+        safe = np.where(ok, denom, 1.0)
+        w0 = e0[None, :, 0] - v0[:, 0, None]
+        w1 = e0[None, :, 1] - v0[:, 1, None]
+        r = np.where(ok, (w0 * ed[None, :, 1]
+                          - w1 * ed[None, :, 0]) / safe, -1.0)
+        srel = np.where(ok, (w0 * d[:, 1, None]
+                             - w1 * d[:, 0, None]) / safe, -1.0)
+        hit = ok & (r > 0.0) & (r < 1.0) & (srel >= 0.0) & (srel <= 1.0)
+        si, jj = np.nonzero(hit)
+        rv = r[si, jj]
+        order = np.lexsort((rv, si))
+        si, rv = si[order], rv[order]
+        if len(si):
+            keep = np.ones(len(si), dtype=bool)
+            keep[1:] = (si[1:] != si[:-1]) | (rv[1:] != rv[:-1])
+            si, rv = si[keep], rv[keep]
+        counts = np.bincount(si, minlength=nseg)
+        total_pc = counts + 1
+        offsets = np.concatenate(([0], np.cumsum(total_pc)))
+        npieces = int(offsets[-1])
+        A = np.zeros(npieces)
+        B = np.ones(npieces)
+        if len(si):
+            pos = np.arange(len(si)) - np.concatenate(
+                ([0], np.cumsum(counts)))[si]
+            A[offsets[si] + pos + 1] = rv
+            B[offsets[si] + pos] = rv
+        seg_of = np.repeat(np.arange(nseg), total_pc)
+        mids = v0[seg_of] + d[seg_of] * ((A + B) / 2.0)[:, None]
+        inside = geo.points_in_polygon(mids[:, 0], mids[:, 1], box)
+        t0s = t_us[seg_ok].astype(np.float64)[seg_of]
+        dts = (t_us[seg_ok + 1] - t_us[seg_ok]).astype(
+            np.float64)[seg_of]
+        ta = np.rint(t0s + dts * A).astype(np.int64)
+        tb = np.rint(t0s + dts * B).astype(np.int64)
+        pk = point_key[seg_ok][seg_of][inside]
+        pa, pb = ta[inside], tb[inside]
+        # single-point keys: instant period when the knot is inside
+        s1 = size == 1
+        s1_idx = starts[s1]
+        s1_in = np.zeros(0, dtype=np.int64)
+        if s1.any():
+            pin = geo.points_in_polygon(xs[s1_idx], ys[s1_idx], box)
+            s1_in = np.flatnonzero(s1)[pin]
+            s1_ts = t_us[s1_idx[pin]]
+        pk = np.concatenate((pk, s1_in))
+        pa = np.concatenate((pa, s1_ts if len(s1_in) else
+                             np.zeros(0, np.int64)))
+        pb = np.concatenate((pb, s1_ts if len(s1_in) else
+                             np.zeros(0, np.int64)))
+        inc = np.ones(len(pk), dtype=bool)  # all bounds closed
+        order2 = np.lexsort((pa, pk))
+        n_per, total = _merge_count_totals(
+            pk[order2], pa[order2], pb[order2], inc[order2], inc[order2],
+            nk)
+        return {"n_periods": n_per, "n_knots_in": n_in,
+                "total_us": total}
 
-    return _per_key_kernel(points, key, schema, stats)
+    return _per_key_np_kernel(points, key, schema, stats, t, (x, y))
 
 
 def tdwithin_pair_stats(points: DataFrame, dist: float,
@@ -1045,29 +1114,118 @@ def tmath_turning_pairs(points: DataFrame, div_shift: float = 1000.0,
                                t, (v,))
 
 
+def _merge_count_totals(piece_key: np.ndarray, a: np.ndarray,
+                        b: np.ndarray, a_inc: np.ndarray,
+                        b_inc: np.ndarray, n_keys: int):
+    """Island-merge ordered per-key clip pieces (normalize_periods
+    rule: merge on overlap or on touch when either facing bound is
+    inclusive) → (n_pieces, total_us) per key index.  Pieces must be
+    grouped by key and time-ordered within each key, mutually
+    disjoint except for touching endpoints."""
+    n_pieces = np.zeros(n_keys, dtype=np.int64)
+    total = np.zeros(n_keys, dtype=np.int64)
+    if not len(piece_key):
+        return n_pieces, total
+    new = np.ones(len(a), dtype=bool)
+    same = piece_key[1:] == piece_key[:-1]
+    new[1:] = ~same | (a[1:] > b[:-1]) | \
+        ((a[1:] == b[:-1]) & ~(b_inc[:-1] | a_inc[1:]))
+    np.add.at(n_pieces, piece_key[new], 1)
+    np.add.at(total, piece_key, b - a)
+    return n_pieces, total
+
+
 def at_range_stats(points: DataFrame, lo: float, hi: float,
                    lo_inc: bool, hi_inc: bool, key: str = "key",
                    t: str = "t", v: str = "v") -> DataFrame:
     """Per-key atRange restriction of a linear tfloat to a value range
     with explicit bound inclusivity (`tnumberseq_at_range1`,
     src/temporal.c:2583): piece count, exact total microseconds, and
-    the number of knots sitting exactly ON the lower bound (the
-    exclusive-bound inheritance case the r2 advice fixed)."""
-    import numpy as np
-    from .restrict import at_range
+    the number of knots sitting exactly ON the lower bound — the
+    `restrict.at_range` per-segment clip rules vectorized across keys
+    (same ceil/floor/banker's crossing timestamps and bound
+    inheritance; equivalence pinned in tests/test_r06_optimizations)."""
     schema = (f"{key} bigint, n_pieces bigint, total_us bigint, "
               "n_knots_on_lo bigint")
+    lo, hi = float(lo), float(hi)
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        kv = pdf[key].iloc[0]
-        pdf = pdf.drop_duplicates(subset=[t]).sort_values(t)
-        tv = temporal_from_pdf(pdf, t, (v,))
-        got = at_range(tv, lo, hi, lo_inc=lo_inc, hi_inc=hi_inc)
-        ps = got.get_time() if got is not None else []
-        on_lo = int(sum((s.values[:, 0] == lo).sum() for s in tv.seqs))
-        return pd.DataFrame([{
-            key: kv, "n_pieces": len(ps),
-            "total_us": int(sum(p.upper - p.lower for p in ps)),
-            "n_knots_on_lo": on_lo}])
+    def in_range(vv):
+        r = (lo < vv) & (vv < hi)
+        if lo_inc:
+            r |= vv == lo
+        if hi_inc:
+            r |= vv == hi
+        return r
 
-    return _per_key_kernel(points, key, schema, stats)
+    def stats(keys, starts, ends, t_us, cd):
+        vs = cd[v].astype(np.float64)
+        n = len(vs)
+        nk = len(starts)
+        size = ends - starts
+        point_key = np.repeat(np.arange(nk), size)
+        v0, v1 = vs[:-1], vs[1:]
+        t0, t1 = t_us[:-1], t_us[1:]
+        seg_ok = point_key[:-1] == point_key[1:]
+        const = seg_ok & (v0 == v1)
+        lin = seg_ok & (v0 != v1)
+        # crossing timestamp t_of(c), same float op order as the
+        # kernel: t0 + (c - v0)/(v1 - v0) * (t1 - t0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dv = np.where(v0 != v1, v1 - v0, 1.0)
+
+            def t_of(c):
+                return t0 + (c - v0) / dv * (t1 - t0)
+
+            up = v0 < v1
+            ca, cb = np.where(up, lo, hi), np.where(up, hi, lo)
+            # a side: value bound ca (lo when rising, hi when falling)
+            a_cross = np.where(up, v0 < lo, v0 > hi)
+            ta_cr = t_of(ca)
+            inc_a = np.where(up, lo_inc, hi_inc)
+            a = np.where(
+                a_cross,
+                np.where(inc_a,
+                         np.maximum(t0, np.ceil(ta_cr)).astype(np.int64),
+                         np.rint(ta_cr).astype(np.int64)),
+                t0)
+            a_inc = np.where(a_cross, inc_a,
+                             np.where(v0 == ca, inc_a, True))
+            # b side: value bound cb (hi when rising, lo when falling)
+            b_cross = np.where(up, v1 > hi, v1 < lo)
+            tb_cr = t_of(cb)
+            inc_b = np.where(up, hi_inc, lo_inc)
+            b = np.where(
+                b_cross,
+                np.where(inc_b,
+                         np.minimum(t1, np.floor(tb_cr)).astype(np.int64),
+                         np.rint(tb_cr).astype(np.int64)),
+                t1)
+            b_inc = np.where(b_cross, inc_b,
+                             np.where(v1 == cb, inc_b, True))
+        has_lin = lin & ((a < b) | ((a == b) & a_inc & b_inc))
+        has_const = const & in_range(v0)
+        a = np.where(const, t0, a)
+        b = np.where(const, t1, b)
+        a_inc = np.where(const, True, a_inc)
+        b_inc = np.where(const, True, b_inc)
+        has = has_lin | has_const
+        # single-point keys: instantaneous piece when in range
+        s1 = size == 1
+        s1_in = s1 & in_range(vs[np.minimum(starts, n - 1)])
+        pk = np.concatenate((point_key[:-1][has],
+                             np.flatnonzero(s1_in)))
+        pa = np.concatenate((a[has], t_us[starts[s1_in]]))
+        pb = np.concatenate((b[has], t_us[starts[s1_in]]))
+        pai = np.concatenate((a_inc[has].astype(bool),
+                              np.ones(int(s1_in.sum()), bool)))
+        pbi = np.concatenate((b_inc[has].astype(bool),
+                              np.ones(int(s1_in.sum()), bool)))
+        order = np.lexsort((pa, pk))
+        n_pieces, total = _merge_count_totals(
+            pk[order], pa[order], pb[order], pai[order], pbi[order], nk)
+        on_lo = np.add.reduceat((vs == lo).astype(np.int64), starts) \
+            if n else np.zeros(nk, np.int64)
+        return {"n_pieces": n_pieces, "total_us": total,
+                "n_knots_on_lo": on_lo}
+
+    return _per_key_np_kernel(points, key, schema, stats, t, (v,))

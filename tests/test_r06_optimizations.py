@@ -332,3 +332,57 @@ def test_vectorized_pair_kernels_match_reference_path(spark):
         assert abs(r["mult_min"] - float(m.min_value()[0])) < 2e-6
         assert abs(r["div_max"] - float(dq.max_value()[0])) < 2e-6
         assert abs(r["div_min"] - float(dq.min_value()[0])) < 2e-6
+
+
+def test_vectorized_at_range_at_box_match_kernels(spark):
+    """at_range_stats / at_box_stats (vectorized, r6) vs restrict.at_range
+    and spatial.at_geometry_periods on adversarial keys: knots exactly
+    ON range/box bounds, constant segments inside/outside, single-point
+    keys, values crossing in both directions."""
+    import pandas as pd
+    from mobilitydb_spark import geo, spatial
+    from mobilitydb_spark import spark_temporal as ST
+    from mobilitydb_spark.restrict import at_range
+    from mobilitydb_spark.spark_temporal import temporal_from_pdf
+    rng = np.random.default_rng(31)
+    rows = []
+    base = np.datetime64("2024-01-15T00:00:00", "us")
+    lo, hi = 20.0, 60.0
+    x0, y0, x1, y1 = 10.0, 10.0, 50.0, 60.0
+    for k in range(40):
+        n = int(rng.integers(1, 12))
+        ts = np.sort(rng.choice(np.arange(0, 300), n, replace=False))
+        vs = rng.integers(0, 1000, n) / 10.0
+        if n > 2:
+            vs[1] = lo   # knot exactly on the lower bound
+            vs[2] = vs[1]  # constant segment on the bound
+        for i in range(n):
+            tt = (base + np.timedelta64(int(ts[i]) * 3600_000_000, "us")) \
+                .astype("datetime64[us]").item()
+            rows.append({"key": k, "t": tt, "v": float(vs[i]),
+                         "x": float(rng.integers(0, 700) / 10.0),
+                         "y": float(rng.integers(0, 700) / 10.0)})
+    df = spark.createDataFrame(rows)
+    pdf = pd.DataFrame(rows)
+
+    got_r = {r["key"]: r.asDict()
+             for r in ST.at_range_stats(df, lo, hi, lo_inc=False,
+                                        hi_inc=True).collect()}
+    got_b = {r["key"]: r.asDict()
+             for r in ST.at_box_stats(df, x0, y0, x1, y1).collect()}
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    box = geo.Geometry("Polygon", [ring])
+    for kv, g in pdf.groupby("key"):
+        g2 = g.drop_duplicates(subset=["t"]).sort_values("t")
+        tv = temporal_from_pdf(g2, "t", ("v",))
+        want = at_range(tv, lo, hi, lo_inc=False, hi_inc=True)
+        ps = want.get_time() if want is not None else []
+        r = got_r[kv]
+        assert r["n_pieces"] == len(ps), kv
+        assert r["total_us"] == int(sum(p.upper - p.lower for p in ps))
+        assert r["n_knots_on_lo"] == int((g2["v"].to_numpy() == lo).sum())
+        tv2 = temporal_from_pdf(g2, "t", ("x", "y"))
+        ps2 = spatial.at_geometry_periods(tv2, box)
+        b = got_b[kv]
+        assert b["n_periods"] == len(ps2), kv
+        assert b["total_us"] == int(sum(p.upper - p.lower for p in ps2))
