@@ -277,12 +277,12 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
                       F.explode(F.split(F.col(text_col), r"\s+"))
                        .alias("tok"))
             .where(F.col("tok") != ""))
-    m = toks.select(id_col, F.md5("tok").alias("m"))
-    hv = m.select(
-        id_col,
-        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"))
-
+    # md5 + two base-16 convs per token OCCURRENCE cost ~1.9 s of the
+    # 6 s query at sf1.0 (noop-isolated); hashing each DISTINCT token
+    # once and broadcast-joining the (tok, hi, lo) dim back is
+    # value-identical (md5 is a pure function of the token) and drops
+    # that work to the vocabulary size (guide §4.2 flavor: hoist the
+    # expensive pure function off the hot cardinality)
     # The vote expressions are built as SQL STRINGS and handed to one
     # F.expr each: composing them from 64×4 Column operators costs
     # hundreds of py4j round trips (~3 s of pure driver-side build
@@ -297,14 +297,30 @@ def simhash_64(df: DataFrame, id_col: str = "doc_id",
         return " + ".join(f"shiftleft({bit_sql(4 * j + L)}, {16 * L})"
                           for L in range(4))
 
+    # the lane-packed vote terms are pure functions of the token, so
+    # they are evaluated once per DISTINCT token in the dim and
+    # broadcast-joined back (r6): the hot path per token occurrence is
+    # a broadcast-hash probe + 16 plain column sums instead of md5 +
+    # two base-16 convs + 64 shift/case terms — noop-isolated, the
+    # md5+conv alone cost ~1.9 s of the 6 s query at sf1.0
+    dim = toks.select("tok").distinct() \
+        .select("tok", F.md5("tok").alias("m")) \
+        .select(
+            "tok",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo")) \
+        .selectExpr("tok", *[f"({packed_sql(j)}) AS pk{j}"
+                             for j in range(16)])
+    hv = toks.join(F.broadcast(dim), "tok") \
+        .select(id_col, *[f"pk{j}" for j in range(16)])
+
     # try_sum: at >= 2^15 tokens the L=3 lane (shifted 48) overflows
     # the 64-bit SUM itself under ANSI mode — oversized docs get NULL
     # lanes here and are recomputed through the unpacked path below
     # (their ntok COUNT stays exact either way)
     votes = hv.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("ntok"),
-        *[F.expr(f"try_sum({packed_sql(j)})").alias(f"p{j}")
-          for j in range(16)])
+        *[F.expr(f"try_sum(pk{j})").alias(f"p{j}") for j in range(16)])
 
     def lane_sql(b: int) -> str:
         return (f"(shiftrightunsigned(p{b // 4}, {16 * (b % 4)})"

@@ -90,13 +90,26 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
     li = _load(spark, sf_dir, "lineitem")
-    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-             .groupBy("c_custkey", "c_name")
-             .agg(F.sum(F.round(li.l_extendedprice * 100).cast("bigint")
-                        * (100 - F.round(li.l_discount * 100).cast("bigint")))
-                  .alias("revenue_c4"),
-                  F.countDistinct(orders.o_orderkey).alias("n_orders")))
+    # r6 shape: aggregate lineitem to one row per order FIRST (bigint
+    # revenue sums are associative, so the per-customer total is
+    # unchanged), then join the 4x smaller per-order table to orders.
+    # COUNT(DISTINCT o_orderkey) per customer becomes a plain COUNT —
+    # each surviving orderkey appears exactly once — removing the
+    # Expand-based distinct aggregate, and only (o_orderkey,
+    # o_custkey) flows through the join (guide §2.3: aggregate before
+    # you shuffle, project before the exchange).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(li.l_extendedprice * 100).cast("bigint")
+              * (100 - F.round(li.l_discount * 100).cast("bigint")))
+        .alias("rev_c4"))
+    rev = (per_order
+           .join(orders.select("o_orderkey", "o_custkey"),
+                 per_order.l_orderkey == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum("rev_c4").alias("revenue_c4"),
+                F.count(F.lit(1)).alias("n_orders"))
+           .join(F.broadcast(cust),
+                 F.col("o_custkey") == cust.c_custkey))
     return (rev.orderBy(F.desc("revenue_c4"), "c_custkey").limit(20)
                .select("c_custkey", "c_name", "revenue_c4", "n_orders"))
 
