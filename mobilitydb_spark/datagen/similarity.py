@@ -115,19 +115,31 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
             .orderBy("_id").limit(n_centroids).collect()
         cent_rows = [(i, [float(x) for x in r[vec]])
                      for i, r in enumerate(sample)]
-        cents0 = spark.createDataFrame(
-            cent_rows, "cluster int, centroid array<double>")
-        cv = candidates.select(F.col(c_id), F.col(vec).alias("ce"))
-        cd2 = F.aggregate(
-            F.zip_with("ce", "centroid",
-                       lambda x, y: (x.cast("double") - y) ** 2),
-            F.lit(0.0), lambda acc, v: acc + v)
-        wc = Window.partitionBy(c_id).orderBy(F.asc("cd2"), F.asc("cluster"))
-        cass = (cv.crossJoin(F.broadcast(cents0))
-                .select(c_id, "ce", "cluster", cd2.alias("cd2"))
-                .withColumn("crn", F.row_number().over(wc))
-                .where(F.col("crn") == 1)
-                .select(c_id, "ce", "cluster"))
+        # assignment as a numpy Arrow kernel (r6): the previous
+        # crossJoin(x n_centroids) + interpreted squared-distance HOF
+        # fold + row_number window shuffled n*n_centroids rows and
+        # evaluated ~dim interpreted lambda steps per pair; argmin
+        # against the broadcast centroid matrix is one vectorized pass
+        # (ties keep the lowest cluster, like the ORDER BY cd2, cluster
+        # window — np.argmin returns the first minimum)
+        cents_np = np.array([c for _, c in cent_rows], dtype=np.float64)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.vstack(pdf["ce"].to_numpy()).astype(np.float64)
+                d2 = np.stack(
+                    [np.cumsum((M - cents_np[j]) * (M - cents_np[j]),
+                               axis=1)[:, -1]
+                     for j in range(len(cents_np))], axis=1)
+                out = pdf.copy()
+                out["cluster"] = np.argmin(d2, axis=1).astype(np.int32)
+                yield out
+
+        cass = candidates.select(F.col(c_id), F.col(vec).alias("ce")) \
+            .mapInPandas(assign,
+                         f"{c_id} bigint, ce array<float>, cluster int")
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
     cents = spark.createDataFrame(cent_rows,
@@ -146,9 +158,23 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
               .select(q_id, "qe", "cluster"))
     cand = probes.join(cass, "cluster") \
         .where(F.col(q_id) != F.col(c_id))
-    scored = cand.select(q_id, c_id,
-                         F.round(_dot(F.col("qe"), F.col("ce")), 6)
-                         .alias("score"))
+
+    # vectorized rerank scores: np.cumsum is the same strict left fold
+    # as the _dot HOF and DuckDB's list_dot_product (bit-identical —
+    # the cosine_neardup refine established this), minus ~dim
+    # interpreted lambda steps per candidate
+    def score_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["qe"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["ce"].to_numpy()).astype(np.float64)
+            out = pdf[[q_id, c_id]].copy()
+            out["score"] = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
+            yield out
+
+    scored = cand.select(q_id, c_id, "qe", "ce").mapInPandas(
+        score_kernel, f"{q_id} bigint, {c_id} bigint, score double")
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     ranked = (scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k))
