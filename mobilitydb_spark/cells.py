@@ -122,6 +122,28 @@ def grid_disk_np(cell: np.ndarray, k: int) -> np.ndarray:
     return (r[:, None] << R_BITS) | (nx << X_BITS) | ny
 
 
+def grid_rect_np(cell: np.ndarray, kx: int, ky: int) -> np.ndarray:
+    """Rectangular (2kx+1)×(2ky+1) neighbourhood, shape
+    (len(cell), (2kx+1)·(2ky+1)) — the per-axis form of
+    ``grid_disk_np`` (r6): grid cells are twice as wide in longitude
+    degrees as they are tall, so a square k-ring sized to the
+    longitude radius over-covers latitude by ~2× (and the old
+    ceil(deg/h)+1 sizing by another ring).  Longitude wraps modulo
+    2^r; latitude clamps."""
+    cell = np.asarray(cell, dtype=np.int64)
+    r = cell_res(cell)
+    n = np.int64(1) << r
+    x, y = cell_xy(cell)
+    ox = np.arange(-kx, kx + 1, dtype=np.int64)
+    oy = np.arange(-ky, ky + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(ox, oy, indexing="ij")
+    dx = dx.ravel()[None, :]
+    dy = dy.ravel()[None, :]
+    nx = (x[:, None] + dx) % n[:, None]
+    ny = np.clip(y[:, None] + dy, 0, (n - 1)[:, None])
+    return (r[:, None] << R_BITS) | (nx << X_BITS) | ny
+
+
 def cover_res_np(lon_min, lat_min, lon_max, lat_max, res: int,
                  max_cells: int = 4096) -> int:
     """The resolution ``cover_bbox_np`` would cover this bbox at.

@@ -236,7 +236,12 @@ def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
     """
     n = 1 << res
     cell_h = 180.0 / n  # the smaller cell edge (lat direction)
-    k = int(np.ceil(dist_deg / cell_h)) + 1
+    # per-axis cover rings (r6): a point within dist_deg sits at most
+    # floor(dist / cell_width)+1 indices away per axis; lon cells are
+    # 2x wider than lat cells, so the old square ceil(d/h)+1 ring
+    # over-covered both axes
+    kx = min(int(dist_deg / (360.0 / n)) + 1, n)
+    ky = min(int(dist_deg / cell_h) + 1, n)
 
     l_cell = cells.cell_col(F.col("lon"), F.col("lat"), res)
     lpts = left.withColumn("cell", l_cell)
@@ -248,7 +253,7 @@ def dwithin_join(left: DataFrame, right: DataFrame, dist_deg: float,
         for pdf in batches:
             if not len(pdf):
                 continue
-            disk = cells.grid_disk_np(pdf["cell"].to_numpy(), k)
+            disk = cells.grid_rect_np(pdf["cell"].to_numpy(), kx, ky)
             m = disk.shape[1]
             rep = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
             rep["jcell"] = disk.ravel()
@@ -307,16 +312,31 @@ def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
     disk_schema = StructType(list(lpts.schema.fields)
                              + [StructField("jcell", LongType())])
 
+    # per-axis cover rings (r6): a point within dist_m sits at most
+    # floor(radius_axis / cell_width_axis) + 1 cell indices away on
+    # that axis (worst case: the query point at its cell's edge), and
+    # longitude cells are twice as wide in degrees as latitude cells —
+    # the old square ceil(deg/cell_h)+1 ring over-covered both axes
+    # (49 vs 15 joined cells per row at res 9 / 50 km, ~3× the
+    # candidate pairs into the haversine refine)
+    ky = min(int(lat_pad / cell_h) + 1, n)
+
     def explode_disk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             phi = np.minimum(np.abs(pdf["lat"].to_numpy()) + lat_pad, 89.9)
             deg = dist_m / (110574.0 * np.cos(np.radians(phi)))
-            ks = np.minimum(np.ceil(deg / cell_h).astype(np.int64) + 1, n)
-            for k in np.unique(ks):
-                sub = pdf.loc[ks == k]
-                disk = cells.grid_disk_np(sub["cell"].to_numpy(), int(k))
+            kxs = np.minimum((deg / (2.0 * cell_h)).astype(np.int64) + 1, n)
+            # near the pole the linear Δλ bound under-covers (the
+            # asin(sin(d/2R)/cosφ) chord bound diverges from d/cosφ
+            # as cosφ → d/R); wrap the full parallel there — rows at
+            # |φ| ≥ 85° are rare and their cells tiny
+            kxs = np.where(phi >= 85.0, n, kxs)
+            for kx in np.unique(kxs):
+                sub = pdf.loc[kxs == kx]
+                disk = cells.grid_rect_np(sub["cell"].to_numpy(),
+                                          int(kx), ky)
                 m = disk.shape[1]
                 rep = sub.loc[sub.index.repeat(m)].reset_index(drop=True)
                 rep["jcell"] = disk.ravel()
