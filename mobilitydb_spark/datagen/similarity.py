@@ -33,12 +33,36 @@ def _dot(a, b):
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _scored_pairs(cand: DataFrame, q_id: str, c_id: str) -> DataFrame:
+    """(q_id, c_id, score) from candidate rows carrying qe/ce arrays:
+    round(dot, 6) via the np.cumsum strict left fold — bit-identical
+    to the `_dot` HOF and DuckDB's list_dot_product, minus ~dim
+    interpreted lambda steps per candidate (guide §4.2)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["qe"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["ce"].to_numpy()).astype(np.float64)
+            out = pdf[[q_id, c_id]].copy()
+            out["score"] = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
+            yield out
+
+    return cand.select(q_id, c_id, "qe", "ce").mapInPandas(
+        kernel, f"{q_id} bigint, {c_id} bigint, score double")
+
+
 def brute_topk(queries: DataFrame, candidates: DataFrame, k: int,
                q_id: str = "qid", c_id: str = "cid",
                vec: str = "embedding") -> DataFrame:
     """Exact cosine top-k (unit-norm embeddings → dot = cosine)."""
     q = queries.select(F.col(q_id), F.col(vec).alias("qe"))
     c = candidates.select(F.col(c_id), F.col(vec).alias("ce"))
+    # scoring stays in the interpreted JVM fold here: the declared
+    # brute/ANN-probe candidate sets are small, and an extra Python
+    # stage costs more than the fold it saves (measured r6:
+    # ann_lsh_topk 1.7 -> 2.4 s with an Arrow score stage; the kernel
+    # pays off only at ivf_topk's ~100k-candidate rerank)
     scored = (F.broadcast(q).crossJoin(c)
               .where(F.col(q_id) != F.col(c_id))
               .select(q_id, c_id,
@@ -158,23 +182,7 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
               .select(q_id, "qe", "cluster"))
     cand = probes.join(cass, "cluster") \
         .where(F.col(q_id) != F.col(c_id))
-
-    # vectorized rerank scores: np.cumsum is the same strict left fold
-    # as the _dot HOF and DuckDB's list_dot_product (bit-identical —
-    # the cosine_neardup refine established this), minus ~dim
-    # interpreted lambda steps per candidate
-    def score_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.vstack(pdf["qe"].to_numpy()).astype(np.float64)
-            B = np.vstack(pdf["ce"].to_numpy()).astype(np.float64)
-            out = pdf[[q_id, c_id]].copy()
-            out["score"] = np.round(np.cumsum(A * B, axis=1)[:, -1], 6)
-            yield out
-
-    scored = cand.select(q_id, c_id, "qe", "ce").mapInPandas(
-        score_kernel, f"{q_id} bigint, {c_id} bigint, score double")
+    scored = _scored_pairs(cand, q_id, c_id)
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     ranked = (scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k))
