@@ -131,17 +131,66 @@ def _refine_pip(joined: DataFrame, point_cols: list[str]) -> DataFrame:
     names = [f.name for f in out_schema.fields]
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decoded-geometry cache lives for the whole TASK (guide §4.5):
+        # with a 4096-polygon layer a 10k-row Arrow batch sees most
+        # polygons only a handful of times, and per-batch decoding paid
+        # ~(batches × polys) from_wkb calls; group on the bigint
+        # poly_id instead of the binary WKB for the cheaper hash.
+        # Axis-aligned rectangles (grid/tile layers) skip the per-group
+        # loop entirely: points_in_polygon for a rect reduces to the
+        # closed box dilated by BOUNDARY_EPS euclidean distance union
+        # the open box (on-edge handling incl. corners — pinned by
+        # tests/test_r06_optimizations.py against the ray-cast kernel),
+        # evaluated for the whole batch against per-row bound arrays.
+        geoms: dict[int, object] = {}
+        rects: dict[int, tuple] = {}  # pid -> (x0, y0, x1, y1) | None
+
+        def decode(pid: int, wkb) -> object:
+            g = geo.from_wkb(wkb)
+            geoms[pid] = g
+            r = None
+            if g.kind == "Polygon" and len(g.parts) == 1:
+                ring = g.parts[0]
+                if (len(ring) == 5 and np.array_equal(ring[0], ring[4])
+                        and all((ring[i][0] == ring[i + 1][0])
+                                != (ring[i][1] == ring[i + 1][1])
+                                for i in range(4))):
+                    xs, ys = ring[:4, 0], ring[:4, 1]
+                    if len(np.unique(xs)) == 2 and len(np.unique(ys)) == 2:
+                        r = (float(xs.min()), float(ys.min()),
+                             float(xs.max()), float(ys.max()))
+            rects[pid] = r
+            return g
+
+        eps2 = geo.BOUNDARY_EPS * geo.BOUNDARY_EPS
         for pdf in batches:
             if not len(pdf):
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
-            # group by polygon so each geometry decodes once per batch
-            for wkb, idx in pdf.groupby("geom_wkb", sort=False).indices.items():
-                g = geo.from_wkb(wkb)
-                if g.is_empty:
-                    continue
-                keep[idx] = geo.points_in_polygon(
-                    pdf["lon"].to_numpy()[idx], pdf["lat"].to_numpy()[idx], g)
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
+            wkbs = pdf["geom_wkb"].to_numpy()
+            pids = pdf["poly_id"].to_numpy()
+            groups = pdf.groupby("poly_id", sort=False).indices
+            for pid in groups:
+                if pid not in geoms:
+                    decode(pid, wkbs[groups[pid][0]])
+            if all(rects[p] is not None for p in groups):
+                bx0 = np.array([rects[p][0] for p in pids])
+                by0 = np.array([rects[p][1] for p in pids])
+                bx1 = np.array([rects[p][2] for p in pids])
+                by1 = np.array([rects[p][3] for p in pids])
+                ddx = np.maximum(np.maximum(bx0 - lon, lon - bx1), 0.0)
+                ddy = np.maximum(np.maximum(by0 - lat, lat - by1), 0.0)
+                keep = (ddx * ddx + ddy * ddy <= eps2) \
+                    | ((lon > bx0) & (lon < bx1)
+                       & (lat > by0) & (lat < by1))
+            else:
+                for pid, idx in groups.items():
+                    g = geoms[pid]
+                    if g.is_empty:
+                        continue
+                    keep[idx] = geo.points_in_polygon(lon[idx], lat[idx], g)
             yield pdf.loc[keep, names]
 
     return joined.mapInPandas(refine, out_schema)

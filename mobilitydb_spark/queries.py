@@ -2889,10 +2889,16 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — no distinct) — oracle: the quadratic overlap join with
     exact overlap microseconds."""
     from . import joins
-    pts = _ev_points(spark, sf_dir)
-    spans = pts.groupBy("key").agg(
-        F.unix_micros(F.min("t").cast("timestamp")).alias("t0_us"),
-        F.unix_micros(F.max("t").cast("timestamp")).alias("t1_us"))
+    # spans straight off the raw events (r6): MIN/MAX of t per user
+    # over the deduplicated _EV_PTS CTE equal MIN/MAX over the raw
+    # rows' ts — the (user, ts) dedup removes only duplicate values of
+    # the very column being reduced — so the 1M-group intermediate
+    # aggregate collapses into one 15k-group map-side-combinable pass
+    # (equivalence pinned by the unchanged quadratic oracle).
+    ev = _load(spark, sf_dir, "events")
+    spans = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("t0_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("t1_us"))
     l = spans.where(F.col("key") % 2 == 0) \
         .select(F.col("key").alias("l_id"), "t0_us", "t1_us")
     r = spans.where(F.col("key") % 2 == 1) \
