@@ -191,24 +191,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sig = hxd.mapInPandas(sig_kernel, "id bigint, bkeys array<bigint>")
     bands = sig.select(
         "id", F.posexplode("bkeys").alias("band", "bkey"))
-    # ONE explicit exchange on the bucket key: the three consumers
-    # below (the bucket-size aggregate, and both sides of the
-    # candidate self-join) all need hashpartitioning(band, bkey), so
-    # they read this single reused shuffle (ReuseExchange) instead of
-    # each re-running the scan -> tokenize -> 48-permutation signature
-    # map — that map is the pipeline's dominant CPU and was executed
-    # 3x (sf0.1: 9.5 s -> ~5 s; the shuffle itself is (id, band, bkey)
-    # = 24 B/row x 16 bands, far cheaper than two extra signature
-    # passes at any scale)
+    # ONE exchange on the bucket key co-locates each bucket; a
+    # partition-local kernel then emits each bucket's (id_i < id_j)
+    # pairs directly with the ``max_bucket`` cap applied from the
+    # bucket's own (fully local) size — the previous shape consumed
+    # the exchange three times (bucket-size aggregate + both
+    # candidate self-join sides); same candidate set, two fewer
+    # passes (r6, the _bucket_gram_pairs shape minus the vectors)
     bands = bands.repartition("band", "bkey")
-    sizes = bands.groupBy("band", "bkey").count() \
-        .where(F.col("count") <= max_bucket)
-    bands = bands.join(sizes.select("band", "bkey"), ["band", "bkey"])
-    l = bands.select(F.col("id").alias("id_i"), "band", "bkey")
-    r = bands.select(F.col("id").alias("id_j"), "band", "bkey")
-    cand = (l.join(r, ["band", "bkey"])
-             .where(F.col("id_i") < F.col("id_j"))
-             .select("id_i", "id_j").distinct())
+
+    def pair_kernel(batches):
+        import pandas as pd
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        band = pdf["band"].to_numpy()
+        bkey = pdf["bkey"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        order = np.lexsort((ids, bkey, band))
+        band, bkey, ids = band[order], bkey[order], ids[order]
+        cuts = np.flatnonzero((np.diff(band) != 0)
+                              | (np.diff(bkey) != 0)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(ids)]))
+        sizes_arr = ends - starts
+        out_i: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        for gi in np.flatnonzero((sizes_arr >= 2)
+                                 & (sizes_arr <= max_bucket)):
+            g = ids[starts[gi]:ends[gi]]
+            iu, ju = np.triu_indices(len(g), 1)
+            out_i.append(g[iu])
+            out_j.append(g[ju])
+        if out_i:
+            yield pd.DataFrame({"id_i": np.concatenate(out_i),
+                                "id_j": np.concatenate(out_j)})
+
+    cand = bands.mapInPandas(pair_kernel, "id_i bigint, id_j bigint") \
+        .distinct()
     # exact verify: distinct string-shingle jaccard, computed ONLY for
     # the candidate rows (joining the full shingle arrays for every
     # document would recompute them table-wide)
