@@ -132,13 +132,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    F.split(F.col(text_col), " ").alias("tk"))
     th = tk.select("id", F.transform(
         "tk", lambda t: F.xxhash64(t)).alias("th"))
-    m = F.size("th") - (shingle_n - 1)
-    comb = F.slice("th", 1, m)
-    for j in range(2, shingle_n + 1):
-        comb = F.zip_with(comb, F.slice("th", j, m),
-                          lambda x, y: F.xxhash64(x, y))
-    hxd = (th.where(F.size("th") >= shingle_n)
-           .select("id", comb.alias("hx")))
+    hxd = th.where(F.size("th") >= shingle_n)
 
     # The 48 permutation minima ran as interpreted HOF transforms (48
     # lambda passes over every shingle hash — ~10 s of the 16.6 s
@@ -161,16 +155,56 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return z ^ (z >> np.uint64(31))
 
+    # Spark's xxhash64 over BIGINT args, ported to uint64 numpy
+    # (XXH64 hashLong chained with seed 42) — verified bit-equal to
+    # the Catalyst expression on random and fixture inputs
+    # (tests/test_r06_optimizations.py); lets the n-gram combine run
+    # inside the Arrow kernel instead of shingle_n-1 interpreted
+    # zip_with passes over every token hash
+    _P1 = np.uint64(0x9E3779B185EBCA87)
+    _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _P3 = np.uint64(0x165667B19E3779F9)
+    _P4 = np.uint64(0x85EBCA77C2B2AE63)
+    _P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def _xxh64_long(l: np.ndarray, seed) -> np.ndarray:
+        h = seed + _P5 + np.uint64(8)
+        k1 = l * _P2
+        k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * _P1
+        h ^= k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * _P1 + _P4
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+        return h
+
     def sig_kernel(batches):
         import pandas as pd
         M = np.int64(MERSENNE31)
         for pdf in batches:
             if not len(pdf):
                 continue
-            col = pdf["hx"].to_numpy()
+            col = pdf["th"].to_numpy()
             lens = np.fromiter((len(v) for v in col), np.int64, len(col))
-            flat = np.concatenate(col).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            tflat = np.concatenate(col).astype(np.int64).view(np.uint64)
+            tstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # n-gram combine: comb_i = fold of xxhash64 over the
+            # shingle's token hashes, exactly the zip_with chain
+            ms = lens - (shingle_n - 1)
+            starts = np.concatenate(([0], np.cumsum(ms)[:-1]))
+            pos = np.arange(int(ms.sum())) - np.repeat(starts, ms)
+            src = np.repeat(tstarts, ms) + pos
+            # comb starts as the RAW first token hash; each chain step
+            # is one two-arg xxhash64(prev, t_j) = hashLong(t_j,
+            # hashLong(prev, 42)) — every call re-seeds from 42
+            with np.errstate(over="ignore"):
+                comb = tflat[src]
+                for j in range(1, shingle_n):
+                    comb = _xxh64_long(tflat[src + j],
+                                       _xxh64_long(comb, np.uint64(42)))
+            flat = comb.view(np.int64)
             r = flat % M
             mins = np.empty((len(col), n_hashes), dtype=np.int64)
             for j in range(n_hashes):

@@ -410,3 +410,48 @@ def test_refine_pip_rect_fast_path_matches_raycast():
     got = (ddx * ddx + ddy * ddy <= e * e) \
         | ((lon > x0) & (lon < x1) & (lat > y0) & (lat < y1))
     assert np.array_equal(got, want), list(zip(pts, got, want))
+
+
+def test_minhash_numpy_shingle_combine_matches_catalyst(spark):
+    """The in-kernel xxhash64 n-gram combine must equal the zip_with
+    chain it replaced (xxhash64 re-seeds from 42 per two-arg call)."""
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(50):
+        n = int(rng.integers(3, 40))
+        rows.append((i, [int(x) for x in
+                         rng.integers(-(2**63), 2**63, n, dtype=np.int64)]))
+    df = spark.createDataFrame(rows, "id bigint, th array<bigint>")
+    m = F.size("th") - 2
+    comb = F.slice("th", 1, m)
+    for j in range(2, 4):
+        comb = F.zip_with(comb, F.slice("th", j, m),
+                          lambda x, y: F.xxhash64(x, y))
+    want = {r["id"]: r["c"] for r in df.select("id", comb.alias("c")).collect()}
+
+    from mobilitydb_spark.datagen.dedup import minhash_lsh_pairs  # noqa: F401
+    # replicate the kernel's port directly
+    P1 = np.uint64(0x9E3779B185EBCA87); P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9); P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def hl(l, seed):
+        h = seed + P5 + np.uint64(8)
+        k1 = l * P2
+        k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * P1
+        h ^= k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+        h ^= h >> np.uint64(33); h *= P2
+        h ^= h >> np.uint64(29); h *= P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    with np.errstate(over="ignore"):
+        for i, th in rows:
+            t = np.array(th, dtype=np.int64).view(np.uint64)
+            mm = len(t) - 2
+            comb_np = t[:mm]
+            for j in range(1, 3):
+                comb_np = hl(t[j:j + mm], hl(comb_np, np.uint64(42)))
+            assert list(comb_np.view(np.int64)) == list(want[i]), i
