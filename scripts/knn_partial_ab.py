@@ -53,11 +53,18 @@ def run_half(partial: bool, execs: int, reps: int) -> dict | None:
            "--cpus", str(4 * execs), "--executors", str(execs),
            "--shuffle-mult", "2", "--ops", "knn",
            "--join-pages", "8000000", "--reps", str(reps)]
-    out = subprocess.run(cmd, capture_output=True, text=True,
-                         cwd=REPO, timeout=1800).stdout
-    for line in out.splitlines():
-        if line.startswith("{") and '"median_sec"' in line:
-            return json.loads(line)
+    # a timed-out / crashed half must not abort the alternating A/B
+    # loop before the summary line (r5 advice): log and continue
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=REPO, timeout=1800).stdout
+        for line in out.splitlines():
+            if line.startswith("{") and '"median_sec"' in line:
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, OSError,
+            json.JSONDecodeError) as exc:
+        print(json.dumps({"err": type(exc).__name__,
+                          "partial": partial, "execs": execs}), flush=True)
     return None
 
 
@@ -87,8 +94,12 @@ def main() -> None:
         if res is None:
             log({"attempt": attempt, "variant": variant, "err": "no output"})
             continue
-        exts = res["external_cores"]["knn"]
-        raws = res["raw_sec"]["knn"]
+        exts = res.get("external_cores", {}).get("knn")
+        raws = res.get("raw_sec", {}).get("knn")
+        if not exts or not raws:
+            log({"attempt": attempt, "variant": variant,
+                 "err": "missing rep fields"})
+            continue
         ok = [t for t, e in zip(raws, exts) if e <= args.ext_max]
         clean[variant].extend(ok)
         log({"attempt": attempt, "variant": variant, "execs": args.execs,

@@ -28,8 +28,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--driver-mem", type=str, default="8g")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
-    ap.add_argument("--no-partial-topk", action="store_true",
-                    help="A/B: disable the per-partition top-k reduction")
+    ap.add_argument("--partial-topk", action="store_true",
+                    help="A/B: enable the per-partition top-k reduction "
+                         "(default OFF, matching knn_join's default)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +70,7 @@ def main() -> None:
             F.col("c_id").alias("q_id"), "lon", "lat")
         t0 = time.time()
         joins.knn_join(q, knn_c, 5,
-                       partial_topk=not args.no_partial_topk).count()
+                       partial_topk=args.partial_topk).count()
         return time.time() - t0
 
     print(f"warmup: {rep(0):.1f}s", flush=True)

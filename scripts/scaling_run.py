@@ -168,10 +168,12 @@ def main() -> None:
         knn_i["i"] += 1
         q = knn_c.where(F.pmod(F.col("c_id"), F.lit(8)) == rem).select(
             F.col("c_id").alias("q_id"), "lon", "lat")
-        return joins.knn_join(
-            q, knn_c, 5,
-            partial_topk=bool(int(os.environ.get(
-                "SPARK_GRAFT_KNN_PARTIAL_TOPK", "0")))).count()
+        # defensive env parse (r5 advice): an exported-but-empty or
+        # non-integer value must not crash the scaling half
+        partial = os.environ.get(
+            "SPARK_GRAFT_KNN_PARTIAL_TOPK", "0").strip().lower() \
+            in ("1", "true", "yes")
+        return joins.knn_join(q, knn_c, 5, partial_topk=partial).count()
 
     # interval-join workload: one span per join-page row over a 30-day
     # domain, duration 0-100 s (hash-distributed) so the expected pair
