@@ -416,7 +416,8 @@ def dwithin_join_geog(left: DataFrame, right: DataFrame, dist_m: float,
 # ---------------------------------------------------------------------------
 
 def _partition_topk(df: DataFrame, k: int, query_id: str,
-                    cand_id: str, compact_rows: int = 2_000_000) -> DataFrame:
+                    cand_id: str, compact_rows: int = 2_000_000,
+                    dist_col: str = "dist") -> DataFrame:
     """Per-PARTITION top-k reduction ahead of the per-query window.
 
     Narrow (no exchange): runs inside the cell-join stage and keeps, per
@@ -456,7 +457,7 @@ def _partition_topk(df: DataFrame, k: int, query_id: str,
 
     def _topk_pd(pdf: pd.DataFrame) -> pd.DataFrame:
         o = np.lexsort((pdf[cand_id].to_numpy(),
-                        pdf["dist"].to_numpy(),
+                        pdf[dist_col].to_numpy(),
                         pdf[query_id].to_numpy()))
         q = pdf[query_id].to_numpy()[o]
         idx = np.arange(len(q), dtype=np.int64)
