@@ -490,7 +490,13 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     b = sigs.select(F.col(id_col).alias("id"), "simhash", chunks)
     # one reused exchange on the chunk key: both self-join sides
     # otherwise re-run the upstream signature aggregate (the
-    # tokenize-explode-md5 wordcount, the pipeline's dominant cost)
+    # tokenize-explode-md5 wordcount, the pipeline's dominant cost).
+    # A bucket-local pair kernel (the minhash shape) was A/B'd here
+    # and REVERTED: simhash explodes into ~1e5 tiny 16-bit-key
+    # buckets and the per-group Python overhead lost to the join
+    # (same-session: join 3.2-3.7 s vs kernel 4.8-5.4 s at sf1.0);
+    # the kernel pays off only where buckets are few (minhash's mixed
+    # 64-bit band keys).
     b = b.repartition("chunk", "ckey")
     l = b.select(F.col("id").alias("id_i"),
                  F.col("simhash").alias("sh_i"), "chunk", "ckey")
