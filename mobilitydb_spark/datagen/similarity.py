@@ -184,8 +184,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
         .where(F.col(q_id) != F.col(c_id))
     scored = _scored_pairs(cand, q_id, c_id)
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    # persist the ranked candidates: the subtree feeds the found>=k
+    # gate, the good semi-join AND the brute fallback's anti-join —
+    # unpersisted, the assignment+rerank pipeline re-executes once per
+    # consumer inside the single output action (the knn_join gating
+    # pattern; rows are ~|Q|*k, negligible storage)
     ranked = (scored.withColumn("rank", F.row_number().over(w))
-              .where(F.col("rank") <= k))
+              .where(F.col("rank") <= k)).persist()
     full = (ranked.groupBy(q_id).count().where(F.col("count") >= k)
             .select(q_id))
     good = ranked.join(full, q_id, "left_semi")
@@ -224,8 +229,9 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
                          F.round(_dot(F.col("qe"), F.col("ce")), 6)
                          .alias("score"))
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    # persisted for the same three-consumer reuse as ivf_topk
     ranked = (scored.withColumn("rank", F.row_number().over(w))
-              .where(F.col("rank") <= k))
+              .where(F.col("rank") <= k)).persist()
     # fallback: any query without a full k bucket-verified neighbours
     # (including zero bucket hits) goes through the brute path
     full = (ranked.groupBy(q_id).count().where(F.col("count") >= k)
